@@ -1,0 +1,216 @@
+"""Spatial joins: point-in-polygon join and distance (DWITHIN) join.
+
+This is the engine's core (reference:
+geomesa-spark/geomesa-spark-sql/.../spark/GeoMesaRelation.scala::
+GeoMesaJoinRelation — grid-partitioned spatial join — and
+geomesa-process/.../query/ProximitySearchProcess.scala). Spark-first
+design, two phases:
+
+1. COARSE: both sides get a fixed-resolution grid-cell key (pure
+   built-in arithmetic, whole-stage codegen). The polygon side explodes
+   its envelope's cell cover (sequence × explode — built-ins). The join
+   is a plain equi-join on ``cell`` — Catalyst/AQE picks broadcast vs
+   shuffle; callers can force broadcast for small layers or salt for
+   hot-cell skew.
+2. EXACT: candidates are refined by the vectorized PIP/haversine kernel
+   in a mapInPandas pass (shuffle-free — runs on the join output
+   partitions; each polygon WKT parses once per batch via a cache).
+
+Each point has exactly ONE cell at the join resolution and a polygon's
+cover cells are distinct, so the equi-join produces no duplicate pairs —
+the XZ-style one-key-per-geometry property; no post-join dedup needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_spark.geom import EARTH_RADIUS_M, parse_wkt, points_in_polygon
+from geomesa_spark.operators.extract import grid_cell
+
+__all__ = [
+    "cover_cells_for_polys",
+    "spatial_join_points_in_polys",
+    "distance_join",
+    "refine_pip",
+    "haversine_m_col",
+]
+
+METERS_PER_DEG_LAT = 111_195.0  # spherical: pi/180 * R
+
+
+def haversine_m_col(lon1, lat1, lon2, lat2):
+    """Great-circle distance in meters as a pure built-in Column
+    expression — stays in whole-stage codegen and mirrors the DuckDB
+    oracle SQL term for term (same IEEE double operations)."""
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def _grid_index(col, lo: float, extent: float, n: int):
+    return F.least(
+        F.greatest(F.floor((col - lo) / extent * n), F.lit(0)), F.lit(n - 1)
+    ).cast("long")
+
+
+def cover_cells_for_polys(polys: DataFrame, bits: int) -> DataFrame:
+    """Explode each polygon's envelope into its grid-cell cover.
+
+    Pure built-ins: floor → sequence → explode. Over-approximates the
+    polygon by its bbox (exact refine follows). Output: polys columns +
+    ``cell``.
+    """
+    n = 1 << bits
+    x0 = _grid_index(F.col("min_lon"), -180.0, 360.0, n)
+    x1 = _grid_index(F.col("max_lon"), -180.0, 360.0, n)
+    y0 = _grid_index(F.col("min_lat"), -90.0, 180.0, n)
+    y1 = _grid_index(F.col("max_lat"), -90.0, 180.0, n)
+    return (
+        polys.withColumn("__yi", F.explode(F.sequence(y0, y1)))
+        .withColumn("__xi", F.explode(F.sequence(x0, x1)))
+        .withColumn("cell", F.col("__yi") * n + F.col("__xi"))
+        .drop("__yi", "__xi")
+    )
+
+
+def refine_pip(candidates: DataFrame, lon: str = "lon", lat: str = "lat", wkt: str = "wkt") -> DataFrame:
+    """Exact point-in-polygon refinement over candidate pairs.
+
+    mapInPandas (no shuffle): per Arrow batch, group rows by polygon and
+    run the vectorized kernel once per polygon. WKT parse results are
+    cached across batches within a task.
+    """
+    schema = candidates.schema
+
+    def _refine(batches):
+        cache: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            px = pdf[lon].to_numpy()
+            py = pdf[lat].to_numpy()
+            keep = np.zeros(len(pdf), dtype=bool)
+            for w, idx in pdf.groupby(wkt, sort=False).indices.items():
+                g = cache.get(w)
+                if g is None:
+                    g = parse_wkt(w)
+                    if len(cache) > 10000:
+                        cache.clear()
+                    cache[w] = g
+                keep[idx] = points_in_polygon(px[idx], py[idx], g)
+            yield pdf[keep]
+
+    return candidates.mapInPandas(_refine, schema=schema)
+
+
+def spatial_join_points_in_polys(
+    points: DataFrame,
+    polys: DataFrame,
+    bits: int = 6,
+    broadcast: bool | None = None,
+    salt_buckets: int | None = None,
+    refine: str = "auto",
+    point_salt_key: str = "doc_id",
+) -> DataFrame:
+    """Join points (lon/lat columns) with polygons (poly_id, wkt, envelope
+    columns min_lon/min_lat/max_lon/max_lat): one output row per
+    (point, containing polygon).
+
+    - ``broadcast``: force/forbid broadcasting the exploded polygon cover
+      (None → Catalyst/AQE decides; small layers auto-broadcast anyway).
+    - ``salt_buckets``: shuffle-join skew mitigation — the point side
+      derives ``salt = pmod(xxhash64(key), S)`` and the cover side
+      explodes all S salts, so one hot cell spreads over S reducers
+      (reference analogue: ShardStrategy's leading shard byte).
+    - ``refine='auto'``: polygons whose ``kind`` column equals 'bbox' are
+      exact after the envelope filter and skip the PIP kernel;
+      'always' refines everything; 'never' returns envelope-filtered
+      candidates (loose-bbox mode, reference QueryProperties.LooseBBox).
+    """
+    pts = points.withColumn("cell", grid_cell(F.col("lon"), F.col("lat"), bits))
+    cover = cover_cells_for_polys(polys, bits)
+
+    if salt_buckets and not broadcast:
+        s = salt_buckets
+        pts = pts.withColumn("__salt", F.pmod(F.xxhash64(F.col(point_salt_key)), F.lit(s)))
+        cover = cover.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))).withColumn(
+            "__salt", F.col("__salt").cast("bigint")
+        )
+        join_keys = ["cell", "__salt"]
+    else:
+        join_keys = ["cell"]
+
+    if broadcast:
+        cover = F.broadcast(cover)
+
+    cand = pts.join(cover, on=join_keys, how="inner")
+    # envelope filter: cheap, codegen'd, removes bbox-only false candidates
+    cand = cand.where(
+        (F.col("lon") >= F.col("min_lon"))
+        & (F.col("lon") <= F.col("max_lon"))
+        & (F.col("lat") >= F.col("min_lat"))
+        & (F.col("lat") <= F.col("max_lat"))
+    )
+    drop_cols = ["cell"] + (["__salt"] if "__salt" in cand.columns else [])
+
+    if refine == "never":
+        return cand.drop(*drop_cols)
+    if refine == "auto" and "kind" in cand.columns:
+        exact_bbox = cand.where(F.col("kind") == "bbox")
+        needs_pip = cand.where(F.col("kind") != "bbox")
+        refined = refine_pip(needs_pip)
+        return exact_bbox.unionByName(refined).drop(*drop_cols)
+    return refine_pip(cand).drop(*drop_cols)
+
+
+def distance_join(
+    points: DataFrame,
+    probes: DataFrame,
+    bits: int = 6,
+    radius_col: str = "radius_m",
+    broadcast: bool | None = True,
+) -> DataFrame:
+    """DWITHIN join: points within ``radius_m`` meters of each probe
+    (reference: ProximitySearchProcess / ECQL DWITHIN).
+
+    The probe side expands to the cell cover of its circle's bbox
+    (lat-dependent lon scaling), equi-joins on cell, then refines with
+    exact haversine — returned as column ``dist_m``.
+    """
+    n = 1 << bits
+    r_deg_lat = F.col(radius_col) / METERS_PER_DEG_LAT
+    # guard cos→0 near poles
+    coslat = F.greatest(F.cos(F.radians(F.col("lat"))), F.lit(1e-6))
+    r_deg_lon = r_deg_lat / coslat
+
+    probe_boxes = probes.select(
+        *probes.columns,
+        (F.col("lon") - r_deg_lon).alias("min_lon"),
+        (F.col("lon") + r_deg_lon).alias("max_lon"),
+        (F.col("lat") - r_deg_lat).alias("min_lat"),
+        (F.col("lat") + r_deg_lat).alias("max_lat"),
+    )
+    probe_boxes = (
+        probe_boxes.withColumnRenamed("lon", "q_lon").withColumnRenamed("lat", "q_lat")
+    )
+    cover = cover_cells_for_polys(probe_boxes, bits).drop(
+        "min_lon", "max_lon", "min_lat", "max_lat"
+    )
+    if broadcast:
+        cover = F.broadcast(cover)
+
+    pts = points.withColumn("cell", grid_cell(F.col("lon"), F.col("lat"), bits))
+    cand = pts.join(cover, on="cell", how="inner").drop("cell")
+    cand = cand.withColumn(
+        "dist_m",
+        haversine_m_col(F.col("lon"), F.col("lat"), F.col("q_lon"), F.col("q_lat")),
+    )
+    return cand.where(F.col("dist_m") <= F.col(radius_col))

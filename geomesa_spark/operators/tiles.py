@@ -1,0 +1,123 @@
+"""Density aggregation (heatmap) and tile materialization.
+
+Reference: geomesa-index-api/.../index/iterators/DensityScan.scala —
+renders features into a width×height grid over an envelope with a
+weight expression, partial per-range grids merged client-side. In Spark
+that is literally partial/final hash aggregation over a floor-binned
+cell id: ``groupBy(floor((lon-x0)/dx), floor((lat-y0)/dy)).sum(weight)``
+— all built-ins, whole-stage codegen, no UDF.
+
+Tile materialization writes the aggregated grid (or the raw cell-keyed
+points) as a parquet table bucketed by cell prefix with a salt column
+for hot tiles, plus an Iceberg-style JSON manifest with per-partition
+lineage + metrics (sources/catalog.py) so jobs are checkpoint-resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_spark.sources.catalog import write_manifest
+
+__all__ = ["density_grid", "write_tiles"]
+
+
+def density_grid(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    weight_col: str | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Sparse density grid: one row per non-empty cell.
+
+    Output: (ix int, iy int, weight double, cnt long) where ix/iy index
+    the width×height grid over bbox = (x0, y0, x1, y1).
+    """
+    x0, y0, x1, y1 = bbox
+    dx = (x1 - x0) / width
+    dy = (y1 - y0) / height
+    inb = points.where(
+        (F.col(lon) >= x0) & (F.col(lon) < x1) & (F.col(lat) >= y0) & (F.col(lat) < y1)
+    )
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    return (
+        inb.groupBy(
+            F.floor((F.col(lon) - x0) / dx).cast("int").alias("ix"),
+            F.floor((F.col(lat) - y0) / dy).cast("int").alias("iy"),
+        )
+        .agg(F.sum(w).alias("weight"), F.count("*").alias("cnt"))
+    )
+
+
+def write_tiles(
+    df: DataFrame,
+    path: str,
+    cell_col: str = "cell_z2",
+    prefix_bits: int = 8,
+    n_buckets: int = 16,
+    salt_buckets: int = 4,
+    salt_key: str = "doc_id",
+    mode: str = "overwrite",
+    lineage: dict | None = None,
+) -> dict:
+    """Materialize a cell-keyed table bucketed by cell prefix with salt.
+
+    Layout (Iceberg-style hidden partitioning emulated on plain parquet;
+    swap for a real Iceberg catalog when the runtime jar exists):
+      bucket = pmod(xxhash64(tile_prefix), n_buckets)   -- dir partition
+      salt   = pmod(xxhash64(salt_key),   salt_buckets) -- spreads hot tiles
+      files sorted within partitions by (tile_prefix, cell) for row-group
+      min/max pruning on later range scans.
+
+    Returns the manifest dict (also written as JSON beside the data).
+    """
+    tile = F.shiftrightunsigned(F.col(cell_col), 2 * (31 - prefix_bits))
+    out = (
+        df.withColumn("tile_prefix", tile)
+        .withColumn("bucket", F.pmod(F.xxhash64(F.col("tile_prefix")), F.lit(n_buckets)))
+        .withColumn("salt", F.pmod(F.xxhash64(F.col(salt_key)), F.lit(salt_buckets)))
+    )
+    (
+        out.repartition(n_buckets * salt_buckets, "bucket", "salt")
+        .sortWithinPartitions("tile_prefix", cell_col)
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    stats = (
+        written.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows"),
+            F.min("tile_prefix").alias("min_tile"),
+            F.max("tile_prefix").alias("max_tile"),
+            F.countDistinct("tile_prefix").alias("n_tiles"),
+        )
+        .collect()
+    )
+    partitions = [
+        {
+            "bucket": int(r["bucket"]),
+            "rows": int(r["rows"]),
+            "min_tile": int(r["min_tile"]),
+            "max_tile": int(r["max_tile"]),
+            "n_tiles": int(r["n_tiles"]),
+        }
+        for r in stats
+    ]
+    return write_manifest(
+        path,
+        spec={
+            "cell_col": cell_col,
+            "prefix_bits": prefix_bits,
+            "n_buckets": n_buckets,
+            "salt_buckets": salt_buckets,
+        },
+        partitions=partitions,
+        lineage=lineage or {},
+    )
