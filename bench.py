@@ -1,0 +1,208 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline operators on a deterministic
+sf-scaled interleaved-document table at ``local[$SPARK_GRAFT_CPUS]``
+and prints ONE JSON line::
+
+  {"metric": "spatial-join + tiling throughput", "value": <docs/sec>,
+   "unit": "docs/sec", "queries": {<name>: sec, ...}, "sf": ..., ...}
+
+``--scaling`` mode: runs the SAME pipeline on the SAME input at two
+parallelism levels (local[8] vs local[32] — the sandbox proxy for N vs
+4N executors per the driver instruction) in separate subprocesses and
+reports throughput at both plus scaling efficiency; used to fill
+BENCH.md / BASELINE.md.
+
+Input documents are synthesized deterministically in Spark built-ins
+(tables.py::synthesize_documents — seeded arithmetic, no external
+data); the document count scales with the sf dir's lineitem row count
+so "sf0.1" benches ~600K docs as promised in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _err(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def pipeline_queries(spark, sf_dir: str, n_docs: int, cores: int, tmpdir: str):
+    """Named stages; each returns a callable that forces full execution."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.extract import extract_geo_points, with_z2_cell
+    from geomesa_spark.operators.joins import (
+        distance_join,
+        spatial_join_points_in_polys,
+    )
+    from geomesa_spark.operators.knn import knn
+    from geomesa_spark.operators.tiles import density_grid, write_tiles
+    from geomesa_spark.tables import poly_layers, query_points, synthesize_documents
+
+    docs = synthesize_documents(spark, n_docs, partitions=cores * 4)
+    polys = poly_layers(spark, 2000)
+    probes = query_points(spark, 1000)
+
+    def q_extract_cells():
+        return with_z2_cell(extract_geo_points(docs)).count()
+
+    def q_pip_join_broadcast():
+        return spatial_join_points_in_polys(
+            extract_geo_points(docs), polys, bits=6, broadcast=True
+        ).count()
+
+    def q_pip_join_salted():
+        return spatial_join_points_in_polys(
+            extract_geo_points(docs), polys, bits=6, broadcast=False, salt_buckets=8
+        ).count()
+
+    def q_dwithin():
+        return distance_join(extract_geo_points(docs), probes, bits=6).count()
+
+    def q_knn():
+        return knn(
+            extract_geo_points(docs), probes.drop("radius_m").limit(200), bits=6
+        ).count()
+
+    def q_density():
+        return density_grid(
+            extract_geo_points(docs), (-180.0, -85.0, 180.0, 85.0), 360, 170
+        ).count()
+
+    def q_pipeline():
+        """North-star pipeline: extract → cell-encode → polygon join with
+        exact refine → tile materialization bucketed by cell prefix with
+        salt + manifest. docs/sec comes from this stage."""
+        pts = with_z2_cell(extract_geo_points(docs))
+        pairs = spatial_join_points_in_polys(pts, polys, bits=6, broadcast=True)
+        path = os.path.join(tmpdir, "tiles")
+        write_tiles(
+            pairs,
+            path,
+            cell_col="cell_z2",
+            prefix_bits=8,
+            n_buckets=16,
+            salt_buckets=4,
+            lineage={"job": "bench-pipeline", "n_docs": n_docs},
+        )
+        return spark.read.parquet(path).count()
+
+    return {
+        "extract_cells": q_extract_cells,
+        "pip_join_broadcast": q_pip_join_broadcast,
+        "pip_join_salted": q_pip_join_salted,
+        "dwithin": q_dwithin,
+        "knn": q_knn,
+        "density": q_density,
+        "pipeline": q_pipeline,
+    }
+
+
+def docs_for_sf(sf_dir: str) -> int:
+    """Scale the synthetic doc count with the sf dir (sf0.1 → ~600K)."""
+    import pyarrow.parquet as pq
+
+    try:
+        rows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    except Exception:
+        rows = 60000
+    return max(10_000, rows)
+
+
+def run_once(cores: int, sf_dir: str, n_docs: int) -> dict:
+    from geomesa_spark.session import build_session
+
+    spark = build_session(
+        cores=cores,
+        shuffle_partitions=cores * 2,
+        app=f"bench-{cores}",
+    )
+    results: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    with tempfile.TemporaryDirectory() as tmpdir:
+        qs = pipeline_queries(spark, sf_dir, n_docs, cores, tmpdir)
+        # warm the JVM + Python workers once (not timed)
+        t0 = time.monotonic()
+        qs["extract_cells"]()
+        _err(f"warmup extract: {time.monotonic()-t0:.1f}s")
+        for name, fn in qs.items():
+            t0 = time.monotonic()
+            counts[name] = fn()
+            results[name] = round(time.monotonic() - t0, 3)
+            _err(f"  {name}: {results[name]}s ({counts[name]} rows)")
+    spark.stop()
+    pipeline_s = results["pipeline"]
+    return {
+        "cores": cores,
+        "n_docs": n_docs,
+        "queries": results,
+        "counts": counts,
+        "docs_per_sec": round(n_docs / pipeline_s, 1),
+        "pipeline_sec": pipeline_s,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--n-docs", type=int, default=int(os.environ.get("BENCH_DOCS", "0")) or None)
+    ap.add_argument("--scaling", action="store_true", help="run at local[8] and local[32], report efficiency")
+    ap.add_argument("--subprocess-json", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    n_docs = args.n_docs or docs_for_sf(args.sf_dir)
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if args.scaling:
+        runs = {}
+        for cores in (8, 32):
+            _err(f"=== scaling run: local[{cores}] ===")
+            out = subprocess.run(
+                [sys.executable, __file__, "--cores", str(cores), "--sf-dir", args.sf_dir,
+                 "--n-docs", str(n_docs)],
+                capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            _err(out.stderr[-2000:])
+            runs[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8 = runs[8]["value"]
+        t32 = runs[32]["value"]
+        eff = (t32 / t8) / 4.0
+        result = {
+            "metric": "spatial-join + tiling throughput scaling (N=8 vs 4N=32 cores)",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "docs_per_sec_n8": t8,
+            "docs_per_sec_n32": t32,
+            "n_docs": n_docs,
+            "sf": sf,
+            "queries": {"n8": runs[8]["queries"], "n32": runs[32]["queries"]},
+        }
+        print(json.dumps(result), flush=True)
+        return 0
+
+    r = run_once(args.cores, args.sf_dir, n_docs)
+    result = {
+        "metric": "spatial-join + tiling throughput",
+        "value": r["docs_per_sec"],
+        "unit": "docs/sec",
+        "queries": r["queries"],
+        "sf": sf,
+        "cores": r["cores"],
+        "n_docs": r["n_docs"],
+        "counts": r["counts"],
+    }
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

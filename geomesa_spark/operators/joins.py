@@ -80,12 +80,23 @@ def cover_cells_for_polys(polys: DataFrame, bits: int) -> DataFrame:
     )
 
 
-def refine_pip(candidates: DataFrame, lon: str = "lon", lat: str = "lat", wkt: str = "wkt") -> DataFrame:
+def refine_pip(
+    candidates: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    wkt: str = "wkt",
+    skip_col: str | None = None,
+) -> DataFrame:
     """Exact point-in-polygon refinement over candidate pairs.
 
     mapInPandas (no shuffle): per Arrow batch, group rows by polygon and
     run the vectorized kernel once per polygon. WKT parse results are
     cached across batches within a task.
+
+    ``skip_col``: optional boolean column — rows where it is true bypass
+    the kernel and are kept as-is (single-pass alternative to splitting
+    the DataFrame into exact/refine branches, which would recompute the
+    whole upstream once per branch).
     """
     schema = candidates.schema
 
@@ -97,15 +108,29 @@ def refine_pip(candidates: DataFrame, lon: str = "lon", lat: str = "lat", wkt: s
                 continue
             px = pdf[lon].to_numpy()
             py = pdf[lat].to_numpy()
-            keep = np.zeros(len(pdf), dtype=bool)
-            for w, idx in pdf.groupby(wkt, sort=False).indices.items():
-                g = cache.get(w)
-                if g is None:
-                    g = parse_wkt(w)
-                    if len(cache) > 10000:
-                        cache.clear()
-                    cache[w] = g
-                keep[idx] = points_in_polygon(px[idx], py[idx], g)
+            if skip_col is not None:
+                keep = pdf[skip_col].to_numpy(dtype=bool).copy()
+                todo = ~keep
+            else:
+                keep = np.zeros(len(pdf), dtype=bool)
+                todo = None
+            sub = pdf if todo is None else pdf[todo]
+            if len(sub):
+                sub_keep = np.zeros(len(sub), dtype=bool)
+                spx = px if todo is None else px[todo]
+                spy = py if todo is None else py[todo]
+                for w, idx in sub.reset_index(drop=True).groupby(wkt, sort=False).indices.items():
+                    g = cache.get(w)
+                    if g is None:
+                        g = parse_wkt(w)
+                        if len(cache) > 10000:
+                            cache.clear()
+                        cache[w] = g
+                    sub_keep[idx] = points_in_polygon(spx[idx], spy[idx], g)
+                if todo is None:
+                    keep = sub_keep
+                else:
+                    keep[todo] = sub_keep
             yield pdf[keep]
 
     return candidates.mapInPandas(_refine, schema=schema)
@@ -164,10 +189,11 @@ def spatial_join_points_in_polys(
     if refine == "never":
         return cand.drop(*drop_cols)
     if refine == "auto" and "kind" in cand.columns:
-        exact_bbox = cand.where(F.col("kind") == "bbox")
-        needs_pip = cand.where(F.col("kind") != "bbox")
-        refined = refine_pip(needs_pip)
-        return exact_bbox.unionByName(refined).drop(*drop_cols)
+        # single pass: bbox-kind rows are exact after the closed envelope
+        # filter and bypass the kernel via the flag column (no branch
+        # union — that would recompute the upstream scan per branch)
+        cand = cand.withColumn("__exact", F.col("kind") == "bbox")
+        return refine_pip(cand, skip_col="__exact").drop(*drop_cols, "__exact")
     return refine_pip(cand).drop(*drop_cols)
 
 
