@@ -279,6 +279,221 @@ def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational / stats queries (SURVEY §2.4-2.7) over the driver tables
+# ---------------------------------------------------------------------------
+
+def q_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 MinMax + count over events."""
+    from geomesa_spark.operators.stats import minmax
+
+    return minmax(spark.read.parquet(f"{sf_dir}/events.parquet"), ["value", "ts"])
+
+
+def q_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 GroupBy stat: per-event-type count/min/max."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/O4 TopK heavy hitters with deterministic tie-break."""
+    from geomesa_spark.operators.stats import topk
+
+    return topk(spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id", 10)
+
+
+def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 fixed-width histogram of events.value (20 bins over [0,500])."""
+    from geomesa_spark.operators.stats import histogram
+
+    return histogram(spark.read.parquet(f"{sf_dir}/events.parquet"), "value", 20, 0.0, 500.0)
+
+
+def q_descriptive_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 descriptive stats, decimal-exact for cross-engine sums."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = F.sum(F.col("value").cast("decimal(18,6)"))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        s.cast("double").alias("sum_value"),
+        (s.cast("double") / F.count("*")).alias("avg_value"),
+    )
+
+
+def q_window_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 'latest per key' window (Kafka cache latest-state analogue)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 per-key 1-in-k sampling (reference SamplingIterator)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") % 10 == 1)
+        .select("event_type", "event_id")
+    )
+
+
+def q_or_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 OR-split union + dedup (reference FilterSplitter OR handling)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.where(F.col("value") < 50.0)
+    b = ev.where((F.col("event_type") == "click") & (F.col("value") < 200.0))
+    return a.unionByName(b).select("event_id").dropDuplicates(["event_id"])
+
+
+def q_lambda_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 lambda latest-wins merge of transient + persistent layers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    persistent = ev.where(F.col("event_id") % 2 == 0).withColumn("prio", F.lit(0))
+    transient = ev.where(F.col("event_id") % 3 == 0).withColumn("prio", F.lit(1))
+    u = persistent.unionByName(transient)
+    w = Window.partitionBy("event_id").orderBy(F.col("prio").desc())
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", F.col("prio").cast("int").alias("prio"))
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (general relational agg parity;
+    decimal-exact sums so the oracle matches bit-for-bit)."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    d = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    disc_price = d(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    charge = d(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    out = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(d(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(d(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    return out.orderBy("l_returnflag", "l_linestatus")
+
+
+def q_bin_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 BIN record packing: (track, secs, lon, lat) over the canonical
+    fixture layer (reference BinAggregatingScan 16-byte records)."""
+    from geomesa_spark.tables import canonical_layer
+
+    lay = canonical_layer(spark, 2000)
+    return lay.select(
+        F.col("__fid__").alias("fid"),
+        F.col("name").alias("track"),
+        F.unix_timestamp("dtg").alias("secs"),
+        "lon",
+        "lat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries (dedup / text / similarity)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy."""
+    from geomesa_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_spark.operators.text import with_token_stats
+
+    return with_token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_chars_calc"
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_spark.operators.text import with_language_id
+
+    return with_language_id(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "stopword_ratio", "lang_pred"
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_spark.operators.text import with_quality_score
+
+    return with_quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "diversity", "mean_tok_len", "punct_ratio", "quality"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_spark.operators.text import with_fingerprint
+
+    return with_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "fp"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_spark.operators.dedup import with_simhash
+
+    return with_simhash(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "simhash"
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (token sets, 16 perms,
+    4 bands × 4 rows)."""
+    from geomesa_spark.operators.dedup import lsh_candidate_pairs, with_minhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = with_minhash(docs, n_hashes=16, shingle_k=1)
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs blocked by source."""
+    from geomesa_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(
+        docs, block_col="source", shingle_k=1, threshold=0.7
+    )
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 probe vectors."""
+    from geomesa_spark.operators.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (scale path; approximate)."""
+    from geomesa_spark.operators.ann import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -319,7 +534,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_grid": q_density_grid,
         "tile_assign": q_tile_assign,
         "span_invariant": q_span_invariant,
+        # relational / stats (SURVEY §2.4-2.7)
+        "stats_events": q_stats_events,
+        "stats_by_type": q_stats_by_type,
+        "topk_users": q_topk_users,
+        "histogram_value": q_histogram_value,
+        "descriptive_decimal": q_descriptive_decimal,
+        "window_latest": q_window_latest,
+        "sampling": q_sampling,
+        "or_union_dedup": q_or_union_dedup,
+        "lambda_merge": q_lambda_merge,
+        "tpch_q1": q_tpch_q1,
+        "bin_records": q_bin_records,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "langid": q_langid,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "minhash_lsh": q_minhash_lsh,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
     }
+
+
+# hex-prefix hashes used by the dedup oracles (mirror dedup.py contract)
+def _sql_hexhash(s: str, n: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1,{n}), "
+        f"i -> CAST(strpos('0123456789abcdef', substr(md5({s}), i, 1)) - 1 AS BIGINT)"
+        f" << (4*({n}-i)))) AS BIGINT)"
+    )
+
+
+SQL_MINHASH = f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+shg AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks), 1)),
+          i -> array_to_string(toks[i:i], ' '))) AS shs FROM tok),
+hsh AS (SELECT doc_id, list_transform(shs, s -> {_sql_hexhash('s', 7)}) AS hh FROM shg),
+mh AS (SELECT doc_id, list_transform(generate_series(0, 15), i ->
+  CAST(list_min(list_transform(hh, h -> (h * (((1103515245*(i+1)+12345) % 2147483647) | 1)
+    + (2654435761*(i+1)) % 2147483647) % 2147483647)) AS BIGINT)) AS sig FROM hsh)
+"""
+
+SQL_COSINE = """
+qv AS (SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT e.vec_id, q.q_vec_id,
+    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(generate_series(1, len(q.q_emb)),
+         i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))) AS sim
+  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.q_vec_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -417,5 +689,170 @@ def oracle_sql() -> dict[str, str]:
               FROM span_strs GROUP BY i
             )
             SELECT g.doc_id, g.n_spans, g.span_sig FROM sigs g JOIN hit h ON g.doc_id = h.doc_id
+        """,
+        # --- relational / stats ------------------------------------------
+        "stats_events": """
+            SELECT count(*) AS count, min(value) AS min_value, max(value) AS max_value,
+                   min(ts) AS min_ts, max(ts) AS max_ts
+            FROM events
+        """,
+        "stats_by_type": """
+            SELECT event_type, count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "topk_users": """
+            SELECT user_id, count(*) AS cnt FROM events
+            GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10
+        """,
+        "histogram_value": """
+            SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS INT), 0), 19) AS bin,
+                   count(*) AS cnt
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        """,
+        "descriptive_decimal": """
+            SELECT event_type, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "window_latest": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "sampling": """
+            SELECT event_type, event_id FROM (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn
+              FROM events
+            ) WHERE rn % 10 = 1
+        """,
+        "or_union_dedup": """
+            SELECT DISTINCT event_id FROM events
+            WHERE value < 50.0 OR (event_type = 'click' AND value < 200.0)
+        """,
+        "lambda_merge": """
+            WITH u AS (
+              SELECT event_id, 0 AS prio FROM events WHERE event_id % 2 = 0
+              UNION ALL
+              SELECT event_id, 1 AS prio FROM events WHERE event_id % 3 = 0
+            )
+            SELECT event_id, CAST(prio AS INT) AS prio FROM (
+              SELECT event_id, prio, row_number() OVER (PARTITION BY event_id ORDER BY prio DESC) AS rn
+              FROM u
+            ) WHERE rn = 1
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "bin_records": """
+            SELECT printf('f-%05d', t.i) AS fid,
+                   printf('name%d', t.i % 10) AS track,
+                   1704067200 + t.i * 3600 AS secs,
+                   (t.i % 360) - 180 + 0.5 AS lon,
+                   (CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS lat
+            FROM range(0, 2000) t(i)
+        """,
+        # --- training-data pipeline --------------------------------------
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_key, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+                   CAST(length(text) AS INT) AS n_chars_calc
+            FROM documents
+        """,
+        "langid": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            r AS (
+              SELECT doc_id,
+                CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','on'], x))) AS DOUBLE)
+                  / len(toks) AS stopword_ratio
+              FROM t
+            )
+            SELECT doc_id, stopword_ratio,
+                   CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
+            FROM r
+        """,
+        "quality": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     CAST(n_dis AS DOUBLE) / n_tok AS diversity,
+                     CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok AS mean_tok_len,
+                     CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio
+              FROM b
+            )
+            SELECT doc_id, diversity, mean_tok_len, punct_ratio,
+                   0.5 * diversity + 0.1 * least(mean_tok_len / 10.0, 1.0) - 0.4 * punct_ratio AS quality
+            FROM r
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))),
+                     (a, c) -> (a * 31 + c) % 1000000007) AS fp
+            FROM documents
+        """,
+        "simhash": f"""
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            h60 AS (SELECT doc_id, list_transform(toks, t -> {_sql_hexhash('t', 15)}) AS hh FROM tok)
+            SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
+                     CASE WHEN list_sum(list_transform(hh, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                          THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+            FROM h60
+        """,
+        "minhash_lsh": f"""
+            WITH {SQL_MINHASH},
+            bands AS (
+              SELECT doc_id, g.b,
+                     array_to_string(sig[g.b*4+1 : g.b*4+4], ',') AS band_key
+              FROM mh CROSS JOIN (VALUES (0),(1),(2),(3)) AS g(b)
+            )
+            SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "jaccard_pairs": """
+            WITH sh AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' ')), 1)),
+                       i -> array_to_string((string_split(text,' '))[i:i], ' '))) AS shs
+              FROM documents
+            )
+            SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                   CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                     / len(list_distinct(a.shs || b.shs)) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.source = b.source
+            WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                    / len(list_distinct(a.shs || b.shs)) >= 0.7
+        """,
+        "ann_cosine": f"""
+            WITH {SQL_COSINE}
+            SELECT q_vec_id, vec_id, round(sim, 6) AS sim_r, CAST(rnk AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_vec_id ORDER BY round(sim, 6) DESC, vec_id ASC) AS rnk
+              FROM sims
+            ) WHERE rnk <= 5
         """,
     }
