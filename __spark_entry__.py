@@ -406,6 +406,48 @@ def q_bin_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 sort + limit with deterministic tie-break."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.orderBy(F.col("value").desc(), F.col("event_id").asc()).limit(20).select(
+        "event_id", "value"
+    )
+
+
+def q_attr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 attribute-index join: filtered attribute projection → fid →
+    record lookup."""
+    from geomesa_spark.operators.joins import attribute_join
+    from geomesa_spark.tables import canonical_layer
+
+    lay = canonical_layer(spark, 2000)
+    attr_idx = lay.select("name", "__fid__").where(F.col("name") == "name3")
+    return attribute_join(attr_idx, lay, broadcast=True).select(
+        F.col("__fid__").alias("fid"), "name", "age"
+    )
+
+
+def q_tube_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 tube-select: spatio-temporal corridor join along a track."""
+    from geomesa_spark.operators.joins import tube_select
+
+    pts = _points(spark, sf_dir)
+    # deterministic event time per point, derived from the doc number
+    i = F.substring("doc_id", 5, 12).cast("long")
+    pts = pts.withColumn(
+        "dtg", F.timestamp_seconds(F.lit(1704067200) + i * 37 + F.col("span_offset") * 13)
+    )
+    tube = spark.range(0, 21).select(
+        F.lit("t0").alias("tube_id"),
+        F.col("id").cast("int").alias("vertex_id"),
+        (F.lit(-150.0) + F.col("id") * 2.0).alias("lon"),
+        (F.lit(-40.0) + F.col("id") * 3.0).alias("lat"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 3600).alias("dtg"),
+    )
+    out = tube_select(pts, tube, radius_m=500_000.0, time_window_s=14400, bits=6)
+    return out.select("doc_id", "span_offset", "vertex_id")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (dedup / text / similarity)
 # ---------------------------------------------------------------------------
@@ -546,6 +588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lambda_merge": q_lambda_merge,
         "tpch_q1": q_tpch_q1,
         "bin_records": q_bin_records,
+        "sorted_topn": q_sorted_topn,
+        "attr_join": q_attr_join,
+        "tube_select": q_tube_select,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -762,6 +807,35 @@ def oracle_sql() -> dict[str, str]:
                    (t.i % 360) - 180 + 0.5 AS lon,
                    (CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS lat
             FROM range(0, 2000) t(i)
+        """,
+        "sorted_topn": """
+            SELECT event_id, value FROM events
+            ORDER BY value DESC, event_id ASC LIMIT 20
+        """,
+        "attr_join": """
+            SELECT printf('f-%05d', t.i) AS fid, printf('name%d', t.i % 10) AS name,
+                   CAST(t.i % 100 AS INT) AS age
+            FROM range(0, 2000) t(i) WHERE printf('name%d', t.i % 10) = 'name3'
+        """,
+        "tube_select": f"""
+            WITH {SQL_PTS},
+            pts_t AS (
+              SELECT p.doc_id, p.span_offset, p.lon, p.lat,
+                     1704067200 + CAST(substr(p.doc_id, 5, 12) AS BIGINT) * 37
+                       + p.span_offset * 13 AS secs
+              FROM pts p
+            ),
+            tube AS (
+              SELECT CAST(t.m AS INT) AS vertex_id,
+                     -150.0 + t.m * 2.0 AS t_lon,
+                     -40.0 + t.m * 3.0 AS t_lat,
+                     1704067200 + t.m * 3600 AS t_secs
+              FROM range(0, 21) t(m)
+            )
+            SELECT p.doc_id, p.span_offset, q.vertex_id
+            FROM pts_t p CROSS JOIN tube q
+            WHERE {_sql_haversine('p.lon', 'p.lat', 'q.t_lon', 'q.t_lat')} <= 500000.0
+              AND abs(p.secs - q.t_secs) <= 14400
         """,
         # --- training-data pipeline --------------------------------------
         "dedup_exact": """

@@ -28,6 +28,17 @@ __all__ = [
     "haversine_m",
     "bbox_of",
     "EARTH_RADIUS_M",
+    "geom_area",
+    "geom_length",
+    "geom_centroid",
+    "convex_hull",
+    "segments_intersect",
+    "geoms_intersect",
+    "geom_contains",
+    "geohash_encode",
+    "geohash_decode",
+    "wkb_from_points",
+    "point_buffer_wkt",
 ]
 
 EARTH_RADIUS_M = 6371008.8  # mean Earth radius (IUGG)
@@ -221,3 +232,549 @@ def bbox_of(wkts) -> np.ndarray:
     for i, w in enumerate(wkts):
         out[i] = parse_wkt(w).bbox
     return out
+
+
+# --- measures ------------------------------------------------------------
+# JTS-compatible semantics (reference: geomesa-spark-jts SpatialRelation
+# Functions st_area/st_length/st_centroid evaluate JTS Geometry methods):
+# area: polygons only (lines/points -> 0), holes subtract;
+# length: line length, polygon perimeter; centroid: area/length/point
+# weighted by dimension.
+
+
+def _ring_signed_area2(r: np.ndarray) -> float:
+    """Twice the signed (shoelace) area of a closed ring."""
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * y2 - x2 * y))
+
+
+def _close(r: np.ndarray) -> np.ndarray:
+    if len(r) and (r[0, 0] != r[-1, 0] or r[0, 1] != r[-1, 1]):
+        return np.vstack([r, r[:1]])
+    return r
+
+
+def geom_area(geom: Geometry) -> float:
+    if geom.geom_type not in ("POLYGON", "MULTIPOLYGON"):
+        return 0.0
+    total = 0.0
+    if geom.geom_type == "POLYGON":
+        rings = geom.rings
+        for i, r in enumerate(rings):
+            a = abs(_ring_signed_area2(_close(r))) / 2.0
+            total += a if i == 0 else -a
+        return total
+    by_poly: dict[int, list[np.ndarray]] = {}
+    for r, pi in zip(geom.rings, geom.ring_poly):
+        by_poly.setdefault(pi, []).append(r)
+    for rings in by_poly.values():
+        for i, r in enumerate(rings):
+            a = abs(_ring_signed_area2(_close(r))) / 2.0
+            total += a if i == 0 else -a
+    return total
+
+
+def _path_length(r: np.ndarray) -> float:
+    if len(r) < 2:
+        return 0.0
+    d = np.diff(r, axis=0)
+    return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+
+
+def geom_length(geom: Geometry) -> float:
+    t = geom.geom_type
+    if t in ("POINT", "MULTIPOINT"):
+        return 0.0
+    if t in ("LINESTRING", "MULTILINESTRING"):
+        return sum(_path_length(r) for r in geom.rings)
+    # polygon perimeter (JTS getLength), all rings closed
+    return sum(_path_length(_close(r)) for r in geom.rings)
+
+
+def geom_centroid(geom: Geometry) -> tuple[float, float]:
+    t = geom.geom_type
+    if t in ("POINT", "MULTIPOINT"):
+        allc = np.concatenate(geom.rings)
+        return float(allc[:, 0].mean()), float(allc[:, 1].mean())
+    if t in ("LINESTRING", "MULTILINESTRING"):
+        sx = sy = sw = 0.0
+        for r in geom.rings:
+            if len(r) < 2:
+                continue
+            d = np.diff(r, axis=0)
+            seg_len = np.hypot(d[:, 0], d[:, 1])
+            mid = (r[:-1] + r[1:]) / 2.0
+            sx += float((mid[:, 0] * seg_len).sum())
+            sy += float((mid[:, 1] * seg_len).sum())
+            sw += float(seg_len.sum())
+        if sw == 0.0:
+            return float(geom.rings[0][0, 0]), float(geom.rings[0][0, 1])
+        return sx / sw, sy / sw
+    # polygon: area-weighted with holes negative (signed shoelace centroid)
+    sx = sy = sa = 0.0
+    ring_groups = (
+        geom.rings
+        if t == "POLYGON"
+        else geom.rings  # multipolygon: holes already follow their outer
+    )
+    hole_flags: list[bool] = []
+    if t == "POLYGON":
+        hole_flags = [i > 0 for i in range(len(geom.rings))]
+    else:
+        seen: dict[int, int] = {}
+        for pi in geom.ring_poly:
+            seen[pi] = seen.get(pi, 0) + 1
+            hole_flags.append(seen[pi] > 1)
+    for r, is_hole in zip(ring_groups, hole_flags):
+        rc = _close(r)
+        x, y = rc[:-1, 0], rc[:-1, 1]
+        x2, y2 = rc[1:, 0], rc[1:, 1]
+        cross = x * y2 - x2 * y
+        a2 = float(cross.sum())  # 2*signed area
+        if a2 == 0.0:
+            continue
+        cx = float(((x + x2) * cross).sum()) / (3.0 * a2)
+        cy = float(((y + y2) * cross).sum()) / (3.0 * a2)
+        a = abs(a2) / 2.0
+        if is_hole:
+            a = -a
+        sx += cx * a
+        sy += cy * a
+        sa += a
+    if sa == 0.0:
+        allc = np.concatenate(geom.rings)
+        return float(allc[:, 0].mean()), float(allc[:, 1].mean())
+    return sx / sa, sy / sa
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns hull vertices CCW (closed not
+    included). points: (n,2)."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort (unique already sorts rows)
+    def half(iterable):
+        h: list[np.ndarray] = []
+        for p in iterable:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+# --- intersection predicates --------------------------------------------
+
+def segments_intersect(a0, a1, b0, b1) -> bool:
+    """Proper/improper segment intersection via orientation tests."""
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(p, q, r):
+        return (
+            min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+            and min(p[1], q[1]) <= r[1] <= max(p[1], q[1])
+        )
+
+    o1, o2 = orient(a0, a1, b0), orient(a0, a1, b1)
+    o3, o4 = orient(b0, b1, a0), orient(b0, b1, a1)
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and on_seg(a0, a1, b0):
+        return True
+    if o2 == 0 and on_seg(a0, a1, b1):
+        return True
+    if o3 == 0 and on_seg(b0, b1, a0):
+        return True
+    return o4 == 0 and on_seg(b0, b1, a1)
+
+
+def _any_edge_cross(g1: Geometry, g2: Geometry) -> bool:
+    """Vectorized any-pair edge intersection between two geometries."""
+    for r1 in g1.rings:
+        e1 = _close(r1) if g1.geom_type in ("POLYGON", "MULTIPOLYGON") else r1
+        if len(e1) < 2:
+            continue
+        a0x, a0y = e1[:-1, 0][:, None], e1[:-1, 1][:, None]
+        a1x, a1y = e1[1:, 0][:, None], e1[1:, 1][:, None]
+        for r2 in g2.rings:
+            e2 = _close(r2) if g2.geom_type in ("POLYGON", "MULTIPOLYGON") else r2
+            if len(e2) < 2:
+                continue
+            b0x, b0y = e2[:-1, 0][None, :], e2[:-1, 1][None, :]
+            b1x, b1y = e2[1:, 0][None, :], e2[1:, 1][None, :]
+
+            def orient(px, py, qx, qy, rx, ry):
+                return np.sign((qx - px) * (ry - py) - (qy - py) * (rx - px))
+
+            o1 = orient(a0x, a0y, a1x, a1y, b0x, b0y)
+            o2 = orient(a0x, a0y, a1x, a1y, b1x, b1y)
+            o3 = orient(b0x, b0y, b1x, b1y, a0x, a0y)
+            o4 = orient(b0x, b0y, b1x, b1y, a1x, a1y)
+            proper = (o1 != o2) & (o3 != o4)
+            col = (
+                ((o1 == 0) & (np.minimum(a0x, a1x) <= b0x) & (b0x <= np.maximum(a0x, a1x))
+                 & (np.minimum(a0y, a1y) <= b0y) & (b0y <= np.maximum(a0y, a1y)))
+                | ((o2 == 0) & (np.minimum(a0x, a1x) <= b1x) & (b1x <= np.maximum(a0x, a1x))
+                   & (np.minimum(a0y, a1y) <= b1y) & (b1y <= np.maximum(a0y, a1y)))
+                | ((o3 == 0) & (np.minimum(b0x, b1x) <= a0x) & (a0x <= np.maximum(b0x, b1x))
+                   & (np.minimum(b0y, b1y) <= a0y) & (a0y <= np.maximum(b0y, b1y)))
+                | ((o4 == 0) & (np.minimum(b0x, b1x) <= a1x) & (a1x <= np.maximum(b0x, b1x))
+                   & (np.minimum(b0y, b1y) <= a1y) & (a1y <= np.maximum(b0y, b1y)))
+            )
+            if bool((proper | col).any()):
+                return True
+    return False
+
+
+def _rep_points(g: Geometry) -> np.ndarray:
+    return np.concatenate(g.rings)
+
+
+def geoms_intersect(g1: Geometry, g2: Geometry) -> bool:
+    """ST_Intersects for the supported type lattice: bbox reject, then
+    vertex-containment + edge-crossing tests."""
+    b1, b2 = g1.bbox, g2.bbox
+    if b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1]:
+        return False
+    polyish = ("POLYGON", "MULTIPOLYGON")
+    if g1.geom_type in polyish:
+        p = _rep_points(g2)
+        if bool(points_in_polygon(p[:, 0], p[:, 1], g1).any()):
+            return True
+    if g2.geom_type in polyish:
+        p = _rep_points(g1)
+        if bool(points_in_polygon(p[:, 0], p[:, 1], g2).any()):
+            return True
+    if g1.geom_type in ("POINT", "MULTIPOINT") and g2.geom_type in ("POINT", "MULTIPOINT"):
+        a, b = _rep_points(g1), _rep_points(g2)
+        return bool((a[:, None] == b[None, :]).all(axis=2).any())
+    if g1.geom_type in ("POINT", "MULTIPOINT") or g2.geom_type in ("POINT", "MULTIPOINT"):
+        # point vs line: point on any segment
+        pt_g, other = (g1, g2) if g1.geom_type in ("POINT", "MULTIPOINT") else (g2, g1)
+        if other.geom_type in polyish:
+            return False  # handled above
+        for p in _rep_points(pt_g):
+            for r in other.rings:
+                for i in range(len(r) - 1):
+                    if segments_intersect(r[i], r[i + 1], p, p):
+                        return True
+        return False
+    return _any_edge_cross(g1, g2)
+
+
+def geom_contains(g1: Geometry, g2: Geometry) -> bool:
+    """ST_Contains (polygon container): every vertex of g2 inside g1 and
+    no boundary crossing. Boundary-touching counts as NOT contained only
+    for points exactly on edges (ray-cast half-open rule), matching the
+    engine's join refinement semantics."""
+    if g1.geom_type not in ("POLYGON", "MULTIPOLYGON"):
+        return False
+    p = _rep_points(g2)
+    if not bool(points_in_polygon(p[:, 0], p[:, 1], g1).all()):
+        return False
+    if g2.geom_type in ("POINT", "MULTIPOINT"):
+        return True
+    return not _any_edge_cross(g1, g2)
+
+
+# --- geohash -------------------------------------------------------------
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH32_INV = {c: i for i, c in enumerate(_GH32)}
+
+
+def geohash_encode(lon: float, lat: float, precision: int = 12) -> str:
+    """Standard base-32 geohash (interleaved lon/lat bisection)."""
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    bits = []
+    even = True
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                bits.append(1)
+                lo_lon = mid
+            else:
+                bits.append(0)
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                bits.append(1)
+                lo_lat = mid
+            else:
+                bits.append(0)
+                hi_lat = mid
+        even = not even
+    out = []
+    for i in range(precision):
+        v = 0
+        for b in bits[i * 5 : i * 5 + 5]:
+            v = (v << 1) | b
+        out.append(_GH32[v])
+    return "".join(out)
+
+
+def geohash_decode(gh: str) -> tuple[float, float]:
+    """Center point of a geohash cell."""
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    even = True
+    for c in gh:
+        v = _GH32_INV[c]
+        for i in range(4, -1, -1):
+            bit = (v >> i) & 1
+            if even:
+                mid = (lo_lon + hi_lon) / 2
+                if bit:
+                    lo_lon = mid
+                else:
+                    hi_lon = mid
+            else:
+                mid = (lo_lat + hi_lat) / 2
+                if bit:
+                    lo_lat = mid
+                else:
+                    hi_lat = mid
+            even = not even
+    return (lo_lon + hi_lon) / 2, (lo_lat + hi_lat) / 2
+
+
+# --- WKB codec -----------------------------------------------------------
+
+_WKB_TYPES = {
+    1: "POINT",
+    2: "LINESTRING",
+    3: "POLYGON",
+    4: "MULTIPOINT",
+    5: "MULTILINESTRING",
+    6: "MULTIPOLYGON",
+}
+_WKB_CODES = {v: k for k, v in _WKB_TYPES.items()}
+
+import struct  # noqa: E402
+
+
+def wkb_write(geom: Geometry) -> bytes:
+    """Little-endian ISO WKB for the supported type lattice."""
+    t = geom.geom_type
+
+    def coords(r: np.ndarray) -> bytes:
+        return struct.pack("<I", len(r)) + np.asarray(r, dtype="<f8").tobytes()
+
+    head = struct.pack("<BI", 1, _WKB_CODES[t])
+    if t == "POINT":
+        x, y = geom.rings[0][0]
+        return struct.pack("<BI", 1, 1) + struct.pack("<dd", x, y)
+    if t == "LINESTRING":
+        return head + coords(geom.rings[0])
+    if t == "POLYGON":
+        return head + struct.pack("<I", len(geom.rings)) + b"".join(
+            coords(_close(r)) for r in geom.rings
+        )
+    if t == "MULTIPOINT":
+        pts = geom.rings[0]
+        return head + struct.pack("<I", len(pts)) + b"".join(
+            struct.pack("<BIdd", 1, 1, x, y) for x, y in pts
+        )
+    if t == "MULTILINESTRING":
+        return head + struct.pack("<I", len(geom.rings)) + b"".join(
+            struct.pack("<BI", 1, 2) + coords(r) for r in geom.rings
+        )
+    if t == "MULTIPOLYGON":
+        by_poly: dict[int, list[np.ndarray]] = {}
+        for r, pi in zip(geom.rings, geom.ring_poly):
+            by_poly.setdefault(pi, []).append(r)
+        parts = []
+        for rings in by_poly.values():
+            parts.append(
+                struct.pack("<BII", 1, 3, len(rings))
+                + b"".join(coords(_close(r)) for r in rings)
+            )
+        return head + struct.pack("<I", len(by_poly)) + b"".join(parts)
+    raise ValueError(t)
+
+
+def wkb_read(buf: bytes) -> Geometry:
+    """Parse (E)WKB for the supported type lattice, either endianness."""
+    pos = 0
+
+    def read(fmt: str, end: str):
+        nonlocal pos
+        vals = struct.unpack_from(end + fmt, buf, pos)
+        pos += struct.calcsize(fmt)
+        return vals
+
+    def read_geom() -> Geometry:
+        nonlocal pos
+        (b,) = struct.unpack_from("B", buf, pos)
+        pos += 1
+        end = "<" if b == 1 else ">"
+        (code,) = read("I", end)
+        code &= 0xFF  # strip EWKB SRID/Z flags
+        t = _WKB_TYPES[code]
+        if t == "POINT":
+            x, y = read("dd", end)
+            return Geometry("POINT", [np.array([[x, y]])])
+        if t in ("LINESTRING", "MULTIPOINT"):
+            if t == "LINESTRING":
+                (n,) = read("I", end)
+                arr = np.array(read(f"{2*n}d", end)).reshape(-1, 2)
+                return Geometry(t, [arr])
+            (n,) = read("I", end)
+            pts = []
+            for _ in range(n):
+                g = read_geom()
+                pts.append(g.rings[0][0])
+            return Geometry("MULTIPOINT", [np.array(pts)])
+        if t == "POLYGON":
+            (nr,) = read("I", end)
+            rings = []
+            for _ in range(nr):
+                (n,) = read("I", end)
+                rings.append(np.array(read(f"{2*n}d", end)).reshape(-1, 2))
+            return Geometry("POLYGON", rings)
+        if t == "MULTILINESTRING":
+            (n,) = read("I", end)
+            return Geometry(t, [read_geom().rings[0] for _ in range(n)])
+        if t == "MULTIPOLYGON":
+            (n,) = read("I", end)
+            rings: list[np.ndarray] = []
+            ring_poly: list[int] = []
+            for pi in range(n):
+                g = read_geom()
+                for r in g.rings:
+                    rings.append(r)
+                    ring_poly.append(pi)
+            return Geometry("MULTIPOLYGON", rings, ring_poly)
+        raise ValueError(t)
+
+    return read_geom()
+
+
+def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: subject ring clipped by a CONVEX clip ring
+    (CCW). Returns the clipped ring (possibly empty)."""
+    def is_ccw(r):
+        return _ring_signed_area2(_close(r)) > 0
+
+    clip = clip if is_ccw(clip) else clip[::-1]
+    out = list(subject)
+    m = len(clip)
+    for i in range(m):
+        a, b = clip[i], clip[(i + 1) % m]
+        inp, out = out, []
+        if not inp:
+            break
+        for j in range(len(inp)):
+            p, q = inp[j - 1], inp[j]
+            side_q = (b[0] - a[0]) * (q[1] - a[1]) - (b[1] - a[1]) * (q[0] - a[0])
+            side_p = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+            if side_q >= 0:
+                if side_p < 0:
+                    t = side_p / (side_p - side_q)
+                    out.append(p + t * (q - p))
+                out.append(q)
+            elif side_p >= 0:
+                t = side_p / (side_p - side_q)
+                out.append(p + t * (q - p))
+    return np.array(out) if out else np.zeros((0, 2))
+
+
+def point_seg_dist(px, py, ax, ay, bx, by):
+    """Vectorized point-to-segment distance (planar)."""
+    dx, dy = bx - ax, by - ay
+    ll = dx * dx + dy * dy
+    t = np.where(ll > 0, ((px - ax) * dx + (py - ay) * dy) / np.where(ll > 0, ll, 1), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    return np.hypot(px - cx, py - cy), cx, cy
+
+
+def geom_distance(g1: Geometry, g2: Geometry) -> float:
+    """Planar min distance (JTS Geometry.distance semantics): 0 when
+    intersecting; else min vertex-to-edge distance across both."""
+    if geoms_intersect(g1, g2):
+        return 0.0
+    best = np.inf
+    for ga, gb in ((g1, g2), (g2, g1)):
+        pts = _rep_points(ga)
+        for r in gb.rings:
+            e = _close(r) if gb.geom_type in ("POLYGON", "MULTIPOLYGON") else r
+            if len(e) < 2:
+                d = np.hypot(pts[:, 0] - e[0, 0], pts[:, 1] - e[0, 1])
+                best = min(best, float(d.min()))
+                continue
+            d, _, _ = point_seg_dist(
+                pts[:, 0][:, None], pts[:, 1][:, None],
+                e[:-1, 0][None, :], e[:-1, 1][None, :],
+                e[1:, 0][None, :], e[1:, 1][None, :],
+            )
+            best = min(best, float(d.min()))
+    return best
+
+
+def closest_point_on(g: Geometry, px: float, py: float) -> tuple[float, float]:
+    """Closest point on g's boundary/vertices to (px,py) (JTS
+    st_closestPoint analogue for the non-interior case; interior hits
+    return the point itself)."""
+    if g.geom_type in ("POLYGON", "MULTIPOLYGON") and bool(
+        points_in_polygon(np.array([px]), np.array([py]), g)[0]
+    ):
+        return px, py
+    best, bx, by = np.inf, px, py
+    for r in g.rings:
+        e = _close(r) if g.geom_type in ("POLYGON", "MULTIPOLYGON") else r
+        if len(e) < 2:
+            d = math.hypot(px - e[0, 0], py - e[0, 1])
+            if d < best:
+                best, bx, by = d, float(e[0, 0]), float(e[0, 1])
+            continue
+        d, cx, cy = point_seg_dist(px, py, e[:-1, 0], e[:-1, 1], e[1:, 0], e[1:, 1])
+        i = int(np.argmin(d))
+        if d[i] < best:
+            best, bx, by = float(d[i]), float(cx[i]), float(cy[i])
+    return bx, by
+
+
+# --- buffer --------------------------------------------------------------
+
+def wkb_from_points(lons: np.ndarray, lats: np.ndarray) -> list[bytes]:
+    """Vectorized little-endian WKB POINT encoding."""
+    n = len(lons)
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0] = 1  # little-endian
+    buf[:, 1:5] = np.frombuffer(
+        np.full(n, 1, dtype="<u4").tobytes(), dtype=np.uint8
+    ).reshape(n, 4)
+    buf[:, 5:13] = np.frombuffer(
+        np.asarray(lons, dtype="<f8").tobytes(), dtype=np.uint8
+    ).reshape(n, 8)
+    buf[:, 13:21] = np.frombuffer(
+        np.asarray(lats, dtype="<f8").tobytes(), dtype=np.uint8
+    ).reshape(n, 8)
+    return [bytes(b) for b in buf]
+
+
+def point_buffer_wkt(lon: float, lat: float, radius_m: float, segments: int = 32) -> str:
+    """Geodesic point buffer approximated as an n-gon in lon/lat degrees
+    (reference: geomesa-spark-jts GeometricProcessingFunctions::
+    st_bufferPoint — geodesic buffer; here a spherical small-circle
+    approximation, accurate away from the poles)."""
+    ang = np.linspace(0.0, 2.0 * np.pi, segments, endpoint=False)
+    dlat = (radius_m / EARTH_RADIUS_M) * np.cos(ang)
+    coslat = max(math.cos(math.radians(lat)), 1e-12)
+    dlon = (radius_m / EARTH_RADIUS_M) * np.sin(ang) / coslat
+    vx = lon + np.degrees(dlon)
+    vy = lat + np.degrees(dlat)
+    pts = ", ".join(f"{x} {y}" for x, y in zip(vx, vy))
+    first = f"{vx[0]} {vy[0]}"
+    return f"POLYGON (({pts}, {first}))"

@@ -36,6 +36,7 @@ __all__ = [
     "extract_geo_points",
     "with_z2_cell",
     "with_z3_cell",
+    "with_xz2_cell",
     "z2_col",
     "z3_col",
     "grid_cell",
@@ -79,6 +80,32 @@ def _z3_index(lon: pd.Series, lat: pd.Series, offset_millis: pd.Series) -> pd.Se
     return pd.Series(
         Z3.index(lon.to_numpy(), lat.to_numpy(), offset_millis.to_numpy())
     )
+
+
+@F.pandas_udf(T.LongType())
+def _xz2_index(
+    xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
+) -> pd.Series:
+    from geomesa_spark.curves.xz import XZ2SFC
+
+    sfc = XZ2SFC()
+    return pd.Series(
+        sfc.index(xmin.to_numpy(), ymin.to_numpy(), xmax.to_numpy(), ymax.to_numpy())
+    )
+
+
+def with_xz2_cell(
+    df: DataFrame,
+    xmin: str = "min_lon",
+    ymin: str = "min_lat",
+    xmax: str = "max_lon",
+    ymax: str = "max_lat",
+    out: str = "cell_xz2",
+) -> DataFrame:
+    """XZ2 sequence code for extended geometries from their envelope
+    columns — ONE key per geometry (reference XZ2IndexKeySpace); pairs
+    with plans.planner.xz2_range_predicate for bbox-query pruning."""
+    return df.withColumn(out, _xz2_index(F.col(xmin), F.col(ymin), F.col(xmax), F.col(ymax)))
 
 
 def extract_geo_points(docs: DataFrame) -> DataFrame:

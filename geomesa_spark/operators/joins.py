@@ -36,6 +36,8 @@ __all__ = [
     "distance_join",
     "refine_pip",
     "haversine_m_col",
+    "tube_select",
+    "attribute_join",
 ]
 
 METERS_PER_DEG_LAT = 111_195.0  # spherical: pi/180 * R
@@ -144,10 +146,16 @@ def spatial_join_points_in_polys(
     salt_buckets: int | None = None,
     refine: str = "auto",
     point_salt_key: str = "doc_id",
+    keep_geom: bool = False,
 ) -> DataFrame:
     """Join points (lon/lat columns) with polygons (poly_id, wkt, envelope
     columns min_lon/min_lat/max_lon/max_lat): one output row per
     (point, containing polygon).
+
+    The polygon payload (wkt + envelope, ~hundreds of bytes/row) exists
+    only to drive the refine kernel; the pair output drops it unless
+    ``keep_geom`` — at 10^12-doc scale those columns would dominate the
+    shuffle/write volume of every downstream stage.
 
     - ``broadcast``: force/forbid broadcasting the exploded polygon cover
       (None → Catalyst/AQE decides; small layers auto-broadcast anyway).
@@ -185,6 +193,8 @@ def spatial_join_points_in_polys(
         & (F.col("lat") <= F.col("max_lat"))
     )
     drop_cols = ["cell"] + (["__salt"] if "__salt" in cand.columns else [])
+    if not keep_geom:
+        drop_cols += ["wkt", "min_lon", "min_lat", "max_lon", "max_lat"]
 
     if refine == "never":
         return cand.drop(*drop_cols)
@@ -213,8 +223,14 @@ def distance_join(
     """
     n = 1 << bits
     r_deg_lat = F.col(radius_col) / METERS_PER_DEG_LAT
-    # guard cos→0 near poles
-    coslat = F.greatest(F.cos(F.radians(F.col("lat"))), F.lit(1e-6))
+    # lon half-width: the widest longitude offset of a distance circle
+    # occurs POLEWARD of the center (asin(sin r / cos lat)), so using
+    # cos(center_lat) under-covers by O(r^2 tan lat). cos at the circle's
+    # farthest latitude over-covers safely; near the pole it clamps to a
+    # full-longitude sweep (the circle encloses the pole).
+    coslat = F.greatest(
+        F.cos(F.radians(F.least(F.abs(F.col("lat")) + r_deg_lat, F.lit(90.0)))), F.lit(1e-6)
+    )
     r_deg_lon = r_deg_lat / coslat
 
     probe_boxes = probes.select(
@@ -240,3 +256,95 @@ def distance_join(
         haversine_m_col(F.col("lon"), F.col("lat"), F.col("q_lon"), F.col("q_lat")),
     )
     return cand.where(F.col("dist_m") <= F.col(radius_col))
+
+
+def tube_select(
+    points: DataFrame,
+    tube: DataFrame,
+    radius_m: float,
+    time_window_s: int,
+    bits: int = 6,
+    dtg: str = "dtg",
+) -> DataFrame:
+    """J5 spatio-temporal corridor join (reference: geomesa-process/
+    .../process/tube/TubeSelectProcess.scala): features within
+    ``radius_m`` of the tube's track AND within ``time_window_s`` of the
+    matching tube vertex's time.
+
+    Spark shape: the tube's vertices expand to their (cell, time-bin)
+    cover and equi-join against the cell+bin-keyed point table, then the
+    exact haversine + time refine runs as a codegen'd filter. The tube
+    is sampled at its vertices (the reference interpolates between
+    them; callers densify the track upstream for the same effect — a
+    transform(sequence) expression, no extra operator needed).
+
+    points must carry lon/lat + ``dtg``; tube carries tube_id, lon/lat,
+    ``dtg``. One output row per (point, matching tube vertex), dedup to
+    per-point with dropDuplicates on the point key if desired.
+    """
+    bin_s = time_window_s
+    r_deg_lat = radius_m / METERS_PER_DEG_LAT
+
+    def bins(df, tag):
+        b = (F.unix_timestamp(F.col(dtg)) / bin_s).cast("long")
+        return df.withColumn(f"__bin{tag}", b)
+
+    pts = bins(points.withColumn("cell", grid_cell(F.col("lon"), F.col("lat"), bits)), "")
+    # tube side: cover = spatial bbox of the buffered vertex × the bin
+    # and its two neighbors (a point within window can land in ±1 bin);
+    # all other tube columns (ids, labels) ride along
+    t = (
+        tube.withColumnRenamed("lon", "t_lon")
+        .withColumnRenamed("lat", "t_lat")
+        .withColumnRenamed(dtg, "t_dtg")
+    )
+    # farthest-latitude cosine: see distance_join for why center-lat
+    # under-covers
+    coslat = F.greatest(
+        F.cos(F.radians(F.least(F.abs(F.col("t_lat")) + F.lit(r_deg_lat), F.lit(90.0)))),
+        F.lit(1e-6),
+    )
+    t = t.select(
+        "*",
+        (F.col("t_lon") - r_deg_lat / coslat).alias("min_lon"),
+        (F.col("t_lon") + r_deg_lat / coslat).alias("max_lon"),
+        (F.col("t_lat") - F.lit(r_deg_lat)).alias("min_lat"),
+        (F.col("t_lat") + F.lit(r_deg_lat)).alias("max_lat"),
+    )
+    cover = cover_cells_for_polys(t, bits).drop("min_lon", "max_lon", "min_lat", "max_lat")
+    cover = cover.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp("t_dtg") / bin_s).cast("long") - 1,
+                (F.unix_timestamp("t_dtg") / bin_s).cast("long") + 1,
+            )
+        ),
+    )
+    cand = pts.join(F.broadcast(cover), on=["cell", "__bin"], how="inner")
+    cand = cand.withColumn(
+        "dist_m", haversine_m_col(F.col("lon"), F.col("lat"), F.col("t_lon"), F.col("t_lat"))
+    ).withColumn(
+        "dt_s", F.abs(F.unix_timestamp(F.col(dtg)) - F.unix_timestamp("t_dtg"))
+    )
+    return (
+        cand.where((F.col("dist_m") <= radius_m) & (F.col("dt_s") <= time_window_s))
+        .drop("cell", "__bin", "min_lon", "max_lon", "min_lat", "max_lat")
+    )
+
+
+def attribute_join(
+    attr_index: DataFrame,
+    records: DataFrame,
+    fid_col: str = "__fid__",
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """J1 attribute-index join (reference: geomesa-accumulo/.../index/
+    JoinIndex.scala): a filtered attribute-index projection yields fids;
+    the full rows come from the record table by fid — an index-nested-
+    loop in the reference, a broadcast (small fid set) or shuffle hash
+    join here; Catalyst/AQE picks when ``broadcast`` is None."""
+    keys = attr_index.select(fid_col).distinct()
+    if broadcast:
+        keys = F.broadcast(keys)
+    return records.join(keys, on=fid_col, how="inner")

@@ -25,11 +25,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from geomesa_spark.curves import Z2SFC, Z3SFC, BinnedTime
+from geomesa_spark.curves.xz import XZ2SFC
 
-__all__ = ["z2_range_predicate", "z3_range_predicate", "bbox_predicate"]
+__all__ = [
+    "z2_range_predicate",
+    "z3_range_predicate",
+    "xz2_range_predicate",
+    "bbox_predicate",
+]
 
 _Z2 = Z2SFC()
 _Z3 = Z3SFC()
+_XZ2 = XZ2SFC()
 _BT = BinnedTime("week")
 
 
@@ -81,6 +88,19 @@ def z3_range_predicate(
     if not preds:
         return F.lit(False)
     return functools.reduce(operator.or_, preds)
+
+
+def xz2_range_predicate(
+    bboxes: list[tuple[float, float, float, float]],
+    cell_col: str = "cell_xz2",
+    max_ranges: int = 256,
+) -> Column:
+    """Coarse predicate on the XZ2 sequence-code column for layers of
+    EXTENDED geometries (one key per geometry, reference XZ2SFC.ranges):
+    selects every geometry whose bbox may intersect a query bbox;
+    callers conjoin the exact intersection refine."""
+    ranges = _XZ2.ranges(bboxes, max_ranges=max_ranges)
+    return _ranges_to_pred(F.col(cell_col), ranges)
 
 
 def bbox_predicate(

@@ -1,0 +1,243 @@
+"""Converter ingest: delimited text / JSON → typed feature tables.
+
+Reference: geomesa-convert — DelimitedTextConverter.scala /
+JsonConverter.scala plus the transform-expression language in
+geomesa-convert-common/.../convert2/transforms/*.scala, and the SFT
+spec-string schema DSL (geomesa-utils/.../geotools/SimpleFeatureTypes.
+scala::createType, e.g. ``"name:String,age:Int,dtg:Date,*geom:Point:
+srid=4326"``).
+
+Spark-first: the converter compiles to a plain DataFrame plan —
+``spark.read.csv/json`` with an explicit schema plus a column
+expression per transform — so ingest runs fully in codegen (the
+reference evaluates its transform ASTs row-at-a-time per feature).
+Geometry attributes land as WKT string columns (+ lon/lat doubles for
+points), matching the engine's geometry convention.
+
+Transform language subset (reference transforms → Spark exprs):
+``$1`` field refs, ``concatenate``, ``trim``, ``lowerCase``,
+``upperCase``, ``regexReplace``, ``substring``, ``length``,
+``toString``, ``date(pattern, $n)``, ``isoDate``, ``millisToDate``,
+``secsToDate``, ``md5``, ``murmurHash3``(→xxhash64), ``uuid``,
+``base64Encode/Decode``, ``jsonPath``(→get_json_object), ``add/
+subtract/multiply/divide``, ``try``/``withDefault``(→coalesce),
+``point($x,$y)``, ``geometry($wkt)``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["sft_to_schema", "parse_sft", "read_delimited", "read_json", "compile_transform"]
+
+_SFT_TYPES = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "date": T.TimestampType(),
+    "uuid": T.StringType(),
+    "bytes": T.BinaryType(),
+    # geometry attributes: WKT string convention
+    "point": T.StringType(),
+    "linestring": T.StringType(),
+    "polygon": T.StringType(),
+    "multipoint": T.StringType(),
+    "multilinestring": T.StringType(),
+    "multipolygon": T.StringType(),
+    "geometry": T.StringType(),
+    "geometrycollection": T.StringType(),
+}
+
+_GEOM_TYPES = {k for k in _SFT_TYPES if k.startswith(("point", "line", "poly", "multi", "geometry"))}
+
+
+def _split_spec(spec: str) -> list[str]:
+    """Split on commas outside List[...] / Map[...] brackets."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(spec):
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(spec[start:i])
+            start = i + 1
+    parts.append(spec[start:])
+    return parts
+
+
+def parse_sft(spec: str) -> list[dict]:
+    """Parse the SFT spec string into attribute descriptors:
+    [{name, type, is_default_geom, options}]."""
+    out = []
+    for part in filter(None, (p.strip() for p in _split_spec(spec))):
+        default = part.startswith("*")
+        if default:
+            part = part[1:]
+        bits = part.split(":")
+        name, typ = bits[0], bits[1].lower()
+        opts = dict(b.split("=", 1) for b in bits[2:] if "=" in b)
+        if typ.startswith("list[") or typ.startswith("map["):
+            inner = typ[typ.index("[") + 1 : -1]
+            if typ.startswith("list"):
+                dtype = T.ArrayType(_SFT_TYPES[inner.strip().lower()])
+            else:
+                k, v = (s.strip().lower() for s in inner.split(","))
+                dtype = T.MapType(_SFT_TYPES[k], _SFT_TYPES[v])
+        else:
+            dtype = _SFT_TYPES[typ]
+        out.append(
+            {"name": name, "type": typ, "dtype": dtype, "is_default_geom": default, "options": opts}
+        )
+    return out
+
+
+def sft_to_schema(spec: str) -> T.StructType:
+    """SFT spec string → StructType (reference SparkUtils.sft2StructType
+    direction, minus the UDT)."""
+    return T.StructType(
+        [T.StructField(a["name"], a["dtype"], True) for a in parse_sft(spec)]
+    )
+
+
+_FIELD_RE = re.compile(r"\$(\d+)")
+
+
+def compile_transform(expr: str, fields: list[str]) -> Column:
+    """Compile one converter transform expression to a Column.
+
+    ``$n`` refers to the n-th raw input column (1-based, $0 = whole
+    record is not supported). Nested calls compile recursively.
+    """
+    expr = expr.strip()
+    m = _FIELD_RE.fullmatch(expr)
+    if m:
+        return F.col(fields[int(m.group(1)) - 1])
+    if expr.startswith("'") and expr.endswith("'"):
+        return F.lit(expr[1:-1])
+    if re.fullmatch(r"-?\d+(\.\d+)?", expr):
+        return F.lit(float(expr) if "." in expr else int(expr))
+
+    call = re.fullmatch(r"(\w+)\((.*)\)", expr, re.S)
+    if not call:
+        raise ValueError(f"bad transform expression: {expr!r}")
+    fn, raw_args = call.group(1), call.group(2)
+    # split args on top-level commas
+    args, depth, start = [], 0, 0
+    for i, ch in enumerate(raw_args):
+        if ch in "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(raw_args[start:i])
+            start = i + 1
+    if raw_args.strip():
+        args.append(raw_args[start:])
+    c = [compile_transform(a, fields) for a in args]
+
+    table = {
+        "concatenate": lambda: F.concat(*c),
+        "trim": lambda: F.trim(c[0]),
+        "lowerCase": lambda: F.lower(c[0]),
+        "upperCase": lambda: F.upper(c[0]),
+        "regexReplace": lambda: F.regexp_replace(c[2], args[0].strip().strip("'"), args[1].strip().strip("'")),
+        "substring": lambda: F.substring(c[0], int(args[1]) + 1, int(args[2]) - int(args[1])),
+        "length": lambda: F.length(c[0]),
+        "toString": lambda: c[0].cast("string"),
+        "date": lambda: F.to_timestamp(c[1], args[0].strip().strip("'")),
+        "isoDate": lambda: F.to_timestamp(c[0], "yyyyMMdd"),
+        "isoDateTime": lambda: F.to_timestamp(c[0], "yyyyMMdd'T'HHmmss"),
+        "millisToDate": lambda: F.timestamp_millis(c[0].cast("long")),
+        "secsToDate": lambda: F.timestamp_seconds(c[0].cast("long")),
+        "md5": lambda: F.md5(c[0].cast("string")),
+        "murmurHash3": lambda: F.xxhash64(c[0]),
+        "uuid": lambda: F.expr("uuid()"),
+        "base64Encode": lambda: F.base64(c[0].cast("binary")),
+        "base64Decode": lambda: F.unbase64(c[0]),
+        "jsonPath": lambda: F.get_json_object(c[1], args[0].strip().strip("'")),
+        "add": lambda: c[0] + c[1],
+        "subtract": lambda: c[0] - c[1],
+        "multiply": lambda: c[0] * c[1],
+        "divide": lambda: c[0] / c[1],
+        "withDefault": lambda: F.coalesce(*c),
+        "try": lambda: F.coalesce(*c) if len(c) > 1 else c[0],
+        "point": lambda: F.concat(
+            F.lit("POINT ("), c[0].cast("string"), F.lit(" "), c[1].cast("string"), F.lit(")")
+        ),
+        "geometry": lambda: c[0],
+        "intToDouble": lambda: c[0].cast("double"),
+        "stringToDouble": lambda: c[0].try_cast("double"),
+        "stringToInt": lambda: c[0].try_cast("int"),
+        "stringToLong": lambda: c[0].try_cast("long"),
+    }
+    if fn not in table:
+        raise ValueError(f"unknown transform function: {fn!r}")
+    return table[fn]()
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    sft_spec: str,
+    transforms: dict[str, str] | None = None,
+    delimiter: str = ",",
+    header: bool = False,
+) -> DataFrame:
+    """DelimitedTextConverter: CSV/TSV → SFT-typed DataFrame.
+
+    Without transforms, raw columns map positionally onto the SFT
+    attributes with casts. With transforms, each SFT attribute is a
+    transform expression over the raw columns ($1-based).
+    """
+    attrs = parse_sft(sft_spec)
+    raw = (
+        spark.read.option("delimiter", delimiter)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+    fields = raw.columns
+    cols = []
+    for i, a in enumerate(attrs):
+        if transforms and a["name"] in transforms:
+            c = compile_transform(transforms[a["name"]], fields)
+        else:
+            c = F.col(fields[i])
+        if a["type"] == "date" and not (transforms and a["name"] in transforms):
+            c = F.to_timestamp(c)
+        else:
+            c = c.try_cast(a["dtype"]) if not isinstance(a["dtype"], (T.ArrayType, T.MapType)) else c
+        cols.append(c.alias(a["name"]))
+    return raw.select(*cols)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    sft_spec: str,
+    field_paths: dict[str, str] | None = None,
+) -> DataFrame:
+    """JsonConverter: JSON lines → SFT-typed DataFrame; ``field_paths``
+    maps attribute → JSONPath-ish path (get_json_object syntax)."""
+    attrs = parse_sft(sft_spec)
+    if not field_paths:
+        return spark.read.schema(sft_to_schema(sft_spec)).json(path)
+    raw = spark.read.text(path)
+    cols = []
+    for a in attrs:
+        p = field_paths.get(a["name"], f"$.{a['name']}")
+        c = F.get_json_object(F.col("value"), p)
+        if a["type"] == "date":
+            c = F.to_timestamp(c)
+        elif not isinstance(a["dtype"], (T.ArrayType, T.MapType)):
+            c = c.try_cast(a["dtype"])
+        cols.append(c.alias(a["name"]))
+    return raw.select(*cols)

@@ -1,0 +1,115 @@
+"""Export sinks (reference: geomesa-tools/.../tools/export/
+ExportCommand.scala + formats/*.scala — CSV/TSV, GeoJSON, Avro, Arrow
+IPC, Parquet, ORC, BIN).
+
+Spark-first: every tabular format is ``df.write.*``; Arrow export uses
+PySpark 4's native ``toArrow()``; GeoJSON is a column expression over
+the WKT convention; BIN is the reference's packed 16/24-byte track
+record (BinAggregatingScan/BinSorter) written via Arrow batches.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["export", "to_geojson_lines", "bin_records", "pack_bin", "to_arrow_ipc"]
+
+
+def to_arrow_ipc(df: DataFrame, path: str, sort_by: str | None = None) -> int:
+    """A11 Arrow export (reference ArrowScan/ArrowExporter): the engine
+    is Arrow-native at every UDF boundary already; the IPC file sink
+    uses PySpark 4's ``toArrow`` (driver-side collect — the reference's
+    client-side batch merge is the same funnel; huge exports should use
+    ``export(..., 'parquet')`` instead). Returns rows written."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    if sort_by:
+        df = df.orderBy(sort_by)
+    table = df.toArrow()
+    with pa.OSFile(path, "wb") as f, ipc.new_file(f, table.schema) as w:
+        w.write_table(table)
+    return table.num_rows
+
+
+def export(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options):
+    """CSV/TSV/JSON/Parquet/ORC/Avro sink (Avro needs the spark-avro
+    jar; absent in this sandbox — gated, not stubbed)."""
+    fmt = fmt.lower()
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        return w.option("header", "true").options(**options).csv(path)
+    if fmt == "tsv":
+        return w.option("header", "true").option("delimiter", "\t").options(**options).csv(path)
+    if fmt == "json":
+        return w.options(**options).json(path)
+    if fmt == "parquet":
+        return w.options(**options).parquet(path)
+    if fmt == "orc":
+        return w.options(**options).orc(path)
+    if fmt == "avro":
+        return w.format("avro").options(**options).save(path)
+    raise ValueError(f"unknown export format: {fmt}")
+
+
+def to_geojson_lines(df: DataFrame, geom_col: str = "wkt", id_col: str | None = None) -> DataFrame:
+    """One GeoJSON Feature per row (properties = all non-geometry
+    columns), as a text column ready for ``.write.text`` — pure
+    built-ins via to_json."""
+    from geomesa_spark.functions.st import st_asGeoJSON
+
+    props = [c for c in df.columns if c != geom_col]
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            *([F.col(id_col).alias("id")] if id_col else []),
+            F.from_json(
+                st_asGeoJSON(F.col(geom_col)),
+                "type string, coordinates array<array<array<double>>>",
+            ).alias("geometry"),
+            F.struct(*[F.col(c) for c in props]).alias("properties"),
+        )
+    )
+    return df.select(feature.alias("geojson"))
+
+
+def bin_records(
+    df: DataFrame,
+    track_col: str = "track",
+    dtg_col: str = "dtg",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    label_col: str | None = None,
+) -> DataFrame:
+    """A10 BIN projection: (track_hash:int, secs:int, lat:float,
+    lon:float[, label:long]) sorted within partitions by time (the
+    reference's BinSorter merge order)."""
+    cols = [
+        # truncate the 64-bit hash into int32 range (ANSI cast would
+        # overflow-error; the reference stores a 32-bit track hash)
+        (F.xxhash64(F.col(track_col)) % F.lit(2147483648)).cast("int").alias("track_hash"),
+        F.unix_timestamp(F.col(dtg_col)).cast("int").alias("secs"),
+        F.col(lat_col).cast("float").alias("lat"),
+        F.col(lon_col).cast("float").alias("lon"),
+    ]
+    if label_col:
+        cols.append(F.xxhash64(F.col(label_col)).alias("label"))
+    return df.select(*cols).sortWithinPartitions("secs")
+
+
+def pack_bin(df: DataFrame) -> bytes:
+    """Pack a (small, collected) BIN projection into the reference's
+    16-byte little-endian records (24 with label). Large exports should
+    write the columnar form (bin_records → parquet) instead; this is
+    the byte-compatible tail for tooling parity."""
+    rows = df.collect()
+    with_label = "label" in df.columns
+    fmt = "<iiff" + ("q" if with_label else "")
+    out = bytearray()
+    for r in rows:
+        vals = [r.track_hash, r.secs, r.lat, r.lon] + ([r.label] if with_label else [])
+        out += struct.pack(fmt, *vals)
+    return bytes(out)

@@ -1,0 +1,161 @@
+"""Live layer: Structured Streaming equivalents of the reference's
+Kafka feature cache and lambda architecture.
+
+Reference mapping (SURVEY.md §2.9):
+
+- T1 latest-state cache w/ expiry — geomesa-kafka/.../kafka/data/
+  KafkaDataStore.scala::createFeatureCache + kafka/index/
+  KafkaFeatureCache.scala: consumers keep newest feature per fid with
+  time-based expiry. Here: event-time watermark + dedup/window — state
+  lives in Spark's state store, expiry = watermark horizon.
+- T2 spatial index on the live cache — kafka/index/BucketIndex.scala:
+  grid-bucketed in-memory index. Here: the cell-id column IS the
+  bucket; continuous queries filter on cell ranges pushed to the
+  stream.
+- T3 continuous queries / listeners — CQL filters evaluated per
+  update. Here: streaming filter + foreachBatch callback.
+- T4 lambda persistence tick — geomesa-lambda/.../lambda/data/
+  LambdaDataStore.scala: periodically flush transient state to the
+  persistent store. Here: writeStream.foreachBatch appending to the
+  cell-keyed parquet layout with a manifest commit per batch
+  (checkpointLocation makes it exactly-once per epoch).
+
+The streaming source in production is Kafka (`readStream.format
+("kafka")` + from_json); tests use the rate source mapped through the
+same schema, so everything downstream of ``parse_feature_stream`` is
+source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.extract import grid_cell
+
+__all__ = [
+    "rate_features",
+    "parse_feature_stream",
+    "latest_state",
+    "with_cell_key",
+    "continuous_query",
+    "windowed_density",
+    "persist_tick",
+]
+
+FEATURE_SCHEMA = (
+    "__fid__ string, dtg timestamp, lon double, lat double, name string"
+)
+
+
+def rate_features(spark, rows_per_sec: int = 100) -> DataFrame:
+    """Deterministic synthetic feature stream from the rate source
+    (test/bench stand-in for the Kafka topic)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_sec).load()
+    return rate.select(
+        F.format_string("f-%05d", F.col("value") % 1000).alias("__fid__"),
+        F.col("timestamp").alias("dtg"),
+        ((F.col("value") * 31 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("value") * 53 % 17000) / 100.0 - 85.0).alias("lat"),
+        F.format_string("name%d", F.col("value") % 10).alias("name"),
+    )
+
+
+def parse_feature_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka value bytes (JSON) → typed feature columns (S5 ingest)."""
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), FEATURE_SCHEMA).alias("f")
+    )
+    return parsed.select("f.*")
+
+
+def latest_state(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T1: newest feature per fid within the watermark horizon.
+
+    Streaming dedup keyed on fid keeps FIRST arrival; the reference
+    cache keeps NEWEST — so aggregate max(dtg) per fid and join back is
+    the general form. For at-most-once-per-fid-per-trigger sources the
+    dropDuplicatesWithinWatermark shortcut is equivalent and cheaper;
+    we use the aggregate form for correct latest-wins semantics.
+    """
+    w = stream.withWatermark("dtg", watermark)
+    return (
+        w.groupBy("__fid__")
+        .agg(
+            F.max_by(F.struct("dtg", "lon", "lat", "name"), "dtg").alias("f"),
+            F.max("dtg").alias("dtg"),
+        )
+        .select("__fid__", "dtg", "f.lon", "f.lat", "f.name")
+    )
+
+
+def with_cell_key(stream: DataFrame, bits: int = 8) -> DataFrame:
+    """T2: bucket the live stream by grid cell (the continuous-query
+    spatial index key)."""
+    return stream.withColumn("cell", grid_cell(F.col("lon"), F.col("lat"), bits))
+
+
+def continuous_query(stream: DataFrame, predicate: Column, callback, query_name: str, **start_kw):
+    """T3: registered filter evaluated on every update; matches go to
+    the listener callback per micro-batch."""
+    matches = stream.where(predicate)
+
+    def _fire(batch_df: DataFrame, epoch_id: int):
+        callback(batch_df, epoch_id)
+
+    return (
+        matches.writeStream.foreachBatch(_fire)
+        .queryName(query_name)
+        .start(**start_kw)
+    )
+
+
+def windowed_density(
+    stream: DataFrame,
+    bits: int = 6,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming DensityScan: tumbling event-time window × grid cell →
+    count (late data handled by the watermark; the reference has no
+    late-data semantics — Z3 time bins are its closest analogue)."""
+    s = with_cell_key(stream.withWatermark("dtg", watermark), bits)
+    return s.groupBy(F.window("dtg", window).alias("win"), "cell").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def persist_tick(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    bits: int = 8,
+    trigger: dict | None = None,
+):
+    """T4: lambda persistence — flush the transient stream into the
+    cell-keyed parquet layout, one manifest commit per epoch.
+
+    checkpointLocation + idempotent per-epoch append directories give
+    exactly-once materialization; a restart resumes from the last
+    committed epoch (the north rule's checkpoint-resumability on the
+    streaming path).
+    """
+    from geomesa_spark.sources.catalog import write_manifest
+
+    keyed = with_cell_key(stream, bits)
+
+    def _flush(batch_df: DataFrame, epoch_id: int):
+        out = batch_df.withColumn("epoch", F.lit(epoch_id))
+        out.write.mode("append").partitionBy("cell").parquet(path)
+        rows = out.count()
+        write_manifest(
+            path,
+            spec={"layout": "cell-partitioned", "bits": bits},
+            partitions=[{"bucket": int(epoch_id), "rows": int(rows)}],
+            lineage={"epoch": int(epoch_id), "source": "stream"},
+        )
+
+    writer = keyed.writeStream.foreachBatch(_flush).option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

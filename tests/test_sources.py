@@ -1,0 +1,144 @@
+"""Converter ingest (S4), export sinks (S6), and multimodal plumbing
+tests."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_spark.sources.convert import (
+    compile_transform,
+    parse_sft,
+    read_delimited,
+    sft_to_schema,
+)
+from geomesa_spark.sources.export import bin_records, export, pack_bin
+
+
+class TestSftSpec:
+    def test_parse_canonical(self):
+        attrs = parse_sft("name:String,age:Int,dtg:Date,*geom:Point:srid=4326")
+        assert [a["name"] for a in attrs] == ["name", "age", "dtg", "geom"]
+        assert attrs[3]["is_default_geom"] and attrs[3]["options"] == {"srid": "4326"}
+        sch = sft_to_schema("name:String,age:Int,dtg:Date,*geom:Point:srid=4326")
+        assert [f.dataType for f in sch.fields] == [
+            T.StringType(), T.IntegerType(), T.TimestampType(), T.StringType(),
+        ]
+
+    def test_list_map_types(self):
+        sch = sft_to_schema("tags:List[String],props:Map[String,Int]")
+        assert isinstance(sch["tags"].dataType, T.ArrayType)
+        assert isinstance(sch["props"].dataType, T.MapType)
+
+
+class TestDelimitedConverter:
+    def test_csv_with_transforms(self, spark, tmp_path):
+        p = tmp_path / "in.csv"
+        p.write_text("alice,30,20240102,1.5,2.5\nbob,40,20240103,3.5,4.5\n")
+        df = read_delimited(
+            spark,
+            str(p),
+            "name:String,age:Int,dtg:Date,*geom:Point",
+            transforms={
+                "name": "upperCase($1)",
+                "dtg": "date('yyyyMMdd', $3)",
+                "geom": "point($4, $5)",
+            },
+        )
+        rows = {r.name: r for r in df.collect()}
+        assert rows["ALICE"].age == 30
+        assert rows["ALICE"].geom == "POINT (1.5 2.5)"
+        assert str(rows["BOB"].dtg).startswith("2024-01-03")
+
+    def test_transform_language(self, spark):
+        fields = ["c0", "c1"]
+        df = spark.createDataFrame([("ab", "cd")], "c0 string, c1 string")
+        got = df.select(
+            compile_transform("concatenate($1, $2)", fields).alias("cat"),
+            compile_transform("md5($1)", fields).alias("h"),
+            compile_transform("withDefault($2, 'x')", fields).alias("wd"),
+        ).collect()[0]
+        assert got.cat == "abcd"
+        assert len(got.h) == 32
+        assert got.wd == "cd"
+
+
+class TestExport:
+    def test_roundtrip_formats(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        for fmt in ("csv", "json", "parquet", "orc"):
+            path = str(tmp_path / fmt)
+            export(df, path, fmt)
+            back = (
+                spark.read.option("header", "true").csv(path)
+                if fmt == "csv"
+                else getattr(spark.read, fmt)(path)
+            )
+            assert back.count() == 2
+
+    def test_arrow_ipc(self, spark, tmp_path):
+        import pyarrow.ipc as ipc
+
+        from geomesa_spark.sources.export import to_arrow_ipc
+
+        df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id long, v string")
+        p = str(tmp_path / "out.arrow")
+        n = to_arrow_ipc(df, p, sort_by="id")
+        assert n == 100
+        with ipc.open_file(p) as r:
+            t = r.read_all()
+        assert t.num_rows == 100 and t.column("id")[0].as_py() == 0
+
+    def test_bin_pack(self, spark):
+        df = spark.createDataFrame(
+            [("t1", "2024-01-01 00:00:00", 1.0, 2.0)],
+            "track string, dtg string, lon double, lat double",
+        ).withColumn("dtg", F.to_timestamp("dtg"))
+        b = pack_bin(bin_records(df))
+        assert len(b) == 16
+        th, secs, lat, lon = struct.unpack("<iiff", b)
+        assert (lat, lon) == (2.0, 1.0)
+        assert secs == 1704067200
+
+
+class TestMultimodal:
+    def test_media_pipeline(self, spark):
+        from geomesa_spark.operators.multimodal import (
+            decode_image,
+            extract_media_refs,
+            image_features,
+            load_media,
+            sample_frames,
+        )
+        from geomesa_spark.tables import synthesize_documents
+
+        docs = synthesize_documents(spark, 50)
+        refs = extract_media_refs(docs)
+        assert set(r.kind for r in refs.select("kind").distinct().collect()) <= {"image", "audio"}
+        feats = image_features(decode_image(load_media(refs)))
+        rows = feats.limit(5).collect()
+        assert all(r.media_bytes is not None and len(r.pixels) == r.width * r.height * 3 for r in rows)
+        assert all(0 <= r.mean_r <= 255 and isinstance(r.dhash, int) for r in rows)
+        # deterministic: same ref -> same features
+        again = image_features(decode_image(load_media(refs))).limit(5).collect()
+        assert [r.dhash for r in rows] == [r.dhash for r in again]
+
+    def test_decode_strict_raises(self, spark):
+        from geomesa_spark.operators.multimodal import decode_image, extract_media_refs, load_media
+        from geomesa_spark.tables import synthesize_documents
+
+        refs = load_media(extract_media_refs(synthesize_documents(spark, 10)))
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            decode_image(refs, mode="strict").collect()
+
+    def test_frame_sampling(self, spark):
+        from geomesa_spark.operators.multimodal import extract_media_refs, sample_frames
+        from geomesa_spark.tables import synthesize_documents
+
+        refs = extract_media_refs(synthesize_documents(spark, 20))
+        frames = sample_frames(refs, every_n=5)
+        r = frames.groupBy("media_ref").agg(F.count("*").alias("n"), F.max("frame_idx").alias("mx")).collect()
+        assert all(x.n >= 2 and x.mx % 5 == 0 for x in r)

@@ -1,0 +1,147 @@
+"""st_* catalog tests mirroring the reference Spark SQL suites
+(reference: geomesa-spark/geomesa-spark-sql/src/test/scala/.../sql/
+{SparkSQLSpatialRelationshipsTest, SparkSQLGeometricConstructorsTest,
+SparkSQLGeometricAccessorsTest, SparkSQLGeometricOutputsTest}.scala —
+truth tables over small WKT fixtures)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def sql(spark):
+    from geomesa_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+
+    def run(expr: str, **geoms):
+        cols = ", ".join(f"'{v}' AS {k}" for k, v in geoms.items()) or "1 AS __one"
+        return spark.sql(f"SELECT {expr} AS r FROM (SELECT {cols})").collect()[0].r
+
+    return run
+
+
+BOX = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+BOX_SHIFT = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
+BOX_FAR = "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"
+HOLED = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+
+
+class TestRelations:
+    def test_contains_within(self, sql):
+        assert sql(f"st_contains('{BOX}', pt)", pt="POINT (1 1)") is True
+        assert sql(f"st_contains('{BOX}', pt)", pt="POINT (5 5)") is False
+        assert sql(f"st_within(pt, '{BOX}')", pt="POINT (1 1)") is True
+
+    def test_contains_hole(self, sql):
+        assert sql(f"st_contains('{HOLED}', pt)", pt="POINT (5 5)") is False
+        assert sql(f"st_contains('{HOLED}', pt)", pt="POINT (2 2)") is True
+
+    def test_intersects_disjoint(self, sql):
+        assert sql(f"st_intersects('{BOX}', '{BOX_SHIFT}')") is True
+        assert sql(f"st_disjoint('{BOX}', '{BOX_FAR}')") is True
+        assert sql(f"st_intersects(line, '{BOX}')", line="LINESTRING (-1 -1, 5 5)") is True
+        assert sql(f"st_intersects(line, '{BOX}')", line="LINESTRING (8 8, 9 9)") is False
+
+    def test_equals_overlaps(self, sql):
+        assert sql(f"st_equals('{BOX}', '{BOX}')") is True
+        assert sql(f"st_overlaps('{BOX}', '{BOX_SHIFT}')") is True
+        assert sql(f"st_overlaps('{BOX}', '{BOX_FAR}')") is False
+
+    def test_polygon_in_polygon(self, sql):
+        inner = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+        assert sql(f"st_contains('{BOX}', '{inner}')") is True
+        assert sql(f"st_contains('{inner}', '{BOX}')") is False
+
+
+class TestMeasures:
+    def test_area_with_hole(self, sql):
+        assert sql(f"st_area('{HOLED}')") == 96.0
+
+    def test_length_perimeter(self, sql):
+        assert sql("st_length(l)", l="LINESTRING (0 0, 3 4)") == 5.0
+        assert sql(f"st_length('{BOX}')") == 16.0
+
+    def test_centroid(self, sql):
+        assert sql(f"st_centroid('{BOX}')") == "POINT (2.0 2.0)"
+
+    def test_distance(self, sql):
+        assert sql(f"st_distance(pt, '{BOX}')", pt="POINT (7 0)") == 3.0
+        assert sql(f"st_distance(pt, '{BOX}')", pt="POINT (2 2)") == 0.0
+
+    def test_distance_sphere_points(self, sql):
+        # one degree of longitude at the equator ≈ 111.195 km
+        d = sql("st_distanceSphere(a, b)", a="POINT (0 0)", b="POINT (1 0)")
+        assert abs(d - 111195.0) < 200.0
+
+
+class TestConstructorsAccessors:
+    def test_point_xy(self, sql):
+        assert sql("st_x(st_point(1.5, 2.5))") == 1.5
+        assert sql("st_y(st_point(1.5, 2.5))") == 2.5
+
+    def test_bbox_and_type(self, sql):
+        assert sql("st_geometryType(st_makeBBOX(0.0, 0.0, 2.0, 2.0))") == "ST_Polygon"
+        assert sql("st_area(st_makeBBOX(0.0, 0.0, 2.0, 2.0))") == 4.0
+
+    def test_make_line(self, sql):
+        got = sql("st_makeLine(array(st_point(0.0, 0.0), st_point(1.0, 1.0)))")
+        assert got == "LINESTRING (0.0 0.0, 1.0 1.0)"
+
+    def test_accessors(self, sql):
+        assert sql(f"st_numPoints('{BOX}')") == 5
+        assert sql(f"st_dimension('{BOX}')") == 2
+        assert sql("st_isClosed(l)", l="LINESTRING (0 0, 1 1, 0 0)") is True
+        assert sql(f"st_envelope(l)", l="LINESTRING (0 0, 3 4)") == (
+            "POLYGON ((0.0 0.0, 3.0 0.0, 3.0 4.0, 0.0 4.0, 0.0 0.0))"
+        )
+
+    def test_casts(self, sql):
+        assert sql(f"st_castToPolygon('{BOX}')") == BOX
+        assert sql(f"st_castToPoint('{BOX}')") is None
+
+
+class TestOutputs:
+    def test_wkb_roundtrip(self, sql):
+        for w in (BOX, HOLED, "POINT (1.5 -2.25)", "LINESTRING (0 0, 1 2, 3 4)"):
+            got = sql(f"st_geomFromWKB(st_asBinary('{w}'))")
+            norm = lambda s: s.replace(".0 ", " ").replace(".0)", ")").replace(".0,", ",")  # noqa: E731
+            assert norm(got) == norm(w)
+
+    def test_geojson(self, sql):
+        gj = json.loads(sql("st_asGeoJSON(p)", p="POINT (1 2)"))
+        assert gj == {"type": "Point", "coordinates": [1.0, 2.0]}
+
+    def test_geohash_roundtrip(self, sql):
+        gh = sql("st_geoHash(st_point(-0.1, 51.5), 40)")
+        back = sql(f"st_pointFromGeoHash('{gh}')")
+        from geomesa_spark.geom import parse_wkt
+
+        pt = parse_wkt(back).rings[0][0]
+        assert abs(pt[0] - -0.1) < 0.01 and abs(pt[1] - 51.5) < 0.01
+
+
+class TestProcessing:
+    def test_translate(self, sql):
+        assert sql("st_translate(p, 1.0, 2.0)", p="POINT (1 1)") == "POINT (2 3)"
+
+    def test_buffer_point_contains(self, sql):
+        # 10km buffer around a point contains a point 5km east
+        buf = sql("st_bufferPoint(st_point(0.0, 0.0), 10000.0)")
+        assert sql(f"st_contains('{buf}', pt)", pt="POINT (0.045 0)") is True
+        assert sql(f"st_contains('{buf}', pt)", pt="POINT (0.2 0)") is False
+
+    def test_convex_hull(self, sql):
+        hull = sql("st_convexHull(m)", m="MULTIPOINT (0 0, 2 0, 1 1, 2 2, 0 2)")
+        assert sql(f"st_area('{hull}')") == 4.0
+
+    def test_intersection_convex(self, sql):
+        got = sql(f"st_intersection('{BOX}', '{BOX_SHIFT}')")
+        assert sql(f"st_area('{got}')") == 4.0
+
+    def test_antimeridian(self, sql):
+        assert sql("st_antimeridianSafeGeom(p)", p="POINT (190 10)") == "POINT (-170 10)"

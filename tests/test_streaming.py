@@ -1,0 +1,110 @@
+"""Streaming layer tests (T1-T4): rate-source features through
+latest-state, windowed density, continuous query, and the lambda
+persist tick with manifest commits."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.streaming.live import (
+    continuous_query,
+    latest_state,
+    persist_tick,
+    rate_features,
+    windowed_density,
+    with_cell_key,
+)
+
+
+def _wait_rows(q, check, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        q.processAllAvailable()
+        if check():
+            return True
+        time.sleep(1)
+    return False
+
+
+@pytest.fixture()
+def stream(spark):
+    return rate_features(spark, rows_per_sec=200)
+
+
+class TestStreaming:
+    def test_latest_state_keeps_newest(self, spark, stream):
+        q = (
+            latest_state(stream, watermark="10 seconds")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("latest_t")
+            .start()
+        )
+        try:
+            ok = _wait_rows(
+                q, lambda: spark.sql("SELECT count(*) c FROM latest_t").collect()[0].c > 50
+            )
+            assert ok
+            dup = spark.sql(
+                "SELECT __fid__, count(*) c FROM latest_t GROUP BY 1 HAVING count(*) > 1"
+            ).collect()
+            assert dup == []  # exactly one (newest) row per fid
+        finally:
+            q.stop()
+
+    def test_windowed_density_cells(self, spark, stream):
+        q = (
+            windowed_density(stream, bits=4, window="5 seconds", watermark="5 seconds")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("dens_t")
+            .start()
+        )
+        try:
+            ok = _wait_rows(
+                q, lambda: spark.sql("SELECT count(*) c FROM dens_t").collect()[0].c > 5
+            )
+            assert ok
+            bad = spark.sql("SELECT * FROM dens_t WHERE cell < 0 OR cell >= 256").collect()
+            assert bad == []
+        finally:
+            q.stop()
+
+    def test_continuous_query_listener(self, spark, stream, tmp_path):
+        hits = []
+        keyed = with_cell_key(stream, bits=4)
+        q = continuous_query(
+            keyed,
+            F.col("lon") < 0,
+            lambda df, epoch: hits.append(df.count()),
+            "cq_t",
+            checkpointLocation=str(tmp_path / "cq_ckpt"),
+        )
+        try:
+            assert _wait_rows(q, lambda: sum(hits) > 20)
+        finally:
+            q.stop()
+
+    def test_persist_tick_writes_manifest(self, spark, stream, tmp_path):
+        from geomesa_spark.sources.catalog import latest_manifest
+
+        out = str(tmp_path / "tiles")
+        q = persist_tick(stream, out, checkpoint=str(tmp_path / "ckpt"), bits=4)
+        try:
+            ok = _wait_rows(
+                q,
+                lambda: latest_manifest(out) is not None
+                and len(glob.glob(os.path.join(out, "cell=*"))) > 0,
+            )
+            assert ok
+            m = latest_manifest(out)
+            assert m["lineage"]["source"] == "stream"
+            n = spark.read.parquet(out).count()
+            assert n > 0
+        finally:
+            q.stop()
