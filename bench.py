@@ -8,10 +8,11 @@ and prints ONE JSON line::
    "unit": "docs/sec", "queries": {<name>: sec, ...}, "sf": ..., ...}
 
 ``--scaling`` mode: runs the SAME pipeline on the SAME input at two
-parallelism levels (local[8] vs local[32] — the sandbox proxy for N vs
-4N executors per the driver instruction) in separate subprocesses and
-reports throughput at both plus scaling efficiency; used to fill
-BENCH.md / BASELINE.md.
+parallelism levels (local[N] vs local[4N], default N=8 — the sandbox
+proxy for N vs 4N executors per the driver instruction; use
+--scale-base 2 to keep the 32-CPU host unsaturated at both levels) in
+separate subprocesses and reports throughput at both plus scaling
+efficiency; used to fill BENCH.md / BASELINE.md.
 
 Input documents are synthesized deterministically in Spark built-ins
 (tables.py::synthesize_documents — seeded arithmetic, no external
@@ -181,7 +182,8 @@ def main() -> int:
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--n-docs", type=int, default=int(os.environ.get("BENCH_DOCS", "0")) or None)
-    ap.add_argument("--scaling", action="store_true", help="run at local[8] and local[32], report efficiency")
+    ap.add_argument("--scaling", action="store_true", help="run at local[N] and local[4N], report efficiency")
+    ap.add_argument("--scale-base", type=int, default=8, help="N for the N-vs-4N scaling runs")
     ap.add_argument("--n-polys", type=int, default=int(os.environ.get("BENCH_POLYS", "2000")))
     ap.add_argument("--stages", help="comma-separated stage subset (default: all)")
     ap.add_argument("--subprocess-json", help=argparse.SUPPRESS)
@@ -192,7 +194,7 @@ def main() -> int:
 
     if args.scaling:
         runs = {}
-        for cores in (8, 32):
+        for cores in (args.scale_base, args.scale_base * 4):
             _err(f"=== scaling run: local[{cores}] ===")
             cmd = [sys.executable, __file__, "--cores", str(cores), "--sf-dir", args.sf_dir,
                    "--n-docs", str(n_docs), "--n-polys", str(args.n_polys)]
@@ -204,18 +206,19 @@ def main() -> int:
             )
             _err(out.stderr[-2000:])
             runs[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-        t8 = runs[8]["value"]
-        t32 = runs[32]["value"]
+        n, n4 = args.scale_base, args.scale_base * 4
+        t8 = runs[n]["value"]
+        t32 = runs[n4]["value"]
         eff = (t32 / t8) / 4.0
         result = {
-            "metric": "spatial-join + tiling throughput scaling (N=8 vs 4N=32 cores)",
+            "metric": f"spatial-join + tiling throughput scaling (N={n} vs 4N={n4} cores)",
             "value": round(eff, 3),
             "unit": "efficiency",
-            "docs_per_sec_n8": t8,
-            "docs_per_sec_n32": t32,
+            "docs_per_sec_at_n": t8,
+            "docs_per_sec_at_4n": t32,
             "n_docs": n_docs,
             "sf": sf,
-            "queries": {"n8": runs[8]["queries"], "n32": runs[32]["queries"]},
+            "queries": {f"n{n}": runs[n]["queries"], f"n{n4}": runs[n4]["queries"]},
         }
         print(json.dumps(result), flush=True)
         return 0
