@@ -165,6 +165,20 @@ def q_z2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_z3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z3 spatio-temporal index-key encoding (reference Z3SFC.index,
+    week-binned): (epoch_bin, cell_z3) per point with a deterministic
+    event time."""
+    from geomesa_spark.operators.extract import with_z3_cell
+
+    pts = _points(spark, sf_dir)
+    i = F.substring("doc_id", 5, 12).cast("long")
+    pts = pts.withColumn(
+        "dtg", F.timestamp_seconds(F.lit(1704067200) + i * 37 + F.col("span_offset") * 13)
+    )
+    return with_z3_cell(pts).select("doc_id", "span_offset", "epoch_bin", "cell_z3")
+
+
 def _polys(spark: SparkSession, oracle_kinds_only: bool) -> DataFrame:
     from geomesa_spark.tables import poly_layers
 
@@ -194,6 +208,26 @@ def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast=False, salt_buckets=4,
     )
     return j.select("doc_id", "span_offset", "poly_id")
+
+
+def q_pip_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.2 SQL-text surface: the same polygon join written as a
+    spark.sql string over the registered st_* catalog (vectorized
+    grouped kernel; every WKT ring goes through the ray-cast — so
+    bbox-kind polygons use half-open semantics here, unlike the
+    two-phase operator's closed-envelope fast path)."""
+    from geomesa_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    _points(spark, sf_dir).createOrReplaceTempView("doc_pts_v")
+    _polys(spark, True).createOrReplaceTempView("polys_v")
+    return spark.sql(
+        """
+        SELECT p.doc_id, p.span_offset, q.poly_id
+        FROM doc_pts_v p JOIN polys_v q
+          ON st_contains(q.wkt, st_point(p.lon, p.lat))
+        """
+    )
 
 
 def q_pip_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,8 +602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_points": q_extract_points,
         "bbox_filter": q_bbox_filter,
         "z2_cells": q_z2_cells,
+        "z3_cells": q_z3_cells,
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
+        "pip_join_sql": q_pip_join_sql,
         "pip_join_all": q_pip_join_all,
         "dwithin_join": q_dwithin_join,
         "knn": q_knn,
@@ -652,6 +688,34 @@ def oracle_sql() -> dict[str, str]:
             WITH {SQL_PTS}, {SQL_Z2}
             SELECT doc_id, span_offset, {SQL_MORTON} AS cell_z2 FROM cells
         """,
+        "z3_cells": f"""
+            WITH {SQL_PTS},
+            t AS (
+              SELECT doc_id, span_offset, lon, lat,
+                     (1704067200 + CAST(substr(doc_id, 5, 12) AS BIGINT) * 37
+                        + span_offset * 13) * 1000 AS millis
+              FROM pts
+            ),
+            binned AS (
+              SELECT doc_id, span_offset,
+                     CAST(floor(millis / 604800000) AS INT) AS epoch_bin,
+                     millis - CAST(floor(millis / 604800000) AS BIGINT) * 604800000 AS off,
+                     lon, lat
+              FROM t
+            ),
+            n AS (
+              SELECT doc_id, span_offset, epoch_bin,
+                CAST(least(CAST(floor((lon - (-180.0)) * (2097152.0 / 360.0)) AS BIGINT), 2097151) AS BIGINT) AS xi,
+                CAST(least(CAST(floor((lat - (-90.0)) * (2097152.0 / 180.0)) AS BIGINT), 2097151) AS BIGINT) AS yi,
+                CAST(least(CAST(floor((CAST(off AS DOUBLE) - 0.0) * (2097152.0 / 604800000.0)) AS BIGINT), 2097151) AS BIGINT) AS ti
+              FROM binned
+            )
+            SELECT doc_id, span_offset, epoch_bin,
+                   CAST(list_sum(list_transform(generate_series(0, 20),
+                     b -> (((xi >> b) & 1) << (3 * b)) + (((yi >> b) & 1) << (3 * b + 1))
+                          + (((ti >> b) & 1) << (3 * b + 2)))) AS BIGINT) AS cell_z3
+            FROM n
+        """,
         "pip_join": f"""
             WITH {SQL_PTS}, {SQL_POLYS}
             SELECT p.doc_id, p.span_offset, q.poly_id
@@ -662,6 +726,16 @@ def oracle_sql() -> dict[str, str]:
             WITH {SQL_PTS}, {SQL_POLYS}
             SELECT p.doc_id, p.span_offset, q.poly_id
             FROM pts p JOIN polys_env q ON {SQL_PIP_COND}
+            WHERE q.kind <> 'convex'
+        """,
+        "pip_join_sql": f"""
+            WITH {SQL_PTS}, {SQL_POLYS}
+            SELECT p.doc_id, p.span_offset, q.poly_id
+            FROM pts p JOIN polys_env q ON
+              p.lon >= q.min_lon AND p.lon < q.max_lon
+              AND p.lat >= q.min_lat AND p.lat < q.max_lat
+              AND NOT (q.kind = 'holed' AND p.lon >= q.hx0 AND p.lon < q.hx1
+                       AND p.lat >= q.hy0 AND p.lat < q.hy1)
             WHERE q.kind <> 'convex'
         """,
         "dwithin_join": f"""

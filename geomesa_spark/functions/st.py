@@ -388,14 +388,60 @@ st_intersection = _binary(
 
 # --- relations + measures (UDF tier) -------------------------------------
 
+import re as _re_mod  # noqa: E402
+
+_POINT_FAST = _re_mod.compile(_POINT_RE)
+
+
+def _rel_grouped(per_geom_points, fallback):
+    """Vectorized predicate: when the second operand column is all
+    POINTs (the join/filter hot shape), group the batch by the first
+    geometry and run the batched kernel once per distinct geometry;
+    otherwise fall back to per-distinct-pair evaluation."""
+
+    @F.pandas_udf(T.BooleanType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        ext = b.str.extract(_POINT_FAST)
+        px = pd.to_numeric(ext[0], errors="coerce")
+        if not px.isna().any():
+            py = pd.to_numeric(ext[1], errors="coerce")
+            out = np.zeros(len(a), dtype=object)
+            pxv, pyv = px.to_numpy(), py.to_numpy()
+            for w, idx in a.groupby(a, sort=False).indices.items():
+                res = per_geom_points(_parse(w), pxv[idx], pyv[idx])
+                for i, r in zip(idx, res):
+                    out[i] = bool(r)
+            return pd.Series(out)
+        return pd.Series(
+            [None if (x is None or y is None) else bool(fallback(_parse(x), _parse(y)))
+             for x, y in zip(a, b)]
+        )
+
+    return udf
+
 
 def _rel(fn):
     return _binary(lambda a, b: bool(fn(_parse(a), _parse(b))), T.BooleanType())
 
 
-st_intersects = _rel(G.geoms_intersect)
-st_disjoint = _rel(lambda a, b: not G.geoms_intersect(a, b))
-st_contains = _rel(G.geom_contains)
+st_intersects = _rel_grouped(
+    lambda g, px, py: G.points_in_polygon(px, py, g)
+    if g.geom_type in ("POLYGON", "MULTIPOLYGON")
+    else [G.geoms_intersect(g, G.Geometry("POINT", [np.array([[x, y]])])) for x, y in zip(px, py)],
+    G.geoms_intersect,
+)
+st_disjoint = _rel_grouped(
+    lambda g, px, py: ~G.points_in_polygon(px, py, g)
+    if g.geom_type in ("POLYGON", "MULTIPOLYGON")
+    else [not G.geoms_intersect(g, G.Geometry("POINT", [np.array([[x, y]])])) for x, y in zip(px, py)],
+    lambda a, b: not G.geoms_intersect(a, b),
+)
+st_contains = _rel_grouped(
+    lambda g, px, py: G.points_in_polygon(px, py, g)
+    if g.geom_type in ("POLYGON", "MULTIPOLYGON")
+    else np.zeros(len(px), dtype=bool),
+    G.geom_contains,
+)
 st_covers = st_contains  # boundary-inclusive variant collapses under the half-open kernel
 st_within = _rel(lambda a, b: G.geom_contains(b, a))
 st_equals = _rel(
