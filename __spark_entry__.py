@@ -440,6 +440,17 @@ def q_bin_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations: INTERSECT and EXCEPT between two event
+    slices (absent in the reference; Spark built-ins per SURVEY)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.where(F.col("value") < 100.0).select("event_id")
+    b = ev.where(F.col("event_type").isin("click", "view")).select("event_id")
+    inter = a.intersect(b).withColumn("op", F.lit("intersect"))
+    exc = a.exceptAll(b).distinct().withColumn("op", F.lit("except"))
+    return inter.unionByName(exc)
+
+
 def q_sorted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O2 sort + limit with deterministic tie-break."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -624,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lambda_merge": q_lambda_merge,
         "tpch_q1": q_tpch_q1,
         "bin_records": q_bin_records,
+        "set_ops": q_set_ops,
         "sorted_topn": q_sorted_topn,
         "attr_join": q_attr_join,
         "tube_select": q_tube_select,
@@ -881,6 +893,13 @@ def oracle_sql() -> dict[str, str]:
                    (t.i % 360) - 180 + 0.5 AS lon,
                    (CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS lat
             FROM range(0, 2000) t(i)
+        """,
+        "set_ops": """
+            WITH a AS (SELECT event_id FROM events WHERE value < 100.0),
+                 b AS (SELECT event_id FROM events WHERE event_type IN ('click', 'view'))
+            SELECT event_id, 'intersect' AS op FROM (SELECT event_id FROM a INTERSECT SELECT event_id FROM b)
+            UNION ALL
+            SELECT event_id, 'except' AS op FROM (SELECT event_id FROM a EXCEPT SELECT event_id FROM b)
         """,
         "sorted_topn": """
             SELECT event_id, value FROM events

@@ -37,6 +37,7 @@ __all__ = [
     "with_z2_cell",
     "with_z3_cell",
     "with_xz2_cell",
+    "with_xz3_cell",
     "z2_col",
     "z3_col",
     "grid_cell",
@@ -106,6 +107,26 @@ def with_xz2_cell(
     columns — ONE key per geometry (reference XZ2IndexKeySpace); pairs
     with plans.planner.xz2_range_predicate for bbox-query pruning."""
     return df.withColumn(out, _xz2_index(F.col(xmin), F.col(ymin), F.col(xmax), F.col(ymax)))
+
+
+def with_xz3_cell(
+    df: DataFrame,
+    xmin: str = "min_lon",
+    ymin: str = "min_lat",
+    xmax: str = "max_lon",
+    ymax: str = "max_lat",
+    dtg: str = "dtg",
+    bin_out: str = "epoch_bin",
+    out: str = "cell_xz3",
+) -> DataFrame:
+    """XZ3 = XZ2 ⊗ binned time (reference XZ3IndexKeySpace): extended
+    geometries with an event time get (epoch_bin, xz2-of-envelope) —
+    the reference composes the same way (per-bin XZ planes). The time
+    bin is plain column math; only the sequence code is a pandas UDF."""
+    period = F.lit(WEEK_BT.period_millis)
+    millis = (F.unix_timestamp(F.col(dtg)) * 1000 + F.date_format(F.col(dtg), "SSS").cast("long"))
+    df = df.withColumn(bin_out, F.floor(millis / period).cast("int"))
+    return with_xz2_cell(df, xmin, ymin, xmax, ymax, out)
 
 
 def extract_geo_points(docs: DataFrame) -> DataFrame:

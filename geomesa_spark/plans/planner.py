@@ -31,6 +31,7 @@ __all__ = [
     "z2_range_predicate",
     "z3_range_predicate",
     "xz2_range_predicate",
+    "xz3_range_predicate",
     "bbox_predicate",
 ]
 
@@ -101,6 +102,25 @@ def xz2_range_predicate(
     callers conjoin the exact intersection refine."""
     ranges = _XZ2.ranges(bboxes, max_ranges=max_ranges)
     return _ranges_to_pred(F.col(cell_col), ranges)
+
+
+def xz3_range_predicate(
+    bboxes: list[tuple[float, float, float, float]],
+    t_lo_millis: int,
+    t_hi_millis: int,
+    bin_col: str = "epoch_bin",
+    cell_col: str = "cell_xz3",
+    max_ranges: int = 256,
+) -> Column:
+    """Coarse predicate for extended geometries × time interval
+    (reference XZ3IndexKeySpace): every whole or partial epoch bin in
+    the interval gets the XZ2 cover ranges (a geometry indexed in a bin
+    may extend across it, so bins are not offset-restricted — the exact
+    time refine conjoins afterwards)."""
+    lo_bin = int(t_lo_millis // _BT.period_millis)
+    hi_bin = int(t_hi_millis // _BT.period_millis)
+    xz = _ranges_to_pred(F.col(cell_col), _XZ2.ranges(bboxes, max_ranges=max_ranges))
+    return F.col(bin_col).between(lo_bin, hi_bin) & xz
 
 
 def bbox_predicate(

@@ -40,6 +40,7 @@ __all__ = [
     "with_cell_key",
     "continuous_query",
     "windowed_density",
+    "track_state",
     "persist_tick",
 ]
 
@@ -122,6 +123,64 @@ def windowed_density(
     s = with_cell_key(stream.withWatermark("dtg", watermark), bits)
     return s.groupBy(F.window("dtg", window).alias("win"), "cell").agg(
         F.count("*").alias("cnt")
+    )
+
+
+def track_state(
+    stream: DataFrame,
+    ttl_ms: int = 600_000,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-feature
+    trajectory accumulator — keeps each fid's last position and running
+    great-circle track length, with processing-time TTL expiry (the
+    reference's time-expiring Kafka feature cache, T1, as explicit
+    Spark state instead of an executor-local Guava cache).
+
+    Output per micro-batch update: (fid, n_updates, track_m, last_lon,
+    last_lat). State is (count, total_m, lon, lat) per fid in the state
+    store — checkpointable, rescalable, exactly the stateful shape a
+    1000-executor stream would shard by key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from geomesa_spark.geom import haversine_m
+
+    out_schema = (
+        "fid string, n_updates long, track_m double, last_lon double, last_lat double"
+    )
+    state_schema = "count long, total_m double, lon double, lat double"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cnt, total, lon, lat = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("dtg")
+            lons = pdf["lon"].to_numpy()
+            lats = pdf["lat"].to_numpy()
+            if len(lons) == 0:
+                continue
+            if lon is not None:
+                total += float(haversine_m(lon, lat, lons[0], lats[0]))
+            if len(lons) > 1:
+                total += float(haversine_m(lons[:-1], lats[:-1], lons[1:], lats[1:]).sum())
+            lon, lat = float(lons[-1]), float(lats[-1])
+            cnt += len(lons)
+        state.update((cnt, total, lon, lat))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {"fid": [key[0]], "n_updates": [cnt], "track_m": [total],
+             "last_lon": [lon], "last_lat": [lat]}
+        )
+
+    return (
+        stream.groupBy("__fid__")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
     )
 
 

@@ -21,10 +21,14 @@ from geomesa_spark.streaming.live import (
 )
 
 
-def _wait_rows(q, check, timeout=60):
+def _wait_rows(q, check, timeout=60, drain=True):
+    """Poll until check() is true. drain=False sleep-polls instead of
+    processAllAvailable — required for stateful queries whose batches
+    can't outpace a continuous rate source."""
     deadline = time.time() + timeout
     while time.time() < deadline:
-        q.processAllAvailable()
+        if drain:
+            q.processAllAvailable()
         if check():
             return True
         time.sleep(1)
@@ -87,6 +91,37 @@ class TestStreaming:
         )
         try:
             assert _wait_rows(q, lambda: sum(hits) > 20)
+        finally:
+            q.stop()
+
+    def test_track_state_accumulates(self, spark, stream, tmp_path):
+        from geomesa_spark.streaming.live import track_state
+
+        q = (
+            track_state(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("trk_t")
+            .option("checkpointLocation", str(tmp_path / "trk_ckpt"))
+            .start()
+        )
+        try:
+            ok = _wait_rows(
+                q,
+                lambda: spark.sql(
+                    "SELECT count(*) c FROM trk_t WHERE n_updates >= 2 AND track_m > 0"
+                ).collect()[0].c
+                > 10,
+                timeout=120,
+                drain=False,
+            )
+            assert ok
+            # state accumulates monotonically per fid across updates
+            r = spark.sql(
+                """SELECT fid, max(n_updates) mx, min(n_updates) mn FROM trk_t
+                   GROUP BY fid HAVING count(*) > 1 LIMIT 5"""
+            ).collect()
+            assert all(x.mx >= x.mn for x in r) and len(r) > 0
         finally:
             q.stop()
 

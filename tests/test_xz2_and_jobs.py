@@ -44,6 +44,67 @@ class TestXz2Layer:
         assert polys.count() == 100  # no explode/duplication
         assert polys.where(F.col("cell_xz2").isNull()).count() == 0
 
+    def test_xz3_spatiotemporal_pruning(self, spark):
+        from geomesa_spark.operators.extract import with_xz3_cell
+        from geomesa_spark.plans.planner import xz3_range_predicate
+
+        polys = poly_layers(spark, 300).withColumn(
+            "dtg",
+            F.expr("timestampadd(DAY, cast(substring(poly_id, 6, 6) as int), timestamp'2024-01-01')"),
+        )
+        keyed = with_xz3_cell(polys).cache()
+        qx = (-40.0, -20.0, -10.0, 10.0)
+        t_lo = 1704067200000  # 2024-01-01
+        t_hi = t_lo + 50 * 86400_000  # +50 days
+        cand = keyed.where(xz3_range_predicate([qx], t_lo, t_hi)).toPandas()
+        exact = keyed.where(
+            (F.col("min_lon") <= qx[2]) & (F.col("max_lon") >= qx[0])
+            & (F.col("min_lat") <= qx[3]) & (F.col("max_lat") >= qx[1])
+            & (F.unix_timestamp("dtg") * 1000).between(t_lo, t_hi)
+        ).toPandas()
+        assert set(exact.poly_id) <= set(cand.poly_id)  # lossless
+        assert len(cand) < keyed.count()  # prunes space AND time
+        refined = cand[
+            (cand.min_lon <= qx[2]) & (cand.max_lon >= qx[0])
+            & (cand.min_lat <= qx[3]) & (cand.max_lat >= qx[1])
+        ]
+        # time bins at week granularity over-cover ≤ one period each side
+        assert set(exact.poly_id) <= set(refined.poly_id)
+
+
+class TestHotSkew:
+    def test_salted_join_correct_under_extreme_skew(self, spark):
+        """ALL points in one grid cell (the pathological hot tile): the
+        salted shuffle join must produce exactly the broadcast join's
+        rows, and the salt must actually spread the hot cell."""
+        from geomesa_spark.operators.extract import grid_cell
+        from geomesa_spark.operators.joins import spatial_join_points_in_polys
+
+        n = 20_000
+        pts = spark.range(n).select(
+            F.format_string("doc-%012d", F.col("id")).alias("doc_id"),
+            F.lit(0).alias("span_offset"),
+            (F.lit(10.0) + (F.col("id") % 100) / 1000.0).alias("lon"),
+            (F.lit(10.0) + ((F.col("id") * 7) % 100) / 1000.0).alias("lat"),
+        )
+        polys = spark.createDataFrame(
+            [("p0", "bbox", "POLYGON ((10 10, 10.05 10, 10.05 10.05, 10 10.05, 10 10))",
+              10.0, 10.0, 10.05, 10.05),
+             ("p1", "bbox", "POLYGON ((9 9, 12 9, 12 12, 9 12, 9 9))", 9.0, 9.0, 12.0, 12.0)],
+            "poly_id string, kind string, wkt string, min_lon double, min_lat double, "
+            "max_lon double, max_lat double",
+        )
+        # every point lands in ONE cell at bits=6
+        cells = pts.select(grid_cell(F.col("lon"), F.col("lat"), 6).alias("c")).distinct().count()
+        assert cells == 1
+
+        b = spatial_join_points_in_polys(pts, polys, bits=6, broadcast=True)
+        s = spatial_join_points_in_polys(pts, polys, bits=6, broadcast=False, salt_buckets=8)
+        key = ["doc_id", "poly_id"]
+        assert b.count() == s.count()
+        assert b.select(*key).exceptAll(s.select(*key)).count() == 0
+        assert s.select(*key).exceptAll(b.select(*key)).count() == 0
+
 
 class TestResumablePipeline:
     def _run(self, out, force=False, n_docs=2000):
