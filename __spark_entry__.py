@@ -267,6 +267,14 @@ def q_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return density_grid(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster pyramid rollup: density tiles at zoom levels 6→3, each
+    parent aggregating its four children."""
+    from geomesa_spark.operators.tiles import tile_pyramid
+
+    return tile_pyramid(_points(spark, sf_dir), max_bits=6, min_bits=3)
+
+
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiling: fixed-resolution tile id per point (bits=8 grid)."""
     from geomesa_spark.operators.extract import grid_cell
@@ -622,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "density_grid": q_density_grid,
         "tile_assign": q_tile_assign,
+        "tile_pyramid": q_tile_pyramid,
         "span_invariant": q_span_invariant,
         # relational / stats (SURVEY §2.4-2.7)
         "stats_events": q_stats_events,
@@ -783,6 +792,16 @@ def oracle_sql() -> dict[str, str]:
                    least(CAST(floor((lat - (-90.0)) / 180.0 * 256) AS BIGINT), 255) * 256
                    + least(CAST(floor((lon - (-180.0)) / 360.0 * 256) AS BIGINT), 255) AS tile_id
             FROM pts
+        """,
+        "tile_pyramid": f"""
+            WITH {SQL_PTS}
+            SELECT CAST(v.l AS INT) AS level,
+                   least(CAST(floor((lon + 180.0) / 360.0 * (1 << v.l)) AS BIGINT), (1 << v.l) - 1) AS xi,
+                   least(CAST(floor((lat + 90.0) / 180.0 * (1 << v.l)) AS BIGINT), (1 << v.l) - 1) AS yi,
+                   CAST(sum(1.0) AS DOUBLE) AS weight,
+                   count(*) AS cnt
+            FROM pts CROSS JOIN (VALUES (3),(4),(5),(6)) AS v(l)
+            GROUP BY 1, 2, 3
         """,
         "span_invariant": f"""
             WITH {SQL_PTS}, {SQL_POLYS},

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.sources.catalog import write_manifest
 
-__all__ = ["density_grid", "write_tiles"]
+__all__ = ["density_grid", "tile_pyramid", "write_tiles"]
 
 
 def density_grid(
@@ -51,6 +51,50 @@ def density_grid(
         )
         .agg(F.sum(w).alias("weight"), F.count("*").alias("cnt"))
     )
+
+
+def tile_pyramid(
+    points: DataFrame,
+    max_bits: int = 8,
+    min_bits: int = 2,
+    weight_col: str | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Multi-resolution tile rollup (raster pyramid): one pass computes
+    the finest level, then each coarser level aggregates the previous
+    one — the classic hypertable/zoom rollup, log2(levels) small
+    shuffles over already-aggregated data instead of rescanning points.
+
+    Output: (level int, xi long, yi long, weight double, cnt long),
+    parent weight = sum of its 4 children exactly.
+    """
+    n = 1 << max_bits
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    base = (
+        points.groupBy(
+            F.least(F.floor((F.col(lon) + 180.0) / 360.0 * n), F.lit(n - 1)).cast("long").alias("xi"),
+            F.least(F.floor((F.col(lat) + 90.0) / 180.0 * n), F.lit(n - 1)).cast("long").alias("yi"),
+        )
+        .agg(F.sum(w).alias("weight"), F.count("*").alias("cnt"))
+        .withColumn("level", F.lit(max_bits))
+    )
+    levels = [base]
+    cur = base
+    for bits in range(max_bits - 1, min_bits - 1, -1):
+        cur = (
+            cur.groupBy(
+                F.shiftrightunsigned(F.col("xi"), 1).alias("xi"),
+                F.shiftrightunsigned(F.col("yi"), 1).alias("yi"),
+            )
+            .agg(F.sum("weight").alias("weight"), F.sum("cnt").alias("cnt"))
+            .withColumn("level", F.lit(bits))
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(F.col("level").cast("int"), "xi", "yi", "weight", "cnt")
 
 
 def write_tiles(
