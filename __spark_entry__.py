@@ -133,6 +133,13 @@ N_KNN_PROBES = 20
 # Spark-side builders
 # ---------------------------------------------------------------------------
 
+def _utc(spark: SparkSession) -> None:
+    """Epoch arithmetic (unix_timestamp) and timestamp outputs must be
+    session-TZ-independent to match the naive-timestamp DuckDB oracle —
+    the driver's session may not be UTC."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geomesa_spark.operators.extract import extract_geo_points
     from geomesa_spark.tables import documents_from_driver_table
@@ -328,6 +335,7 @@ def q_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 MinMax + count over events."""
     from geomesa_spark.operators.stats import minmax
 
+    _utc(spark)
     return minmax(spark.read.parquet(f"{sf_dir}/events.parquet"), ["value", "ts"])
 
 
@@ -438,6 +446,7 @@ def q_bin_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture layer (reference BinAggregatingScan 16-byte records)."""
     from geomesa_spark.tables import canonical_layer
 
+    _utc(spark)
     lay = canonical_layer(spark, 2000)
     return lay.select(
         F.col("__fid__").alias("fid"),
