@@ -758,6 +758,36 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p JOIN polys_env q ON {SQL_PIP_COND}
             WHERE q.kind <> 'convex'
         """,
+        # convex hexagons: replicate the engine's ray-cast term-for-term
+        # (geom.py::points_in_rings) over the 7 generated vertices —
+        # vertex k = center + (size/2)·(cos, sin)((pi/3)·k); edge (7,1)
+        # reproduces the kernel's ring-closing append and self-skips via
+        # the ay<>by guard when the ring closes exactly. The crossing
+        # expression px < ax + ((py-ay)/(by-ay))·(bx-ax) is the kernel's
+        # IEEE op order.
+        "pip_join_all": f"""
+            WITH {SQL_PTS}, {SQL_POLYS},
+            hexv AS (
+              SELECT poly_id,
+                     list_transform(generate_series(0, 6),
+                       k -> lon_c + (size_deg / 2.0) * cos((pi() / 3.0) * k)) AS vx,
+                     list_transform(generate_series(0, 6),
+                       k -> lat_c + (size_deg / 2.0) * sin((pi() / 3.0) * k)) AS vy
+              FROM polys WHERE kind = 'convex'
+            )
+            SELECT p.doc_id, p.span_offset, q.poly_id
+            FROM pts p JOIN polys_env q ON {SQL_PIP_COND}
+            WHERE q.kind <> 'convex'
+            UNION ALL
+            SELECT p.doc_id, p.span_offset, h.poly_id
+            FROM pts p JOIN hexv h ON
+              (list_sum(list_transform(generate_series(1, 7), k ->
+                 CASE WHEN h.vy[k] <> h.vy[(k % 7) + 1]
+                       AND ((h.vy[k] <= p.lat) <> (h.vy[(k % 7) + 1] <= p.lat))
+                       AND p.lon < h.vx[k] + ((p.lat - h.vy[k]) / (h.vy[(k % 7) + 1] - h.vy[k]))
+                                             * (h.vx[(k % 7) + 1] - h.vx[k])
+                 THEN 1 ELSE 0 END)) % 2) = 1
+        """,
         "pip_join_sql": f"""
             WITH {SQL_PTS}, {SQL_POLYS}
             SELECT p.doc_id, p.span_offset, q.poly_id
@@ -1044,6 +1074,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine": f"""
             WITH {SQL_COSINE}
+            SELECT q_vec_id, vec_id, round(sim, 6) AS sim_r, CAST(rnk AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_vec_id ORDER BY round(sim, 6) DESC, vec_id ASC) AS rnk
+              FROM sims
+            ) WHERE rnk <= 5
+        """,
+        # hyperplane-LSH bucket: mirrors ann.py::_plane_component exactly
+        # (integer mix/shift is bit-exact; the projection fold is a
+        # left-fold from 0.0 like Spark's F.aggregate, via list_reduce
+        # with a prepended 0.0 so summation order matches)
+        "ann_lsh": f"""
+            WITH bkt AS (
+              SELECT vec_id, embedding,
+                CAST(list_sum(list_transform(generate_series(0, 3), p ->
+                  CASE WHEN list_reduce(
+                      list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(generate_series(1, len(embedding)), i ->
+                          CAST(embedding[i] AS DOUBLE) *
+                          CAST((((((p * 1000003) + (i - 1)) * 2654435761) >> 13) & 1) * 2 - 1 AS DOUBLE))),
+                      (a, x) -> a + x) > 0
+                  THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+              FROM embeddings
+            ),
+            qv AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, bucket FROM bkt WHERE vec_id < 5),
+            sims AS (
+              SELECT e.vec_id, q.q_vec_id,
+                list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(generate_series(1, len(q.q_emb)),
+                     i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))) AS sim
+              FROM bkt e JOIN qv q ON e.bucket = q.bucket AND e.vec_id <> q.q_vec_id
+            )
             SELECT q_vec_id, vec_id, round(sim, 6) AS sim_r, CAST(rnk AS INT) AS rank FROM (
               SELECT *, row_number() OVER (
                 PARTITION BY q_vec_id ORDER BY round(sim, 6) DESC, vec_id ASC) AS rnk
