@@ -237,6 +237,27 @@ def q_pip_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_join_sql_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same SQL-text join routed through the spatial rewriter
+    (plans/sql_rewrite.py, reference SQLRules.SpatialOptimizationsRule
+    analogue): the st_contains join condition becomes a cell-cover
+    equi-join (BroadcastHashJoin, not BroadcastNestedLoopJoin) with the
+    st_contains kernel as residual refine — identical rows to
+    q_pip_join_sql, scale-safe plan."""
+    from geomesa_spark.plans.sql_rewrite import spatial_sql
+
+    _points(spark, sf_dir).createOrReplaceTempView("doc_pts_v")
+    _polys(spark, True).createOrReplaceTempView("polys_v")
+    return spatial_sql(
+        spark,
+        """
+        SELECT p.doc_id, p.span_offset, q.poly_id
+        FROM doc_pts_v p JOIN polys_v q
+          ON st_contains(q.wkt, st_point(p.lon, p.lat))
+        """,
+    )
+
+
 def q_pip_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 over all polygon kinds incl. convex hexagons (PIP kernel path;
     hexagon refinement is oracle'd by the NumPy brute force in pytest)."""
@@ -634,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "pip_join_sql": q_pip_join_sql,
+        "pip_join_sql_pruned": q_pip_join_sql_pruned,
         "pip_join_all": q_pip_join_all,
         "dwithin_join": q_dwithin_join,
         "knn": q_knn,
@@ -756,6 +778,16 @@ def oracle_sql() -> dict[str, str]:
             WITH {SQL_PTS}, {SQL_POLYS}
             SELECT p.doc_id, p.span_offset, q.poly_id
             FROM pts p JOIN polys_env q ON {SQL_PIP_COND}
+            WHERE q.kind <> 'convex'
+        """,
+        "pip_join_sql_pruned": f"""
+            WITH {SQL_PTS}, {SQL_POLYS}
+            SELECT p.doc_id, p.span_offset, q.poly_id
+            FROM pts p JOIN polys_env q ON
+              p.lon >= q.min_lon AND p.lon < q.max_lon
+              AND p.lat >= q.min_lat AND p.lat < q.max_lat
+              AND NOT (q.kind = 'holed' AND p.lon >= q.hx0 AND p.lon < q.hx1
+                       AND p.lat >= q.hy0 AND p.lat < q.hy1)
             WHERE q.kind <> 'convex'
         """,
         # convex hexagons: replicate the engine's ray-cast term-for-term

@@ -264,6 +264,13 @@ st_isValid = _unary(lambda w: _parse(w) is not None, T.BooleanType())
 st_isSimple = st_isValid  # simplified: fixtures avoid self-intersections
 st_boundary = st_exteriorRing
 
+# envelope bound accessors (PostGIS ST_XMin-style; used by the SQL
+# spatial rewriter to derive cover ranges when a table carries only wkt)
+st_xmin = _unary(lambda w: float(_parse(w).bbox[0]), T.DoubleType())
+st_ymin = _unary(lambda w: float(_parse(w).bbox[1]), T.DoubleType())
+st_xmax = _unary(lambda w: float(_parse(w).bbox[2]), T.DoubleType())
+st_ymax = _unary(lambda w: float(_parse(w).bbox[3]), T.DoubleType())
+
 st_area = _unary(lambda w: float(G.geom_area(_parse(w))), T.DoubleType())
 st_length = _unary(lambda w: float(G.geom_length(_parse(w))), T.DoubleType())
 st_centroid = _unary(
@@ -557,6 +564,10 @@ ST_FUNCTIONS: dict = {
     "st_isValid": st_isValid,
     "st_isSimple": st_isSimple,
     "st_boundary": st_boundary,
+    "st_xmin": st_xmin,
+    "st_ymin": st_ymin,
+    "st_xmax": st_xmax,
+    "st_ymax": st_ymax,
     # outputs
     "st_asText": st_asText,
     "st_asBinary": st_asBinary,

@@ -68,16 +68,26 @@ def cover_cells_for_polys(polys: DataFrame, bits: int) -> DataFrame:
     Pure built-ins: floor → sequence → explode. Over-approximates the
     polygon by its bbox (exact refine follows). Output: polys columns +
     ``cell``.
+
+    Antimeridian: the x index is NOT clamped at the ±180 column — raw
+    floor indices (possibly < 0 or ≥ n, e.g. from a DWITHIN circle whose
+    bbox pokes past the dateline) wrap via pmod, so a probe at lon
+    179.9° covers cells on the −180° side too. The span is capped at n
+    columns, so a full wrap covers each column exactly once (no
+    duplicate candidate pairs).
     """
     n = 1 << bits
-    x0 = _grid_index(F.col("min_lon"), -180.0, 360.0, n)
-    x1 = _grid_index(F.col("max_lon"), -180.0, 360.0, n)
+    x0 = F.floor((F.col("min_lon") + 180.0) / 360.0 * n).cast("long")
+    x1 = F.least(
+        F.floor((F.col("max_lon") + 180.0) / 360.0 * n).cast("long"),
+        x0 + F.lit(n - 1),
+    )
     y0 = _grid_index(F.col("min_lat"), -90.0, 180.0, n)
     y1 = _grid_index(F.col("max_lat"), -90.0, 180.0, n)
     return (
         polys.withColumn("__yi", F.explode(F.sequence(y0, y1)))
         .withColumn("__xi", F.explode(F.sequence(x0, x1)))
-        .withColumn("cell", F.col("__yi") * n + F.col("__xi"))
+        .withColumn("cell", F.col("__yi") * n + F.pmod(F.col("__xi"), F.lit(n)))
         .drop("__yi", "__xi")
     )
 

@@ -37,6 +37,22 @@ __all__ = ["knn"]
 _M_PER_DEG = 111_195.0
 
 
+def _estimated_rows(df: DataFrame) -> float:
+    """Row-count estimate from Catalyst plan statistics (no job): exact
+    rowCount when CBO/AQE provides one, else sizeInBytes over a schema-
+    derived row width. Replaces a driver-side count() — at 10^12 rows a
+    full scan just to size a search ring is unacceptable."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return float(str(rc.get()))
+        width = 8 * len(df.schema.fields) + 20
+        return max(float(str(stats.sizeInBytes())) / width, 1.0)
+    except Exception:
+        return 1e6  # conservative default density
+
+
 def _rank_topk(cand: DataFrame, k_col: str, order_cols: tuple) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(
         F.col("dist_m").asc(), *[F.col(c).asc() for c in order_cols]
@@ -52,6 +68,7 @@ def knn(
     ring_cells: int | None = None,
     max_ring: int = 8,
     order_cols: tuple = ("doc_id", "span_offset"),
+    k_max: int | None = None,
 ) -> DataFrame:
     """For each probe (q_id, lon, lat, k): the k nearest points.
 
@@ -61,8 +78,14 @@ def knn(
     """
     n = 1 << bits
     if ring_cells is None:
-        n_pts = points.count()
-        kmax = probes.agg(F.max(k_col)).collect()[0][0] or 1
+        # size the ring from Catalyst plan statistics — free, no job
+        # (the old points.count() was a full extra scan per call); the
+        # estimate only tunes performance: the guard + fallback pass
+        # keep the result exact whatever ring size is chosen
+        n_pts = _estimated_rows(points)
+        kmax = k_max if k_max is not None else (
+            probes.agg(F.max(k_col)).collect()[0][0] or 1  # probe sets are small
+        )
         per_cell = max(n_pts / float(n * n), 1e-12)
         # window with ~4·kmax expected points: (2R+1)^2 · per_cell ≥ 4·kmax
         r = int(math.ceil((math.sqrt(4.0 * kmax / per_cell) - 1.0) / 2.0))
@@ -101,14 +124,18 @@ def knn(
         )
         .withColumn(
             "__xi",
+            # no ±180 clamp: raw indices wrap via pmod so a probe near
+            # the antimeridian explores cells on both sides (the guard
+            # stays valid — every cell within r columns IS explored);
+            # span capped at n columns so no cell repeats
             F.explode(
                 F.sequence(
-                    F.greatest(F.col("__qxi") - r, F.lit(0)),
-                    F.least(F.col("__qxi") + r, F.lit(n - 1)),
+                    F.col("__qxi") - r,
+                    F.least(F.col("__qxi") + r, F.col("__qxi") - r + F.lit(n - 1)),
                 )
             ),
         )
-        .withColumn("cell", F.col("__yi") * n + F.col("__xi"))
+        .withColumn("cell", F.col("__yi") * n + F.pmod(F.col("__xi"), F.lit(n)))
         .drop("__xi", "__yi")
     )
     cand = pts.join(F.broadcast(ring), on="cell", how="inner").drop("cell")

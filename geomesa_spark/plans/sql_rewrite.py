@@ -1,0 +1,297 @@
+"""SQL-text spatial optimization: rewrite ``st_*`` join conditions and
+filters into cell-cover equi-joins / bbox pushdown before Spark parses
+the query.
+
+Reference analogue: geomesa-spark-sql SQLRules.scala::
+SpatialOptimizationsRule (:~60), which intercepts the parsed Catalyst
+plan and swaps spatial predicates for index scans + joins. Here the
+same rewrite happens on the SQL *text*: the coarse predicate (grid-cell
+arithmetic) is ordinary SQL, so after rewriting Catalyst sees a plain
+equi-join on ``__cell`` and plans a BroadcastHashJoin — instead of the
+BroadcastNestedLoopJoin cartesian it would plan for a UDF-only join
+condition. The original ``st_*`` predicate is kept as a residual WHERE
+filter (vectorized grouped kernel), so results are identical — only the
+candidate set shrinks from |points|×|polys| to cell-cover matches.
+
+Supported shapes (qualified column refs required):
+
+- ``... FROM pts p JOIN polys q ON st_contains(q.wkt, st_point(p.lon, p.lat))``
+  (also st_covers / st_intersects / st_within with the point first)
+- ``... ON st_distanceSphere(st_point(p.lon,p.lat), st_point(q.lon,q.lat)) <= r``
+  (r literal or a probe-side column) — DWITHIN join
+- ``WHERE st_contains('POLYGON (...)', st_point(lon, lat))`` — a WKT
+  literal filter gains closed-bbox conjuncts that reach the parquet scan
+  as PushedFilters (partition/row-group pruning).
+
+Anything else passes through unchanged — the rewrite is a pure
+optimization with a safe identity fallback.
+
+Cell formulas mirror operators/extract.py::grid_cell and
+operators/joins.py::cover_cells_for_polys exactly (including the
+antimeridian pmod wrap), so rewritten SQL joins pair the same
+candidates as the Python-API operators. Double literals carry the ``D``
+suffix: bare ``180.0`` is DECIMAL in Spark SQL and would change the
+IEEE arithmetic.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["spatial_sql", "rewrite_spatial_sql"]
+
+_ENV_COLS = ("min_lon", "min_lat", "max_lon", "max_lat")
+
+_JOIN_RE = re.compile(
+    r"FROM\s+(?P<t1>\w+)\s+(?:AS\s+)?(?P<a1>\w+)\s+(?:INNER\s+)?JOIN\s+"
+    r"(?P<t2>\w+)\s+(?:AS\s+)?(?P<a2>\w+)\s+ON\s+",
+    re.IGNORECASE,
+)
+
+_PIP_GEOM_FIRST = re.compile(
+    r"^st_(contains|covers|intersects)\s*\(\s*(\w+)\.(\w+)\s*,\s*"
+    r"st_point\s*\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)\s*\)$",
+    re.IGNORECASE,
+)
+_PIP_POINT_FIRST = re.compile(
+    r"^st_(within|intersects)\s*\(\s*st_point\s*\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)"
+    r"\s*,\s*(\w+)\.(\w+)\s*\)$",
+    re.IGNORECASE,
+)
+_DWITHIN = re.compile(
+    r"^st_distanceSphere\s*\(\s*st_point\s*\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)\s*,\s*"
+    r"st_point\s*\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)\s*\)\s*<=?\s*(?P<r>[\w.]+)$",
+    re.IGNORECASE,
+)
+_FILTER_PIP = re.compile(
+    r"st_(contains|covers|intersects)\s*\(\s*'([^']+)'\s*,\s*"
+    r"st_point\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s*\)",
+    re.IGNORECASE,
+)
+
+_CLAUSE_KW = re.compile(r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION)\b", re.IGNORECASE)
+
+
+def _scan_condition(sql: str, start: int) -> tuple[str, int]:
+    """Extract the ON condition from ``start`` to the next top-level
+    clause keyword (paren-depth aware)."""
+    depth = 0
+    i = start
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _CLAUSE_KW.match(sql, i)
+            if m:
+                return sql[start:i].strip(), i
+        i += 1
+    return sql[start:].strip(), len(sql)
+
+
+def _point_cell(lon: str, lat: str, n: int) -> str:
+    # mirrors extract.grid_cell: least-clamped floor bins, row-major
+    return (
+        f"(least(floor(({lat} + 90.0D) / 180.0D * {n}), {n - 1}) * {n}"
+        f" + least(floor(({lon} + 180.0D) / 360.0D * {n}), {n - 1}))"
+    )
+
+
+def _cover_lateral(n: int) -> str:
+    # mirrors joins.cover_cells_for_polys: y clamped, x unclamped + pmod
+    # wrap, span capped at n columns
+    y0 = f"least(greatest(floor((min_lat + 90.0D) / 180.0D * {n}), 0), {n - 1})"
+    y1 = f"least(greatest(floor((max_lat + 90.0D) / 180.0D * {n}), 0), {n - 1})"
+    x0 = f"floor((min_lon + 180.0D) / 360.0D * {n})"
+    x1 = f"least(floor((max_lon + 180.0D) / 360.0D * {n}), {x0} + {n - 1})"
+    return (
+        f" LATERAL VIEW explode(sequence({y0}, {y1})) __ey AS __yy"
+        f" LATERAL VIEW explode(sequence({x0}, {x1})) __ex AS __xx"
+    )
+
+
+def _poly_subquery(table: str, wkt_col: str, has_env: bool, n: int) -> str:
+    src = table
+    if not has_env:
+        src = (
+            f"(SELECT *, st_xmin({wkt_col}) AS min_lon, st_ymin({wkt_col}) AS min_lat,"
+            f" st_xmax({wkt_col}) AS max_lon, st_ymax({wkt_col}) AS max_lat FROM {table})"
+        )
+    return (
+        f"(SELECT *, (__yy * {n} + pmod(__xx, {n})) AS __cell FROM {src} __s"
+        f"{_cover_lateral(n)})"
+    )
+
+
+def _probe_subquery(table: str, lon: str, lat: str, radius: str, n: int) -> str:
+    """DWITHIN cover: circle-bbox per probe, widest-latitude lon scaling
+    (mirrors operators/joins.py::distance_join)."""
+    rlat = f"({radius} / 111195.0D)"
+    coslat = f"greatest(cos(radians(least(abs({lat}) + {rlat}, 90.0D))), cast(1e-6 as double))"
+    rlon = f"({rlat} / {coslat})"
+    src = (
+        f"(SELECT *, {lon} - {rlon} AS min_lon, {lon} + {rlon} AS max_lon,"
+        f" {lat} - {rlat} AS min_lat, {lat} + {rlat} AS max_lat FROM {table})"
+    )
+    return (
+        f"(SELECT * EXCEPT (min_lon, max_lon, min_lat, max_lat), (__yy * {n} + pmod(__xx, {n}))"
+        f" AS __cell FROM {src} __s{_cover_lateral(n)})"
+    )
+
+
+def _table_columns(spark: SparkSession | None, name: str) -> list[str]:
+    if spark is None:
+        return []
+    try:
+        return [c.lower() for c in spark.table(name).columns]
+    except Exception:
+        return []
+
+
+def rewrite_spatial_sql(
+    sql: str,
+    spark: SparkSession | None = None,
+    bits: int = 6,
+    broadcast: bool = True,
+) -> str:
+    """Rewrite spatial joins/filters in ``sql``; identity if no
+    supported pattern matches."""
+    n = 1 << bits
+    out = _rewrite_join(sql, spark, n, broadcast)
+    out = _rewrite_literal_filters(out)
+    return out
+
+
+def _rewrite_join(sql: str, spark: SparkSession | None, n: int, broadcast: bool) -> str:
+    m = _JOIN_RE.search(sql)
+    if not m:
+        return sql
+    t1, a1, t2, a2 = m.group("t1"), m.group("a1"), m.group("t2"), m.group("a2")
+    cond, cond_end = _scan_condition(sql, m.end())
+
+    alias_table = {a1: t1, a2: t2}
+    pip = _PIP_GEOM_FIRST.match(cond)
+    envelope_where = None
+    if pip:
+        _, ga, gcol, pa1, loncol, pa2, latcol = pip.groups()
+        if pa1 != pa2 or ga == pa1 or ga not in alias_table or pa1 not in alias_table:
+            return sql
+        poly_a, pt_a = ga, pa1
+    else:
+        pipp = _PIP_POINT_FIRST.match(cond)
+        if pipp:
+            _, pa1, loncol, pa2, latcol, ga, gcol = pipp.groups()
+            if pa1 != pa2 or ga == pa1 or ga not in alias_table or pa1 not in alias_table:
+                return sql
+            poly_a, pt_a = ga, pa1
+        else:
+            dw = _DWITHIN.match(cond)
+            if not dw:
+                return sql
+            qa1, qlon, qa2, qlat, ra1, rlon, ra2, rlat, radius = dw.groups()
+            if qa1 != qa2 or ra1 != ra2 or qa1 == ra1:
+                return sql
+            # the probe (cover) side: the alias owning the radius column,
+            # else the second st_point's side
+            probe_a = radius.split(".")[0] if "." in radius else ra1
+            if probe_a not in alias_table:
+                return sql
+            pt_a = a1 if probe_a == a2 else a2
+            plon, plat = (qlon, qlat) if qa1 == pt_a else (rlon, rlat)
+            blon, blat = (qlon, qlat) if qa1 == probe_a else (rlon, rlat)
+            r_expr = radius.split(".")[1] if "." in radius else radius
+            probe_sub = _probe_subquery(alias_table[probe_a], blon, blat, r_expr, n)
+            pt_sub = f"(SELECT *, {_point_cell(plon, plat, n)} AS __cell FROM {alias_table[pt_a]})"
+            return _splice(
+                sql, m, cond_end, pt_a, pt_sub, probe_a, probe_sub, cond, None, broadcast,
+                order=(a1, a2),
+            )
+
+    cols2 = _table_columns(spark, alias_table[poly_a])
+    has_env = all(c in cols2 for c in _ENV_COLS) if cols2 else False
+    poly_sub = _poly_subquery(alias_table[poly_a], gcol, has_env, n)
+    pt_sub = f"(SELECT *, {_point_cell(loncol, latcol, n)} AS __cell FROM {alias_table[pt_a]})"
+    envelope_where = (
+        f"{pt_a}.{loncol} >= {poly_a}.min_lon AND {pt_a}.{loncol} <= {poly_a}.max_lon"
+        f" AND {pt_a}.{latcol} >= {poly_a}.min_lat AND {pt_a}.{latcol} <= {poly_a}.max_lat"
+    )
+    return _splice(
+        sql, m, cond_end, pt_a, pt_sub, poly_a, poly_sub, cond, envelope_where, broadcast,
+        order=(a1, a2),
+    )
+
+
+def _splice(
+    sql: str,
+    join_m: re.Match,
+    cond_end: int,
+    pt_a: str,
+    pt_sub: str,
+    cover_a: str,
+    cover_sub: str,
+    residual: str,
+    envelope_where: str | None,
+    broadcast: bool,
+    order: tuple[str, str],
+) -> str:
+    a1, a2 = order
+    first_sub, second_sub = (
+        (pt_sub, cover_sub) if pt_a == a1 else (cover_sub, pt_sub)
+    )
+    new_from = (
+        f"FROM {first_sub} {a1} JOIN {second_sub} {a2} "
+        f"ON {pt_a}.__cell = {cover_a}.__cell "
+    )
+    conds = [residual] if envelope_where is None else [envelope_where, residual]
+    tail = sql[cond_end:]
+    wm = re.search(r"\bWHERE\b", tail, re.IGNORECASE)
+    if wm:
+        tail = tail[: wm.end()] + " (" + ") AND (".join(conds) + ") AND" + tail[wm.end():]
+    else:
+        clause = " WHERE (" + ") AND (".join(conds) + ") "
+        km = _CLAUSE_KW.search(tail)
+        if km:
+            tail = tail[: km.start()] + clause + tail[km.start():]
+        else:
+            tail = tail.rstrip().rstrip(";") + clause
+    out = sql[: join_m.start()] + new_from + tail
+    if broadcast:
+        out = re.sub(
+            r"\bSELECT\b", f"SELECT /*+ BROADCAST({cover_a}) */", out, count=1,
+            flags=re.IGNORECASE,
+        )
+    return out
+
+
+def _rewrite_literal_filters(sql: str) -> str:
+    """WKT-literal spatial filters gain closed-bbox conjuncts that push
+    into the parquet scan (the residual st_* keeps exact semantics)."""
+    from geomesa_spark.geom import parse_wkt
+
+    def repl(m: re.Match) -> str:
+        try:
+            b = parse_wkt(m.group(2)).bbox
+        except Exception:
+            return m.group(0)
+        lon, lat = m.group(3), m.group(4)
+        return (
+            f"({lon} >= {b[0]!r}D AND {lon} <= {b[2]!r}D"
+            f" AND {lat} >= {b[1]!r}D AND {lat} <= {b[3]!r}D AND {m.group(0)})"
+        )
+
+    return _FILTER_PIP.sub(repl, sql)
+
+
+def spatial_sql(
+    spark: SparkSession, sql: str, bits: int = 6, broadcast: bool = True
+) -> DataFrame:
+    """``spark.sql`` with the spatial rewrite applied (and the st_*
+    catalog registered)."""
+    from geomesa_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    return spark.sql(rewrite_spatial_sql(sql, spark, bits=bits, broadcast=broadcast))

@@ -1,0 +1,173 @@
+"""SQL-text spatial rewrite (plans/sql_rewrite.py): plan shape, result
+parity with both the unrewritten SQL and the Python-API operators, and
+the antimeridian wrap in the shared cover machinery.
+
+Reference test analogue: geomesa-spark-sql
+SparkSQLSpatialRelationshipsTest (same queries through the SQL surface
+must match the programmatic API row-for-row)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions.st import register_st_functions
+from geomesa_spark.operators.joins import distance_join, spatial_join_points_in_polys
+from geomesa_spark.plans.sql_rewrite import rewrite_spatial_sql, spatial_sql
+from geomesa_spark.tables import poly_layers, query_points, synthesize_documents
+
+
+@pytest.fixture(scope="module")
+def geo_views(spark):
+    from geomesa_spark.operators.extract import extract_geo_points
+
+    register_st_functions(spark)
+    pts = extract_geo_points(synthesize_documents(spark, 3000)).cache()
+    polys = poly_layers(spark, 300).cache()
+    pts.createOrReplaceTempView("rw_pts")
+    polys.createOrReplaceTempView("rw_polys")
+    query_points(spark, 2000).createOrReplaceTempView("rw_probes")
+    yield {"pts": pts, "polys": polys}
+    pts.unpersist()
+    polys.unpersist()
+
+
+PIP_SQL = """
+SELECT p.doc_id, p.span_offset, q.poly_id
+FROM rw_pts p JOIN rw_polys q
+  ON st_contains(q.wkt, st_point(p.lon, p.lat))
+"""
+
+
+class TestPipRewrite:
+    def test_plan_is_hash_join(self, spark, geo_views):
+        df = spatial_sql(spark, PIP_SQL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_rows_match_unrewritten(self, spark, geo_views):
+        fast = set(map(tuple, spatial_sql(spark, PIP_SQL).collect()))
+        slow = set(map(tuple, spark.sql(PIP_SQL).collect()))
+        assert fast == slow
+        assert len(fast) > 0
+
+    def test_within_point_first(self, spark, geo_views):
+        sql = """
+        SELECT p.doc_id, p.span_offset, q.poly_id
+        FROM rw_pts p JOIN rw_polys q
+          ON st_within(st_point(p.lon, p.lat), q.wkt)
+        """
+        rewritten = rewrite_spatial_sql(sql, spark)
+        assert "__cell" in rewritten
+        fast = set(map(tuple, spatial_sql(spark, sql).collect()))
+        slow = set(map(tuple, spark.sql(sql).collect()))
+        assert fast == slow
+
+    def test_envelope_from_wkt_when_missing(self, spark, geo_views):
+        geo_views["polys"].select("poly_id", "kind", "wkt").createOrReplaceTempView(
+            "rw_polys_nake"
+        )
+        sql = PIP_SQL.replace("rw_polys", "rw_polys_nake")
+        rewritten = rewrite_spatial_sql(sql, spark)
+        assert "st_xmin" in rewritten
+        fast = set(map(tuple, spatial_sql(spark, sql).collect()))
+        slow = set(map(tuple, spark.sql(sql).collect()))
+        assert fast == slow
+
+    def test_unsupported_passthrough(self, spark):
+        sql = "SELECT 1 AS one"
+        assert rewrite_spatial_sql(sql, spark) == sql
+
+
+class TestDwithinRewrite:
+    def test_rows_match_operator(self, spark, geo_views):
+        sql = """
+        SELECT q.q_id, p.doc_id, p.span_offset
+        FROM rw_pts p JOIN rw_probes q
+          ON st_distanceSphere(st_point(p.lon, p.lat), st_point(q.lon, q.lat)) <= q.radius_m
+        """
+        rewritten = rewrite_spatial_sql(sql, spark)
+        assert "__cell" in rewritten
+        fast = spatial_sql(spark, sql)
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        got = set(map(tuple, fast.collect()))
+        ref = set(
+            map(
+                tuple,
+                distance_join(geo_views["pts"], query_points(spark, 2000), bits=6)
+                .select("q_id", "doc_id", "span_offset")
+                .collect(),
+            )
+        )
+        assert len(got) > 0
+        assert got == ref
+
+
+class TestLiteralFilterRewrite:
+    def test_bbox_conjuncts_added(self, spark, geo_views):
+        sql = (
+            "SELECT doc_id FROM rw_pts WHERE st_contains("
+            "'POLYGON ((-150 -40, -50 -40, -50 40, -150 40, -150 -40))', "
+            "st_point(lon, lat))"
+        )
+        rewritten = rewrite_spatial_sql(sql, spark)
+        assert "lon >= -150.0D" in rewritten and "lat <= 40.0D" in rewritten
+        fast = set(r[0] for r in spatial_sql(spark, sql).collect())
+        slow = set(r[0] for r in spark.sql(sql).collect())
+        assert fast == slow and len(fast) > 0
+
+
+class TestAntimeridianWrap:
+    """ADVICE round-1: cover ranges must wrap at ±180, not clamp."""
+
+    def _frame(self, spark, rows, cols):
+        return spark.createDataFrame(rows, cols)
+
+    def test_distance_join_across_dateline(self, spark):
+        pts = self._frame(
+            spark,
+            [("a", 0, 179.9, 10.0), ("b", 0, -179.9, 10.0), ("c", 0, 170.0, 10.0)],
+            ["doc_id", "span_offset", "lon", "lat"],
+        )
+        probes = self._frame(
+            spark,
+            [("q0", -179.95, 10.0, 50_000.0)],
+            ["q_id", "lon", "lat", "radius_m"],
+        )
+        got = {
+            r["doc_id"]
+            for r in distance_join(pts, probes, bits=6).select("doc_id").collect()
+        }
+        # 179.9 is ~22 km from -179.95 across the dateline
+        assert got == {"a", "b"}
+
+    def test_knn_across_dateline(self, spark):
+        pts = self._frame(
+            spark,
+            [("near", 0, 179.9, 0.0), ("far", 0, -170.0, 0.0)],
+            ["doc_id", "span_offset", "lon", "lat"],
+        )
+        probes = self._frame(
+            spark, [("q0", -179.95, 0.0, 1)], ["q_id", "lon", "lat", "k"]
+        )
+        from geomesa_spark.operators.knn import knn
+
+        got = knn(pts, probes, bits=6, ring_cells=1).select("doc_id").collect()
+        assert [r["doc_id"] for r in got] == ["near"]
+
+    def test_pip_join_unchanged_for_normalized_polys(self, spark, geo_views):
+        # wrap must not change results for polygons whose raw envelopes
+        # extend past ±180 (the refine kernel compares raw coordinates)
+        got = (
+            spatial_join_points_in_polys(
+                geo_views["pts"], geo_views["polys"], bits=6, broadcast=True
+            )
+            .count()
+        )
+        ref = (
+            spatial_join_points_in_polys(
+                geo_views["pts"], geo_views["polys"], bits=4, broadcast=True
+            )
+            .count()
+        )
+        assert got == ref
