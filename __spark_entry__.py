@@ -1079,15 +1079,23 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
             FROM h60
         """,
+        # mirrors dedup.lsh_candidate_pairs' hot-bucket cap (buckets over
+        # 10k rows are dropped before the self-join on both sides)
         "minhash_lsh": f"""
             WITH {SQL_MINHASH},
             bands AS (
               SELECT doc_id, g.b,
                      array_to_string(sig[g.b*4+1 : g.b*4+4], ',') AS band_key
               FROM mh CROSS JOIN (VALUES (0),(1),(2),(3)) AS g(b)
+            ),
+            ok AS (
+              SELECT b, band_key FROM bands GROUP BY b, band_key
+              HAVING count(*) <= 10000
             )
             SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
-            FROM bands a JOIN bands b
+            FROM bands a
+            JOIN ok o ON a.b = o.b AND a.band_key = o.band_key
+            JOIN bands b
               ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         """,
         "jaccard_pairs": """

@@ -412,7 +412,9 @@ def _rel_grouped(per_geom_points, fallback):
         px = pd.to_numeric(ext[0], errors="coerce")
         if not px.isna().any():
             py = pd.to_numeric(ext[1], errors="coerce")
-            out = np.zeros(len(a), dtype=object)
+            # null first operands propagate NULL (same as the fallback
+            # path — groupby would silently drop them to False)
+            out = np.full(len(a), None, dtype=object)
             pxv, pyv = px.to_numpy(), py.to_numpy()
             for w, idx in a.groupby(a, sort=False).indices.items():
                 res = per_geom_points(_parse(w), pxv[idx], pyv[idx])

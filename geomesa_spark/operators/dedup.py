@@ -18,8 +18,12 @@ int64 overflow under ANSI mode.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("geomesa_spark.dedup")
 
 __all__ = [
     "exact_dedup",
@@ -100,11 +104,22 @@ def lsh_candidate_pairs(
     sig_col: str = "minhash",
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket: int | None = 10_000,
+    log_drops: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any full band of their signature become
     a candidate pair. Shuffle is the (band, band_key) equi-join — hash
     keys distribute uniformly, and the join is self-equi with a < guard
     so each unordered pair appears once.
+
+    ``max_bucket`` caps the self-join blowup: a degenerate bucket of m
+    identical docs yields m²/2 pairs, so one 10⁶-doc flood bucket would
+    dominate the whole job. Buckets larger than the cap are dropped
+    BEFORE the join (anti-join against the hot-bucket list) and the
+    drop is logged — no silent truncation. Pass ``max_bucket=None`` to
+    disable. Exact dedup (content-hash groupBy) already collapses true
+    duplicates upstream, so capped buckets are near-dup floods an LSH
+    pass is allowed to under-report.
     """
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig_df.select(F.col(key_col), F.col(sig_col), band_idx)
@@ -116,6 +131,22 @@ def lsh_candidate_pairs(
             lambda x: x.cast("string"),
         )).alias("band_key"),
     )
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("__bn"))
+        hot = sizes.where(F.col("__bn") > max_bucket)
+        if log_drops:
+            d = hot.agg(
+                F.count("*").alias("n"), F.coalesce(F.sum("__bn"), F.lit(0)).alias("rows")
+            ).collect()[0]
+            if d["n"]:
+                _LOG.warning(
+                    "lsh_candidate_pairs: dropped %d hot buckets (%d banded rows) "
+                    "over max_bucket=%d",
+                    int(d["n"]), int(d["rows"]), max_bucket,
+                )
+        banded = banded.join(
+            F.broadcast(hot.select("band", "band_key")), ["band", "band_key"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -162,14 +193,25 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     shingle_k: int = 1,
     threshold: float = 0.5,
+    allow_full_cartesian: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within a blocking key
     (all-pairs inside a block only — the block is the scale guard;
     use LSH candidates as the block at corpus scale).
 
+    ``block_col`` is REQUIRED: without it the self-join is an n²
+    cartesian over the whole corpus, which silently "works" on test
+    data and dies at scale. The escape hatch ``allow_full_cartesian``
+    exists for small ad-hoc sets and says what it does on the tin.
+
     jaccard = |A ∩ B| / |A ∪ B| over distinct shingle sets — integer
     sizes, single double division.
     """
+    if block_col is None and not allow_full_cartesian:
+        raise ValueError(
+            "ngram_jaccard_pairs: block_col is required (all-pairs cartesian "
+            "otherwise); pass allow_full_cartesian=True only for small inputs"
+        )
     sh = df.select(
         F.col(key_col),
         *( [F.col(block_col)] if block_col else [] ),

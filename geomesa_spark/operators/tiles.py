@@ -119,12 +119,30 @@ def write_tiles(
 
     Returns the manifest dict (also written as JSON beside the data).
     """
+    from pyspark.sql import Observation
+
     tile = F.shiftrightunsigned(F.col(cell_col), 2 * (31 - prefix_bits))
     out = (
         df.withColumn("tile_prefix", tile)
         .withColumn("bucket", F.pmod(F.xxhash64(F.col("tile_prefix")), F.lit(n_buckets)))
         .withColumn("salt", F.pmod(F.xxhash64(F.col(salt_key)), F.lit(salt_buckets)))
     )
+    # per-bucket manifest stats ride along as Observation metrics on the
+    # write job itself — ONE pass over the data (the previous version
+    # re-read the written table and ran a second full aggregation;
+    # n_tiles is HLL-approximate now, the price of the single pass)
+    obs = Observation("tile_stats")
+    metrics = []
+    for b in range(n_buckets):
+        inb = F.col("bucket") == b
+        tp = F.when(inb, F.col("tile_prefix"))
+        metrics += [
+            F.sum(inb.cast("long")).alias(f"rows_{b}"),
+            F.min(tp).alias(f"min_{b}"),
+            F.max(tp).alias(f"max_{b}"),
+            F.approx_count_distinct(tp).alias(f"ntiles_{b}"),
+        ]
+    out = out.observe(obs, *metrics)
     (
         out.repartition(n_buckets * salt_buckets, "bucket", "salt")
         .sortWithinPartitions("tile_prefix", cell_col)
@@ -132,27 +150,17 @@ def write_tiles(
         .partitionBy("bucket")
         .parquet(path)
     )
-    spark = df.sparkSession
-    written = spark.read.parquet(path)
-    stats = (
-        written.groupBy("bucket")
-        .agg(
-            F.count("*").alias("rows"),
-            F.min("tile_prefix").alias("min_tile"),
-            F.max("tile_prefix").alias("max_tile"),
-            F.countDistinct("tile_prefix").alias("n_tiles"),
-        )
-        .collect()
-    )
+    got = obs.get
     partitions = [
         {
-            "bucket": int(r["bucket"]),
-            "rows": int(r["rows"]),
-            "min_tile": int(r["min_tile"]),
-            "max_tile": int(r["max_tile"]),
-            "n_tiles": int(r["n_tiles"]),
+            "bucket": b,
+            "rows": int(got[f"rows_{b}"] or 0),
+            "min_tile": int(got[f"min_{b}"]) if got[f"min_{b}"] is not None else None,
+            "max_tile": int(got[f"max_{b}"]) if got[f"max_{b}"] is not None else None,
+            "n_tiles": int(got[f"ntiles_{b}"] or 0),
         }
-        for r in stats
+        for b in range(n_buckets)
+        if got[f"rows_{b}"]
     ]
     return write_manifest(
         path,
@@ -161,6 +169,7 @@ def write_tiles(
             "prefix_bits": prefix_bits,
             "n_buckets": n_buckets,
             "salt_buckets": salt_buckets,
+            "stats_mode": "observed-single-pass (n_tiles approx)",
         },
         partitions=partitions,
         lineage=lineage or {},

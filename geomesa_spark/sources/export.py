@@ -62,16 +62,28 @@ def to_geojson_lines(df: DataFrame, geom_col: str = "wkt", id_col: str | None = 
     from geomesa_spark.functions.st import st_asGeoJSON
 
     props = [c for c in df.columns if c != geom_col]
-    feature = F.to_json(
-        F.struct(
-            F.lit("Feature").alias("type"),
-            *([F.col(id_col).alias("id")] if id_col else []),
-            F.from_json(
-                st_asGeoJSON(F.col(geom_col)),
-                "type string, coordinates array<array<array<double>>>",
-            ).alias("geometry"),
-            F.struct(*[F.col(c) for c in props]).alias("properties"),
+    # geometry splices in as the raw st_asGeoJSON string: coordinates
+    # nesting depth differs per geometry type (POINT array<double>,
+    # Polygon array<array<array<double>>>, ...), so re-parsing with one
+    # fixed from_json schema nulls every non-matching type. String
+    # surgery keeps the JSON byte-exact for all six types.
+    fields = [
+        F.lit("Feature").alias("type"),
+        *([F.col(id_col).alias("id")] if id_col else []),
+    ]
+    if props:
+        fields.append(F.struct(*[F.col(c) for c in props]).alias("properties"))
+        body = F.to_json(F.struct(*fields))
+    else:
+        body = F.concat(
+            F.regexp_replace(F.to_json(F.struct(*fields)), r"\}$", ""),
+            F.lit(',"properties":{}}'),
         )
+    feature = F.concat(
+        F.regexp_replace(body, r"\}$", ""),
+        F.lit(',"geometry":'),
+        st_asGeoJSON(F.col(geom_col)),
+        F.lit("}"),
     )
     return df.select(feature.alias("geojson"))
 

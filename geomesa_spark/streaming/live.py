@@ -42,6 +42,8 @@ __all__ = [
     "windowed_density",
     "track_state",
     "persist_tick",
+    "flush_epoch",
+    "epoch_committed",
 ]
 
 FEATURE_SCHEMA = (
@@ -184,6 +186,50 @@ def track_state(
     )
 
 
+def epoch_committed(path: str, epoch_id: int) -> bool:
+    """True when a manifest for this epoch has already been committed
+    (the durable marker for the idempotent per-epoch sink)."""
+    import json
+    import os
+
+    mdir = os.path.join(path, "_manifest")
+    if not os.path.isdir(mdir):
+        return False
+    for fn in os.listdir(mdir):
+        if fn.startswith("manifest-") and fn.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, fn)) as f:
+                    if json.load(f).get("lineage", {}).get("epoch") == epoch_id:
+                        return True
+            except Exception:
+                continue
+    return False
+
+
+def flush_epoch(batch_df: DataFrame, path: str, epoch_id: int, bits: int) -> int | None:
+    """Idempotent per-epoch flush: skip epochs whose manifest already
+    committed; otherwise overwrite the epoch's own partition directory
+    (``path/epoch=N/cell=M``) and commit its manifest last. Replay after
+    any failure point reproduces, never duplicates, the output. The
+    batch is persisted so one computation serves both the row count and
+    the write. Returns rows written, or None when skipped."""
+    from geomesa_spark.sources.catalog import write_manifest
+
+    if epoch_committed(path, epoch_id):
+        return None
+    out = batch_df.persist()
+    rows = out.count()
+    out.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/epoch={epoch_id}")
+    out.unpersist()
+    write_manifest(
+        path,
+        spec={"layout": "epoch/cell-partitioned", "bits": bits},
+        partitions=[{"bucket": int(epoch_id), "rows": int(rows)}],
+        lineage={"epoch": int(epoch_id), "source": "stream"},
+    )
+    return int(rows)
+
+
 def persist_tick(
     stream: DataFrame,
     path: str,
@@ -194,25 +240,18 @@ def persist_tick(
     """T4: lambda persistence — flush the transient stream into the
     cell-keyed parquet layout, one manifest commit per epoch.
 
-    checkpointLocation + idempotent per-epoch append directories give
-    exactly-once materialization; a restart resumes from the last
-    committed epoch (the north rule's checkpoint-resumability on the
-    streaming path).
+    Exactly-once: foreachBatch is at-least-once, so the sink must be
+    idempotent per epoch. Each epoch writes its OWN partition directory
+    (``path/epoch=N/cell=M``) with mode=overwrite, and a replayed epoch
+    whose manifest already committed is skipped outright — re-running
+    an epoch can only reproduce, never duplicate, its output. A restart
+    resumes from the last committed epoch (the north rule's
+    checkpoint-resumability on the streaming path).
     """
-    from geomesa_spark.sources.catalog import write_manifest
-
     keyed = with_cell_key(stream, bits)
 
     def _flush(batch_df: DataFrame, epoch_id: int):
-        out = batch_df.withColumn("epoch", F.lit(epoch_id))
-        out.write.mode("append").partitionBy("cell").parquet(path)
-        rows = out.count()
-        write_manifest(
-            path,
-            spec={"layout": "cell-partitioned", "bits": bits},
-            partitions=[{"bucket": int(epoch_id), "rows": int(rows)}],
-            lineage={"epoch": int(epoch_id), "source": "stream"},
-        )
+        flush_epoch(batch_df, path, int(epoch_id), bits)
 
     writer = keyed.writeStream.foreachBatch(_flush).option("checkpointLocation", checkpoint)
     if trigger:

@@ -64,6 +64,36 @@ class TestDedup:
         assert got[("d0", "d2")] == pytest.approx(0.8)
         assert ("d0", "d3") not in got  # different block
 
+    def test_jaccard_requires_block(self, docs):
+        with pytest.raises(ValueError, match="block_col"):
+            ngram_jaccard_pairs(docs)
+        # the escape hatch still works for small ad-hoc sets
+        n = ngram_jaccard_pairs(docs, allow_full_cartesian=True, threshold=0.99).count()
+        assert n >= 1
+
+    def test_lsh_hot_bucket_cap(self, spark):
+        """A flood of near-identical docs must not go quadratic: over
+        the cap, the hot bucket is dropped (and logged), in bounded
+        time; disjoint cold docs are unaffected."""
+        from pyspark.sql import functions as SF
+
+        flood = spark.range(0, 5000).select(
+            SF.format_string("hot-%05d", SF.col("id")).alias("doc_id"),
+            SF.lit("same same same same").alias("text"),
+        )
+        cold = spark.createDataFrame(
+            [("cold-a", "alpha beta gamma delta"), ("cold-b", "alpha beta gamma delta")],
+            "doc_id string, text string",
+        )
+        sigs = with_minhash(flood.unionByName(cold), shingle_k=1)
+        pairs = lsh_candidate_pairs(sigs, max_bucket=100).collect()
+        got = {(r.key_a, r.key_b) for r in pairs}
+        assert got == {("cold-a", "cold-b")}  # flood bucket dropped whole
+        # uncapped on a small subset still pairs the flood docs
+        small = with_minhash(flood.limit(10).unionByName(cold), shingle_k=1)
+        n_uncapped = lsh_candidate_pairs(small, max_bucket=None).count()
+        assert n_uncapped == 45 + 1
+
 
 class TestText:
     def test_token_stats(self, docs):

@@ -92,6 +92,31 @@ class TestExport:
             t = r.read_all()
         assert t.num_rows == 100 and t.column("id")[0].as_py() == 0
 
+    def test_geojson_every_geometry_type(self, spark):
+        """ADVICE round-1: coordinates must survive for every geometry
+        type, not just Polygon-shaped nesting."""
+        import json
+
+        from geomesa_spark.sources.export import to_geojson_lines
+
+        rows = [
+            ("a", "POINT (1 2)"),
+            ("b", "LINESTRING (0 0, 1 1)"),
+            ("c", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            ("d", "MULTIPOINT (1 1, 2 2)"),
+            ("e", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"),
+            ("f", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))"),
+        ]
+        df = spark.createDataFrame(rows, "fid string, wkt string")
+        out = {json.loads(r[0])["properties"]["fid"]: json.loads(r[0])
+               for r in to_geojson_lines(df).collect()}
+        assert len(out) == 6
+        for fid, feat in out.items():
+            assert feat["type"] == "Feature"
+            assert feat["geometry"]["coordinates"] is not None, fid
+        assert out["a"]["geometry"] == {"type": "Point", "coordinates": [1.0, 2.0]}
+        assert out["b"]["geometry"]["coordinates"] == [[0.0, 0.0], [1.0, 1.0]]
+
     def test_bin_pack(self, spark):
         df = spark.createDataFrame(
             [("t1", "2024-01-01 00:00:00", 1.0, 2.0)],

@@ -57,6 +57,16 @@ class TestRelations:
         assert sql(f"st_contains('{BOX}', '{inner}')") is True
         assert sql(f"st_contains('{inner}', '{BOX}')") is False
 
+    def test_null_first_operand_all_point_batch(self, spark):
+        """ADVICE round-1: NULL geometry must yield NULL (not false)
+        even on an all-points batch where the grouped fast path runs."""
+        df = spark.createDataFrame(
+            [(None, "POINT (1 1)"), (BOX, "POINT (1 1)"), (BOX, "POINT (9 9)")],
+            "g string, p string",
+        )
+        rows = df.select(F.expr("st_contains(g, p)").alias("r")).collect()
+        assert [r.r for r in rows] == [None, True, False]
+
 
 class TestMeasures:
     def test_area_with_hole(self, sql):

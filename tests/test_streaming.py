@@ -134,7 +134,7 @@ class TestStreaming:
             ok = _wait_rows(
                 q,
                 lambda: latest_manifest(out) is not None
-                and len(glob.glob(os.path.join(out, "cell=*"))) > 0,
+                and len(glob.glob(os.path.join(out, "epoch=*", "cell=*"))) > 0,
             )
             assert ok
             m = latest_manifest(out)
@@ -143,3 +143,24 @@ class TestStreaming:
             assert n > 0
         finally:
             q.stop()
+
+    def test_flush_epoch_replay_is_idempotent(self, spark, tmp_path):
+        """foreachBatch is at-least-once: replaying a committed epoch
+        must not duplicate rows (ADVICE round-1)."""
+        from geomesa_spark.streaming.live import flush_epoch
+
+        out = str(tmp_path / "epochs")
+        df = with_cell_key(
+            spark.range(0, 50).select(
+                F.format_string("f-%d", F.col("id")).alias("__fid__"),
+                (F.col("id") * 3.0 - 60.0).alias("lon"),
+                (F.col("id") * 1.0 - 25.0).alias("lat"),
+            ),
+            bits=4,
+        )
+        assert flush_epoch(df, out, 7, bits=4) == 50
+        assert flush_epoch(df, out, 7, bits=4) is None  # replay skipped
+        assert spark.read.parquet(out).count() == 50
+        # a different epoch appends its own directory
+        assert flush_epoch(df, out, 8, bits=4) == 50
+        assert spark.read.parquet(out).count() == 100
