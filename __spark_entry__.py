@@ -531,6 +531,33 @@ def q_tube_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "span_offset", "vertex_id")
 
 
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 writer semantics end-to-end: init a fid-bucketed table from
+    events, apply an upsert delta (value+1000 for event_id%5==0, two
+    synthetic inserts dropped again by a later delete) and delete-by-fid
+    tombstones (event_id%7==0), COMPACT (bucket-scoped rewrite), and
+    read the final state — the oracle recomputes it relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    from geomesa_spark.sources import upsert as U
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"geomesa_upsert_q_{os.path.basename(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    U.init_table(ev, path, fid_col="event_id", n_buckets=8)
+    U.append_upserts(
+        ev.where(F.col("event_id") % 5 == 0).withColumn("value", F.col("value") + 1000.0),
+        path,
+    )
+    U.append_deletes(ev.where(F.col("event_id") % 7 == 0).select("event_id"), path)
+    U.compact(spark, path)
+    return U.read_latest(spark, path).select("event_id", "user_id", "event_type", "value")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (dedup / text / similarity)
 # ---------------------------------------------------------------------------
@@ -679,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_topn": q_sorted_topn,
         "attr_join": q_attr_join,
         "tube_select": q_tube_select,
+        "upsert_latest": q_upsert_latest,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -1019,6 +1047,11 @@ def oracle_sql() -> dict[str, str]:
             FROM pts_t p CROSS JOIN tube q
             WHERE {_sql_haversine('p.lon', 'p.lat', 'q.t_lon', 'q.t_lat')} <= 500000.0
               AND abs(p.secs - q.t_secs) <= 14400
+        """,
+        "upsert_latest": """
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 5 = 0 THEN value + 1000.0 ELSE value END AS value
+            FROM events WHERE event_id % 7 <> 0
         """,
         # --- training-data pipeline --------------------------------------
         "dedup_exact": """

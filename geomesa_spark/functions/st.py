@@ -234,9 +234,10 @@ st_interiorRingN = _binary(
 )
 st_numPoints = _unary(lambda w: int(sum(len(r) for r in _parse(w).rings)), T.IntegerType())
 st_numGeometries = _unary(
-    lambda w: int(len(set(_parse(w).ring_poly)) if _parse(w).geom_type == "MULTIPOLYGON"
-                  else (len(_parse(w).rings[0]) if _parse(w).geom_type == "MULTIPOINT"
-                        else (len(_parse(w).rings) if _parse(w).geom_type == "MULTILINESTRING" else 1))),
+    lambda w: int(len(_parse(w).parts or []) if _parse(w).geom_type == "GEOMETRYCOLLECTION"
+                  else (len(set(_parse(w).ring_poly)) if _parse(w).geom_type == "MULTIPOLYGON"
+                        else (len(_parse(w).rings[0]) if _parse(w).geom_type == "MULTIPOINT"
+                              else (len(_parse(w).rings) if _parse(w).geom_type == "MULTILINESTRING" else 1)))),
     T.IntegerType(),
 )
 st_pointN = _binary(
@@ -261,8 +262,37 @@ st_isRing = _unary(
     T.BooleanType(),
 )
 st_isValid = _unary(lambda w: _parse(w) is not None, T.BooleanType())
-st_isSimple = st_isValid  # simplified: fixtures avoid self-intersections
+st_isSimple = _unary(lambda w: bool(G.is_simple(_parse(w))), T.BooleanType())
 st_boundary = st_exteriorRing
+
+
+def _geometry_n(w: str, n: int) -> str | None:
+    """1-based nth component of a MULTI* / GEOMETRYCOLLECTION (PostGIS
+    ST_GeometryN convention; a simple geometry is its own component 1)."""
+    g = _parse(w)
+    n = int(n)
+    t = g.geom_type
+    if t == "GEOMETRYCOLLECTION":
+        return G.to_wkt(g.parts[n - 1]) if 1 <= n <= len(g.parts or []) else None
+    if t == "MULTIPOINT":
+        pts = g.rings[0]
+        return f"POINT ({pts[n-1][0]:g} {pts[n-1][1]:g})" if 1 <= n <= len(pts) else None
+    if t == "MULTILINESTRING":
+        if not 1 <= n <= len(g.rings):
+            return None
+        return G.to_wkt(G.Geometry("LINESTRING", [g.rings[n - 1]]))
+    if t == "MULTIPOLYGON":
+        polys: dict[int, list] = {}
+        for r, pi in zip(g.rings, g.ring_poly):
+            polys.setdefault(pi, []).append(r)
+        keys = sorted(polys)
+        if not 1 <= n <= len(keys):
+            return None
+        return G.to_wkt(G.Geometry("POLYGON", polys[keys[n - 1]]))
+    return w if n == 1 else None
+
+
+st_geometryN = _binary(_geometry_n, T.StringType())
 
 # envelope bound accessors (PostGIS ST_XMin-style; used by the SQL
 # spatial rewriter to derive cover ranges when a table carries only wkt)
@@ -385,13 +415,36 @@ def _antimeridian_safe(w: str) -> str:
 
 st_antimeridianSafeGeom = _unary(_antimeridian_safe, T.StringType())
 
-st_intersection = _binary(
-    lambda a, b: (lambda clipped: "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in clipped)
-                  + f", {clipped[0][0]} {clipped[0][1]}))" if len(clipped) >= 3 else None)(
-        G.clip_polygon_convex(_parse(a).rings[0], _parse(b).rings[0])
-    ),
-    T.StringType(),
-)
+def _poly_op(a: str, b: str, op: str) -> str | None:
+    """Boolean polygon op (Greiner–Hormann for arbitrary simple rings;
+    point operands reduce to containment filtering). None = empty."""
+    ga, gb = _parse(a), _parse(b)
+    polyish = ("POLYGON", "MULTIPOLYGON")
+    if ga.geom_type in ("POINT", "MULTIPOINT") or gb.geom_type in ("POINT", "MULTIPOINT"):
+        pts_g, other = (ga, gb) if ga.geom_type in ("POINT", "MULTIPOINT") else (gb, ga)
+        if other.geom_type not in polyish:
+            return None
+        p = G._rep_points(pts_g)
+        inside = G.points_in_polygon(p[:, 0], p[:, 1], other)
+        if op == "intersection":
+            keep = p[inside]
+        elif op == "difference" and pts_g is ga:
+            keep = p[~inside]
+        else:
+            return None
+        if len(keep) == 0:
+            return None
+        if len(keep) == 1:
+            return f"POINT ({keep[0][0]:g} {keep[0][1]:g})"
+        return G.to_wkt(G.Geometry("MULTIPOINT", [keep]))
+    if ga.geom_type != "POLYGON" or gb.geom_type != "POLYGON":
+        return None
+    out = G.clip_polygons(ga.rings[0], gb.rings[0], op)
+    return G.to_wkt(out) if out is not None else None
+
+
+st_intersection = _binary(lambda a, b: _poly_op(a, b, "intersection"), T.StringType())
+st_difference = _binary(lambda a, b: _poly_op(a, b, "difference"), T.StringType())
 
 # --- relations + measures (UDF tier) -------------------------------------
 
@@ -451,7 +504,16 @@ st_contains = _rel_grouped(
     else np.zeros(len(px), dtype=bool),
     G.geom_contains,
 )
-st_covers = st_contains  # boundary-inclusive variant collapses under the half-open kernel
+st_covers = _rel_grouped(
+    # closed-region test: interior (ray-cast) OR exactly on boundary —
+    # the true boundary-inclusive variant, no longer a contains alias
+    lambda g, px, py: (
+        G.points_in_polygon(px, py, g) | G.points_on_boundary(px, py, g)
+    )
+    if g.geom_type in ("POLYGON", "MULTIPOLYGON")
+    else np.zeros(len(px), dtype=bool),
+    G.geom_covers,
+)
 st_within = _rel(lambda a, b: G.geom_contains(b, a))
 st_equals = _rel(
     lambda a, b: a.geom_type == b.geom_type
@@ -478,6 +540,29 @@ st_touches = _rel(
         if a.geom_type in ("POLYGON", "MULTIPOLYGON") else False
     )
 )
+
+st_relate = _binary(lambda a, b: G.relate_matrix(_parse(a), _parse(b)), T.StringType())
+
+
+@F.pandas_udf(T.BooleanType())
+def st_relateBool(a: pd.Series, b: pd.Series, pat: pd.Series) -> pd.Series:
+    """DE-9IM pattern predicate (reference SpatialRelationFunctions.
+    st_relateBool): matrix per distinct pair, wildcard match."""
+    cache: dict = {}
+    out = []
+    for wa, wb, p in zip(a, b, pat):
+        if wa is None or wb is None or p is None:
+            out.append(None)
+            continue
+        k = (wa, wb)
+        if k not in cache:
+            try:
+                cache[k] = G.relate_matrix(_parse(wa), _parse(wb))
+            except Exception:
+                cache[k] = None
+        out.append(None if cache[k] is None else G.relate_match(cache[k], str(p)))
+    return pd.Series(out, dtype=object)
+
 
 st_distance = _binary(lambda a, b: float(G.geom_distance(_parse(a), _parse(b))), T.DoubleType())
 
@@ -585,7 +670,9 @@ ST_FUNCTIONS: dict = {
     "st_bufferPoint": st_bufferPoint,
     "st_antimeridianSafeGeom": st_antimeridianSafeGeom,
     "st_intersection": st_intersection,
+    "st_difference": st_difference,
     "st_convexHull": st_convexHull,
+    "st_geometryN": st_geometryN,
     # relations + measures
     "st_intersects": st_intersects,
     "st_disjoint": st_disjoint,
@@ -596,6 +683,8 @@ ST_FUNCTIONS: dict = {
     "st_crosses": st_crosses,
     "st_overlaps": st_overlaps,
     "st_touches": st_touches,
+    "st_relate": st_relate,
+    "st_relateBool": st_relateBool,
     "st_distance": st_distance,
     "st_distanceSphere": st_distanceSphere,
     "st_distanceSpheroid": st_distanceSpheroid,

@@ -35,6 +35,12 @@ __all__ = [
     "segments_intersect",
     "geoms_intersect",
     "geom_contains",
+    "geom_covers",
+    "points_on_boundary",
+    "is_simple",
+    "clip_polygons",
+    "relate_matrix",
+    "relate_match",
     "geohash_encode",
     "geohash_decode",
     "wkb_from_points",
@@ -57,12 +63,13 @@ class Geometry:
     - MULTIPOLYGON:     coords = flat ring list; ``ring_poly`` maps ring->poly
     """
 
-    __slots__ = ("geom_type", "rings", "ring_poly")
+    __slots__ = ("geom_type", "rings", "ring_poly", "parts")
 
-    def __init__(self, geom_type: str, rings: list[np.ndarray], ring_poly=None):
+    def __init__(self, geom_type: str, rings: list[np.ndarray], ring_poly=None, parts=None):
         self.geom_type = geom_type
         self.rings = rings
         self.ring_poly = ring_poly
+        self.parts = parts  # GEOMETRYCOLLECTION children
 
     @property
     def bbox(self) -> tuple[float, float, float, float]:
@@ -125,6 +132,15 @@ def parse_wkt(wkt: str) -> Geometry:
                 rings.append(_coords(g))
                 ring_poly.append(pi)
         return Geometry(tag, rings, ring_poly)
+    if tag == "GEOMETRYCOLLECTION":
+        # parts are full WKT geometries split on top-level commas
+        # (reference attribute type ObjectType GEOMETRY_COLLECTION);
+        # rings aggregates all parts' rings so bbox/intersects reuse the
+        # flat paths, ``parts`` keeps the typed children for accessors
+        parts = [parse_wkt(g.strip()) for g in _split_groups(inner) if g.strip()]
+        g = Geometry(tag, [r for p in parts for r in p.rings])
+        g.parts = parts
+        return g
     raise ValueError(f"unsupported WKT type: {tag}")
 
 
@@ -147,6 +163,8 @@ def to_wkt(geom: Geometry) -> str:
         return "MULTIPOLYGON (" + ", ".join(
             "(" + ", ".join(rs) + ")" for _, rs in sorted(polys.items())
         ) + ")"
+    if t == "GEOMETRYCOLLECTION":
+        return "GEOMETRYCOLLECTION (" + ", ".join(to_wkt(p) for p in (geom.parts or [])) + ")"
     raise ValueError(t)
 
 
@@ -484,6 +502,442 @@ def geom_contains(g1: Geometry, g2: Geometry) -> bool:
     if g2.geom_type in ("POINT", "MULTIPOINT"):
         return True
     return not _any_edge_cross(g1, g2)
+
+
+def points_on_boundary(px: np.ndarray, py: np.ndarray, geom: Geometry) -> np.ndarray:
+    """True where (px,py) lies exactly on an edge/vertex of the
+    geometry's rings (exact float collinearity + bbox test)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    on = np.zeros(px.shape, dtype=bool)
+    closedish = geom.geom_type in ("POLYGON", "MULTIPOLYGON")
+    for r in geom.rings:
+        e = _close(r) if closedish else r
+        if len(e) < 2:
+            on |= (px == e[0, 0]) & (py == e[0, 1])
+            continue
+        for j in range(len(e) - 1):
+            ax, ay = e[j]
+            bx, by = e[j + 1]
+            cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            inbox = (
+                (px >= min(ax, bx)) & (px <= max(ax, bx))
+                & (py >= min(ay, by)) & (py <= max(ay, by))
+            )
+            on |= (cross == 0.0) & inbox
+    return on
+
+
+def geom_covers(g1: Geometry, g2: Geometry) -> bool:
+    """ST_Covers: every point of g2 lies in g1's closed region
+    (interior OR boundary) — unlike contains, boundary contact counts.
+    Vertex containment (closed) + no PROPER edge crossing (a proper
+    crossing means g2 exits g1's closed region; collinear boundary
+    touching is allowed)."""
+    if g1.geom_type not in ("POLYGON", "MULTIPOLYGON"):
+        if g1.geom_type in ("POINT", "MULTIPOINT"):
+            a, b = _rep_points(g1), _rep_points(g2)
+            return bool((b[:, None] == a[None, :]).all(axis=2).any(axis=1).all())
+        return False
+    p = _rep_points(g2)
+    closed_in = points_in_polygon(p[:, 0], p[:, 1], g1) | points_on_boundary(
+        p[:, 0], p[:, 1], g1
+    )
+    if not bool(closed_in.all()):
+        return False
+    if g2.geom_type in ("POINT", "MULTIPOINT"):
+        return True
+    return not _any_proper_cross(g1, g2)
+
+
+def _any_proper_cross(g1: Geometry, g2: Geometry) -> bool:
+    """True when any edge pair crosses PROPERLY (strict orientation
+    flips on both segments — excludes collinear/endpoint touches)."""
+    for r1 in g1.rings:
+        e1 = _close(r1) if g1.geom_type in ("POLYGON", "MULTIPOLYGON") else r1
+        if len(e1) < 2:
+            continue
+        a0x, a0y = e1[:-1, 0][:, None], e1[:-1, 1][:, None]
+        a1x, a1y = e1[1:, 0][:, None], e1[1:, 1][:, None]
+        for r2 in g2.rings:
+            e2 = _close(r2) if g2.geom_type in ("POLYGON", "MULTIPOLYGON") else r2
+            if len(e2) < 2:
+                continue
+            b0x, b0y = e2[:-1, 0][None, :], e2[:-1, 1][None, :]
+            b1x, b1y = e2[1:, 0][None, :], e2[1:, 1][None, :]
+
+            def orient(px, py, qx, qy, rx, ry):
+                return np.sign((qx - px) * (ry - py) - (qy - py) * (rx - px))
+
+            o1 = orient(a0x, a0y, a1x, a1y, b0x, b0y)
+            o2 = orient(a0x, a0y, a1x, a1y, b1x, b1y)
+            o3 = orient(b0x, b0y, b1x, b1y, a0x, a0y)
+            o4 = orient(b0x, b0y, b1x, b1y, a1x, a1y)
+            if bool(((o1 * o2 < 0) & (o3 * o4 < 0)).any()):
+                return True
+    return False
+
+
+def is_simple(geom: Geometry) -> bool:
+    """ST_IsSimple: no anomalous self-intersection.
+
+    POINT always; MULTIPOINT no duplicates; LINESTRING/rings: no two
+    non-adjacent segments intersect and no adjacent pair overlaps
+    collinearly."""
+    t = geom.geom_type
+    if t == "POINT":
+        return True
+    if t == "MULTIPOINT":
+        pts = geom.rings[0]
+        return len(np.unique(pts, axis=0)) == len(pts)
+
+    def path_simple(e: np.ndarray, closed: bool) -> bool:
+        m = len(e) - 1
+        for i in range(m):
+            for j in range(i + 1, m):
+                adjacent = (j == i + 1) or (closed and i == 0 and j == m - 1)
+                if adjacent:
+                    # shared endpoint is fine; collinear overlap is not
+                    shared = e[j] if j == i + 1 else e[0]
+                    a, b = (e[i], e[i + 1]) if j == i + 1 else (e[j], e[j + 1])
+                    c, d = (e[j], e[j + 1]) if j == i + 1 else (e[i], e[i + 1])
+                    v1 = a - shared if (a != shared).any() else b - shared
+                    v2 = c - shared if (c != shared).any() else d - shared
+                    if v1[0] * v2[1] - v1[1] * v2[0] == 0 and v1 @ v2 > 0:
+                        return False
+                    continue
+                if segments_intersect(e[i], e[i + 1], e[j], e[j + 1]):
+                    return False
+        return True
+
+    closedish = t in ("POLYGON", "MULTIPOLYGON")
+    for r in geom.rings:
+        e = _close(r) if closedish else r
+        if len(e) < 2:
+            continue
+        if not path_simple(e, closed=closedish or bool((e[0] == e[-1]).all())):
+            return False
+    return True
+
+
+# --- polygon clipping (Greiner–Hormann) ----------------------------------
+
+
+class _GHNode:
+    __slots__ = ("pt", "nxt", "prv", "neighbor", "inter", "entry", "visited")
+
+    def __init__(self, pt):
+        self.pt = (float(pt[0]), float(pt[1]))
+        self.nxt = self.prv = self.neighbor = None
+        self.inter = False
+        self.entry = False
+        self.visited = False
+
+
+def _ring_open(r: np.ndarray) -> np.ndarray:
+    r = np.asarray(r, dtype=np.float64)
+    if len(r) > 1 and r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:
+        return r[:-1]
+    return r
+
+
+def _gh_build(ring: np.ndarray) -> _GHNode:
+    nodes = [_GHNode(p) for p in ring]
+    for i, nd in enumerate(nodes):
+        nd.nxt = nodes[(i + 1) % len(nodes)]
+        nd.prv = nodes[i - 1]
+    return nodes[0]
+
+
+def _gh_vertices(head: _GHNode):
+    n = head
+    while True:
+        yield n
+        n = n.nxt
+        if n is head:
+            break
+
+
+def _seg_inter_params(a0, a1, b0, b1):
+    """Intersection parameters (ta, tb) of segments, or None if
+    parallel / not properly crossing in (0,1) on both."""
+    d1x, d1y = a1[0] - a0[0], a1[1] - a0[1]
+    d2x, d2y = b1[0] - b0[0], b1[1] - b0[1]
+    den = d1x * d2y - d1y * d2x
+    if den == 0.0:
+        return None
+    ex, ey = b0[0] - a0[0], b0[1] - a0[1]
+    ta = (ex * d2y - ey * d2x) / den
+    tb = (ex * d1y - ey * d1x) / den
+    if 0.0 < ta < 1.0 and 0.0 < tb < 1.0:
+        return ta, tb
+    return None
+
+
+def _pip_ring(x: float, y: float, ring: np.ndarray) -> bool:
+    return bool(points_in_rings(np.array([x]), np.array([y]), [ring])[0])
+
+
+def clip_polygons(subject: np.ndarray, clip: np.ndarray, op: str) -> Geometry | None:
+    """Boolean operation between two SIMPLE hole-free polygon rings via
+    Greiner–Hormann (Greiner & Hormann 1998, "Efficient clipping of
+    arbitrary polygons" — public algorithm): works for concave rings,
+    unlike Sutherland–Hodgman.
+
+    op: 'intersection' | 'difference' (subject − clip) | 'union'.
+    Returns a POLYGON / MULTIPOLYGON / None (empty result). Degenerate
+    configurations (vertex exactly on the other ring's edge) are
+    unsupported, matching the engine-wide no-on-edge fixture
+    convention.
+    """
+    s_ring = _ring_open(subject)
+    c_ring = _ring_open(clip)
+    if len(s_ring) < 3 or len(c_ring) < 3:
+        return None
+    s_head = _gh_build(s_ring)
+    c_head = _gh_build(c_ring)
+
+    # phase 1: insert intersection nodes (per original edge pair, sorted
+    # by parameter within each edge)
+    s_orig = list(_gh_vertices(s_head))
+    c_orig = list(_gh_vertices(c_head))
+    inserted: dict[int, list[tuple[float, _GHNode]]] = {}
+    n_inter = 0
+    for si, sn in enumerate(s_orig):
+        s_next = s_orig[(si + 1) % len(s_orig)]
+        hits = []
+        for ci, cn in enumerate(c_orig):
+            c_next = c_orig[(ci + 1) % len(c_orig)]
+            r = _seg_inter_params(sn.pt, s_next.pt, cn.pt, c_next.pt)
+            if r is None:
+                continue
+            ta, tb = r
+            pt = (
+                sn.pt[0] + ta * (s_next.pt[0] - sn.pt[0]),
+                sn.pt[1] + ta * (s_next.pt[1] - sn.pt[1]),
+            )
+            ns, nc = _GHNode(pt), _GHNode(pt)
+            ns.inter = nc.inter = True
+            ns.neighbor, nc.neighbor = nc, ns
+            hits.append((ta, ns))
+            inserted.setdefault(ci, []).append((tb, nc))
+            n_inter += 1
+        for ta, ns in sorted(hits, key=lambda kv: kv[0]):
+            # insert before current s_next (keeps ascending-alpha order)
+            prev = s_next.prv
+            prev.nxt, ns.prv = ns, prev
+            ns.nxt, s_next.prv = s_next, ns
+    for ci, hits in inserted.items():
+        c_next = c_orig[(ci + 1) % len(c_orig)]
+        for tb, nc in sorted(hits, key=lambda kv: kv[0]):
+            prev = c_next.prv
+            prev.nxt, nc.prv = nc, prev
+            nc.nxt, c_next.prv = c_next, nc
+
+    if n_inter == 0:
+        s_in_c = _pip_ring(s_ring[0, 0], s_ring[0, 1], c_ring)
+        c_in_s = _pip_ring(c_ring[0, 0], c_ring[0, 1], s_ring)
+        if op == "intersection":
+            if s_in_c:
+                return Geometry("POLYGON", [s_ring])
+            if c_in_s:
+                return Geometry("POLYGON", [c_ring])
+            return None
+        if op == "difference":
+            if s_in_c:
+                return None
+            if c_in_s:
+                return Geometry("POLYGON", [s_ring, c_ring])  # hole
+            return Geometry("POLYGON", [s_ring])
+        if s_in_c:
+            return Geometry("POLYGON", [c_ring])
+        if c_in_s:
+            return Geometry("POLYGON", [s_ring])
+        return Geometry(
+            "MULTIPOLYGON", [s_ring, c_ring], ring_poly=[0, 1]
+        )
+
+    # phase 2: entry/exit flags (alternate from the first vertex's
+    # containment state); difference flips clip, union flips both
+    def mark(head: _GHNode, other_ring: np.ndarray, flip: bool):
+        first = head.pt
+        inside = _pip_ring(first[0], first[1], other_ring)
+        for nd in _gh_vertices(head):
+            if nd.inter:
+                nd.entry = (not inside) ^ flip
+                inside = not inside
+
+    mark(s_head, c_ring, flip=(op == "union"))
+    mark(c_head, s_ring, flip=(op in ("difference", "union")))
+
+    # phase 3: traversal
+    out_rings: list[np.ndarray] = []
+    while True:
+        start = next(
+            (nd for nd in _gh_vertices(s_head) if nd.inter and not nd.visited), None
+        )
+        if start is None:
+            break
+        ring_pts = [start.pt]
+        cur = start
+        guard = 0
+        limit = 4 * (len(s_ring) + len(c_ring) + n_inter)
+        while True:
+            cur.visited = True
+            if cur.neighbor is not None:
+                cur.neighbor.visited = True
+            if cur.entry:
+                while True:
+                    cur = cur.nxt
+                    ring_pts.append(cur.pt)
+                    if cur.inter:
+                        break
+            else:
+                while True:
+                    cur = cur.prv
+                    ring_pts.append(cur.pt)
+                    if cur.inter:
+                        break
+            cur = cur.neighbor
+            guard += 1
+            if cur is start or cur is start.neighbor or guard > limit:
+                break
+        if ring_pts[-1] == ring_pts[0]:
+            ring_pts = ring_pts[:-1]
+        ring = np.array(ring_pts)
+        if len(ring) >= 3:
+            out_rings.append(ring)
+
+    if not out_rings:
+        return None
+    if len(out_rings) == 1:
+        return Geometry("POLYGON", out_rings)
+    return Geometry("MULTIPOLYGON", out_rings, ring_poly=list(range(len(out_rings))))
+
+
+# --- DE-9IM (classification-based) ---------------------------------------
+
+
+def _dim(g: Geometry) -> int:
+    if g.geom_type in ("POINT", "MULTIPOINT"):
+        return 0
+    if g.geom_type in ("LINESTRING", "MULTILINESTRING"):
+        return 1
+    return 2
+
+
+def relate_matrix(a: Geometry, b: Geometry) -> str:
+    """DE-9IM matrix string (row-major II,IB,IE,BI,BB,BE,EI,EB,EE).
+
+    Classification-based: the pair is classified with the engine's
+    predicates (equals/contains/covers/touches/crosses/overlaps/
+    disjoint) and the canonical matrix for that class is emitted
+    (reference SpatialRelationFunctions.st_relate delegates to JTS
+    relate; here the common point/line/polygon configurations produce
+    the same strings, exotic boundary collapses may differ — documented
+    engine-wide convention)."""
+    da, db = _dim(a), _dim(b)
+
+    def m(s: str) -> str:
+        return s
+
+    def transpose(s: str) -> str:
+        return "".join(s[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+
+    if da == 0 and db == 0:
+        pa, pb = _rep_points(a), _rep_points(b)
+        shared = (pa[:, None] == pb[None, :]).all(axis=2)
+        if shared.any():
+            only_shared = shared.any(axis=1).all() and shared.any(axis=0).all()
+            return m("0FFFFFFF2") if only_shared else m("0F0FFF0F2")
+        return m("FF0FFF0F2")
+
+    if da == 0:  # point vs line/polygon
+        p = _rep_points(a)
+        if db == 2:
+            inside = points_in_polygon(p[:, 0], p[:, 1], b)
+            onb = points_on_boundary(p[:, 0], p[:, 1], b)
+            if bool((inside | onb).all()):
+                if bool(inside.any()) and bool(onb.any()):
+                    return m("00FFFF212")
+                return m("0FFFFF212") if bool(inside.any()) else m("F0FFFF212")
+            if bool(inside.any()) or bool(onb.any()):
+                return m("00FFFF212") if bool(inside.any()) else m("F00FFF212")
+            return m("FF0FFF212")
+        onl = points_on_boundary(p[:, 0], p[:, 1], b)
+        ends = np.vstack([r[[0, -1]] for r in b.rings if len(r)])
+        onend = (p[:, None] == ends[None, :]).all(axis=2).any(axis=1)
+        if bool(onl.all()):
+            return m("F0FFFF102") if bool(onend.all()) else m("0FFFFF102")
+        return m("FF0FFF102") if not bool(onl.any()) else m("0F0FFF102")
+    if db == 0:
+        return transpose(relate_matrix(b, a))
+
+    if da == 2 and db == 2:
+        if _geom_equal(a, b):
+            return m("2FFF1FFF2")
+        if not geoms_intersect(a, b):
+            return m("FF2FF1212")
+        if geom_contains(a, b):
+            return m("212FF1FF2")
+        if geom_contains(b, a):
+            return m("2FF1FF212")
+        if _any_proper_cross(a, b):
+            return m("212101212")  # overlaps
+        # intersecting but no interior crossing → boundary touch
+        return m("FF2F11212")
+
+    if da == 1 and db == 2:
+        return transpose(relate_matrix(b, a))
+    if da == 2 and db == 1:
+        p = _rep_points(b)
+        inside = points_in_polygon(p[:, 0], p[:, 1], a)
+        onb = points_on_boundary(p[:, 0], p[:, 1], a)
+        if bool(inside.all()):
+            return m("102FF1FF2")  # line in polygon interior
+        if bool((inside | onb).all()) and bool(inside.any()):
+            return m("102F01FF2")
+        if _any_proper_cross(a, b):
+            return m("1020F1102")  # crosses
+        if bool(onb.any()) or geoms_intersect(a, b):
+            return m("FF2F01102")  # touches
+        return m("FF2FF1102")
+
+    # line vs line
+    if _geom_equal(a, b):
+        return m("1FFF0FFF2")
+    if not geoms_intersect(a, b):
+        return m("FF1FF0102")
+    if _any_proper_cross(a, b):
+        return m("0F1FF0102")  # crosses at interior point
+    return m("FF1F00102")  # touches (endpoint contact)
+
+
+def _geom_equal(a: Geometry, b: Geometry) -> bool:
+    return (
+        a.geom_type == b.geom_type
+        and len(a.rings) == len(b.rings)
+        and all(
+            r1.shape == r2.shape and bool((r1 == r2).all())
+            for r1, r2 in zip(a.rings, b.rings)
+        )
+    )
+
+
+def relate_match(matrix: str, pattern: str) -> bool:
+    """DE-9IM pattern match: T = any non-F dim, F = empty, * = any,
+    0/1/2 = exact dimension."""
+    if len(matrix) != 9 or len(pattern) != 9:
+        return False
+    for mc, pc in zip(matrix, pattern.upper()):
+        if pc == "*":
+            continue
+        if pc == "T":
+            if mc == "F":
+                return False
+        elif mc != pc:
+            return False
+    return True
 
 
 # --- geohash -------------------------------------------------------------

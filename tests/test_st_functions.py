@@ -155,3 +155,81 @@ class TestProcessing:
 
     def test_antimeridian(self, sql):
         assert sql("st_antimeridianSafeGeom(p)", p="POINT (190 10)") == "POINT (-170 10)"
+
+    def test_intersection_concave(self, sql):
+        # L-shape ∩ square exercises the Greiner–Hormann path (the old
+        # convex-only Sutherland–Hodgman clip would overcount)
+        ell = "POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))"
+        got = sql(f"st_intersection('{ell}', q)", q="POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))")
+        assert sql(f"st_area('{got}')") == pytest.approx(7.0)
+
+    def test_difference(self, sql):
+        got = sql(f"st_difference('{BOX}', '{BOX_SHIFT}')")
+        assert sql(f"st_area('{got}')") == pytest.approx(12.0)
+        # fully-contained clip punches a hole
+        holed = sql(f"st_difference('{BOX}', q)", q="POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert sql(f"st_area('{holed}')") == pytest.approx(15.0)
+        # disjoint clip leaves the subject untouched
+        assert sql(f"st_area(st_difference('{BOX}', '{BOX_FAR}'))") == pytest.approx(16.0)
+        # subject inside clip → empty (NULL)
+        assert sql(f"st_difference(q, '{BOX}')", q="POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))") is None
+
+    def test_intersection_points(self, sql):
+        got = sql(f"st_intersection(m, '{BOX}')", m="MULTIPOINT (1 1, 9 9)")
+        assert got == "POINT (1 1)"
+
+
+class TestRelate:
+    def test_point_polygon_matrices(self, sql):
+        assert sql(f"st_relate(p, '{BOX}')", p="POINT (1 1)") == "0FFFFF212"
+        assert sql(f"st_relate(p, '{BOX}')", p="POINT (4 2)") == "F0FFFF212"
+        assert sql(f"st_relate(p, '{BOX}')", p="POINT (9 9)") == "FF0FFF212"
+        # transposed argument order transposes the matrix
+        assert sql(f"st_relate('{BOX}', p)", p="POINT (1 1)") == "0F2FF1FF2"
+
+    def test_polygon_polygon_matrices(self, sql):
+        assert sql(f"st_relate('{BOX}', '{BOX}')") == "2FFF1FFF2"
+        assert sql(f"st_relate('{BOX}', '{BOX_FAR}')") == "FF2FF1212"
+        assert sql(f"st_relate('{BOX}', '{BOX_SHIFT}')") == "212101212"
+        inner = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+        assert sql(f"st_relate('{BOX}', '{inner}')") == "212FF1FF2"
+        assert sql(f"st_relate('{inner}', '{BOX}')") == "2FF1FF212"
+
+    def test_line_line_matrices(self, sql):
+        assert sql("st_relate(a, b)", a="LINESTRING (0 0, 2 2)", b="LINESTRING (0 2, 2 0)") == "0F1FF0102"
+        assert sql("st_relate(a, b)", a="LINESTRING (0 0, 1 1)", b="LINESTRING (5 5, 6 6)") == "FF1FF0102"
+
+    def test_relate_bool_patterns(self, sql):
+        # JTS intersects ≡ relate T********|*T*******|***T*****|****T****
+        assert sql(f"st_relateBool('{BOX}', '{BOX_SHIFT}', 'T********')") is True
+        assert sql(f"st_relateBool('{BOX}', '{BOX_FAR}', 'T********')") is False
+        # contains pattern
+        inner = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+        assert sql(f"st_relateBool('{BOX}', '{inner}', 'T*****FF*')") is True
+
+
+class TestCoversSimpleN:
+    def test_covers_boundary_inclusive(self, sql):
+        assert sql(f"st_covers('{BOX}', p)", p="POINT (4 2)") is True   # on edge
+        assert sql(f"st_contains('{BOX}', p)", p="POINT (4 2)") is False  # half-open kernel
+        assert sql(f"st_covers('{BOX}', p)", p="POINT (1 1)") is True
+        assert sql(f"st_covers('{BOX}', p)", p="POINT (9 9)") is False
+
+    def test_is_simple(self, sql):
+        assert sql("st_isSimple(l)", l="LINESTRING (0 0, 2 2, 4 0)") is True
+        assert sql("st_isSimple(l)", l="LINESTRING (0 0, 2 2, 0 2, 2 0)") is False
+        assert sql(f"st_isSimple('{BOX}')") is True
+
+    def test_geometry_n(self, sql):
+        mp = "MULTIPOINT (1 1, 2 2, 3 3)"
+        assert sql(f"st_geometryN('{mp}', 2)") == "POINT (2 2)"
+        ml = "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"
+        assert sql(f"st_geometryN('{ml}', 1)") == "LINESTRING (0 0, 1 1)"
+        assert sql(f"st_geometryN('{BOX}', 1)") == BOX
+        assert sql(f"st_geometryN('{mp}', 9)") is None
+
+    def test_geometry_collection(self, sql):
+        gc = "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))"
+        assert sql(f"st_numGeometries('{gc}')") == 2
+        assert sql(f"st_geometryN('{gc}', 1)") == "POINT (1 2)"
+        assert sql(f"st_geometryN('{gc}', 2)") == "LINESTRING (0 0, 1 1)"
