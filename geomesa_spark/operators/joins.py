@@ -157,6 +157,8 @@ def spatial_join_points_in_polys(
     refine: str = "auto",
     point_salt_key: str = "doc_id",
     keep_geom: bool = False,
+    strategy: str | None = None,
+    layer_manifest: dict | None = None,
 ) -> DataFrame:
     """Join points (lon/lat columns) with polygons (poly_id, wkt, envelope
     columns min_lon/min_lat/max_lon/max_lat): one output row per
@@ -177,7 +179,17 @@ def spatial_join_points_in_polys(
       exact after the envelope filter and skip the PIP kernel;
       'always' refines everything; 'never' returns envelope-filtered
       candidates (loose-bbox mode, reference QueryProperties.LooseBBox).
+    - ``strategy='auto'``: broadcast/salt chosen by the stats-driven
+      decider (plans/decider.py, reference StrategyDecider analogue)
+      from the polygon side's plan-statistics size and the optional
+      ``layer_manifest`` skew metrics — instead of caller flags.
     """
+    if strategy == "auto":
+        from geomesa_spark.plans.decider import auto_join_kwargs
+
+        kw = auto_join_kwargs(polys, bits, manifest=layer_manifest)
+        broadcast, salt_buckets = kw["broadcast"], kw["salt_buckets"]
+
     pts = points.withColumn("cell", grid_cell(F.col("lon"), F.col("lat"), bits))
     cover = cover_cells_for_polys(polys, bits)
 

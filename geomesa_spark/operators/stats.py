@@ -26,6 +26,9 @@ __all__ = [
     "enumeration",
     "cardinality",
     "frequency",
+    "frequency_sketch",
+    "cms_decode",
+    "cms_estimate_long",
     "run_stats_dsl",
 ]
 
@@ -52,6 +55,54 @@ def frequency(df: DataFrame, col: str) -> DataFrame:
     Spark's count_min_sketch agg is the sketch form when the value
     domain is unbounded)."""
     return df.groupBy(col).agg(F.count("*").alias("freq"))
+
+
+def frequency_sketch(
+    df: DataFrame, col: str, eps: float = 0.001, confidence: float = 0.99, seed: int = 42
+) -> DataFrame:
+    """A3 sketch form (reference Frequency.scala :~150 is a
+    CountMinSketch merged across tablets): Spark's mergeable
+    ``count_min_sketch`` aggregate — partial sketches per partition,
+    merged in the final aggregation, exactly the reference's
+    distribution shape. Returns one row with the serialized sketch
+    (decode with cms_decode / query longs with cms_estimate_long)."""
+    return df.agg(
+        F.count_min_sketch(F.col(col), F.lit(eps), F.lit(confidence), F.lit(seed)).alias(
+            "cms"
+        )
+    )
+
+
+def cms_decode(buf: bytes) -> dict:
+    """Parse Spark's serialized CountMinSketch (version 1 binary
+    layout: int version, long totalCount, int depth, int width,
+    long[depth] hashA, long[depth][width] table — public format from
+    org.apache.spark.util.sketch.CountMinSketchImpl)."""
+    import struct
+
+    import numpy as np
+
+    ver, total, depth, width = struct.unpack_from(">iqii", buf, 0)
+    off = 20
+    hash_a = np.frombuffer(buf, dtype=">i8", count=depth, offset=off)
+    off += 8 * depth
+    table = np.frombuffer(buf, dtype=">i8", count=depth * width, offset=off).reshape(
+        depth, width
+    )
+    return {"version": ver, "total": total, "depth": depth, "width": width,
+            "hash_a": hash_a, "table": table}
+
+
+def cms_estimate_long(sketch: dict, item: int) -> int:
+    """Point estimate for a LONG item (mirrors CountMinSketchImpl.hash:
+    h = hashA[i]*item; h += h >>> 32; h &= 2^31-1; h %= width)."""
+    est = None
+    for i in range(sketch["depth"]):
+        h = (int(sketch["hash_a"][i]) * int(item)) & 0xFFFFFFFFFFFFFFFF
+        h = (h + (h >> 32)) & 0x7FFFFFFF
+        c = int(sketch["table"][i][h % sketch["width"]])
+        est = c if est is None else min(est, c)
+    return int(est or 0)
 
 
 def topk(df: DataFrame, col: str, k: int = 10) -> DataFrame:
@@ -82,9 +133,11 @@ def histogram(df: DataFrame, col: str, bins: int, lo: float, hi: float) -> DataF
     )
 
 
-def descriptive_stats(df: DataFrame, cols: list[str]) -> DataFrame:
-    """A6: count/mean/variance/skewness/kurtosis per attribute (Welford-
-    mergeable in the reference; Spark's ImperativeAggregates here)."""
+def descriptive_stats(df: DataFrame, cols: list[str], covariance: bool = True) -> DataFrame:
+    """A6: count/mean/variance/skewness/kurtosis per attribute plus
+    pairwise sample covariance (reference DescriptiveStats keeps the
+    full co-moment matrix; Spark's covar_samp is the same mergeable
+    accumulator)."""
     aggs = [F.count("*").alias("count")]
     for c in cols:
         aggs += [
@@ -93,6 +146,10 @@ def descriptive_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             F.skewness(c).alias(f"skew_{c}"),
             F.kurtosis(c).alias(f"kurt_{c}"),
         ]
+    if covariance:
+        for i, a in enumerate(cols):
+            for b in cols[i + 1:]:
+                aggs.append(F.covar_samp(a, b).alias(f"cov_{a}_{b}"))
     return df.agg(*aggs)
 
 
@@ -132,15 +189,61 @@ def run_stats_dsl(df: DataFrame, spec: str) -> dict[str, DataFrame]:
             out[stmt] = descriptive_stats(df, args)
         elif name == "GroupBy":
             attr, inner = raw.split(",", 1)
-            iname, iraw = parse(inner)
-            if iname == "Count":
-                out[stmt] = df.groupBy(attr).agg(F.count("*").alias("count"))
-            elif iname == "MinMax":
-                out[stmt] = df.groupBy(attr).agg(
-                    F.min(iraw).alias(f"min_{iraw}"), F.max(iraw).alias(f"max_{iraw}")
-                )
-            else:
-                raise ValueError(f"unsupported GroupBy inner stat: {inner!r}")
+            out[stmt] = _grouped_stat(df, attr, *parse(inner))
         else:
             raise ValueError(f"unknown stat: {name!r}")
     return out
+
+
+def _grouped_stat(df: DataFrame, attr: str, iname: str, iraw: str) -> DataFrame:
+    """A8 GroupBy(attr, inner) for EVERY inner stat the DSL supports
+    (reference GroupBy.scala nests arbitrary stats; each maps to a
+    grouped aggregation — same partial/final merge shape)."""
+    from pyspark.sql import Window
+
+    args = [a for a in iraw.split(",") if a != ""]
+    if iname == "Count":
+        return df.groupBy(attr).agg(F.count("*").alias("count"))
+    if iname == "MinMax":
+        c = args[0]
+        return df.groupBy(attr).agg(F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))
+    if iname == "Cardinality":
+        c = args[0]
+        return df.groupBy(attr).agg(
+            F.approx_count_distinct(c).alias(f"approx_distinct_{c}"),
+            F.countDistinct(c).alias(f"exact_distinct_{c}"),
+        )
+    if iname in ("Enumeration", "Frequency"):
+        return df.groupBy(attr, args[0]).agg(F.count("*").alias("freq"))
+    if iname == "TopK":
+        c, k = args[0], int(args[1]) if len(args) > 1 else 10
+        counts = df.groupBy(attr, c).agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy(attr).orderBy(F.col("cnt").desc(), F.col(c).asc())
+        return (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+    if iname == "Histogram":
+        c, bins, lo, hi = args[0], int(args[1]), float(args[2]), float(args[3])
+        w = (hi - lo) / bins
+        b = F.least(
+            F.greatest(F.floor((F.col(c) - lo) / w).cast("int"), F.lit(0)), F.lit(bins - 1)
+        )
+        return (
+            df.where(F.col(c).isNotNull())
+            .groupBy(attr, b.alias("bin"))
+            .agg(F.count("*").alias("cnt"))
+        )
+    if iname == "DescriptiveStats":
+        aggs = [F.count("*").alias("count")]
+        for c in args:
+            aggs += [
+                F.avg(c).alias(f"mean_{c}"),
+                F.var_samp(c).alias(f"var_{c}"),
+            ]
+        for i, a in enumerate(args):
+            for b2 in args[i + 1:]:
+                aggs.append(F.covar_samp(a, b2).alias(f"cov_{a}_{b2}"))
+        return df.groupBy(attr).agg(*aggs)
+    raise ValueError(f"unsupported GroupBy inner stat: {iname!r}")

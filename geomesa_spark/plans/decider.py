@@ -1,0 +1,123 @@
+"""Strategy selection: which index predicate and which join shape.
+
+Reference: geomesa-index-api/.../index/planning/StrategyDecider.scala
+(:~60) picks the cheapest index (attribute / z2 / z3 / xz2 / xz3 /
+full-table) for a query's filter shape, consulting GeoMesaStats
+(geomesa-index-api/.../stats/GeoMesaStats.scala :~100) for
+cardinalities. Here the same two decisions exist:
+
+1. ``choose_index`` — which cell predicate the planner should emit for
+   a (bbox?, interval?, extended-geoms?, attribute-equality?) shape.
+   Pure shape→index mapping, mirroring the reference's preference
+   order (attribute when selective, then spatio-temporal, then
+   spatial, then temporal, else full scan).
+2. ``choose_join`` — broadcast vs shuffle vs salted-shuffle for the
+   cell join, from byte-size estimates and a hot-cell skew ratio. The
+   estimates come free from Catalyst plan statistics
+   (``estimated_size_bytes``) or from table-manifest metrics — no extra
+   scan is spent deciding.
+
+``auto_join_kwargs`` wires the decision into
+``spatial_join_points_in_polys(**kwargs)``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "QueryShape",
+    "choose_index",
+    "choose_join",
+    "estimated_size_bytes",
+    "manifest_skew_ratio",
+    "auto_join_kwargs",
+]
+
+BROADCAST_BYTES_DEFAULT = 32 * 1024 * 1024
+SKEW_SALT_THRESHOLD = 4.0
+MAX_SALT = 16
+
+
+@dataclass(frozen=True)
+class QueryShape:
+    has_bbox: bool = False
+    has_interval: bool = False
+    extended_geoms: bool = False  # non-point geometries in the layer
+    attr_equality: bool = False
+    attr_selectivity: float | None = None  # est. fraction matched, None = unknown
+
+
+def choose_index(shape: QueryShape) -> str:
+    """'attr' | 'z2' | 'z3' | 'xz2' | 'xz3' | 'full' — the reference's
+    preference order: a selective attribute index beats cell scans;
+    spatio-temporal beats spatial-only when an interval exists; XZ
+    variants when geometries are extended (one key per geometry)."""
+    if shape.attr_equality and (
+        shape.attr_selectivity is None or shape.attr_selectivity <= 0.01
+    ):
+        return "attr"
+    if shape.has_bbox and shape.has_interval:
+        return "xz3" if shape.extended_geoms else "z3"
+    if shape.has_bbox:
+        return "xz2" if shape.extended_geoms else "z2"
+    if shape.has_interval:
+        return "z3"
+    if shape.attr_equality:
+        return "attr"
+    return "full"
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst plan-statistics size estimate (no job)."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return 1 << 62  # unknown → assume large
+
+
+def manifest_skew_ratio(manifest: dict | None) -> float | None:
+    """max/mean partition rows from a table manifest's metrics."""
+    if not manifest:
+        return None
+    rows = [p.get("rows", 0) for p in manifest.get("partitions", []) if p.get("rows", 0) > 0]
+    if not rows:
+        return None
+    return max(rows) / (sum(rows) / len(rows))
+
+
+def choose_join(
+    cover_bytes: int,
+    skew_ratio: float | None = None,
+    broadcast_threshold: int = BROADCAST_BYTES_DEFAULT,
+) -> dict:
+    """→ {'broadcast': bool, 'salt_buckets': int | None}.
+
+    Broadcast the (exploded) cover when it fits; otherwise shuffle, and
+    salt when the hot-cell skew ratio warrants spreading a hot key over
+    2^ceil(log2(skew)) reducers (reference ShardStrategy analogue)."""
+    if cover_bytes <= broadcast_threshold:
+        return {"broadcast": True, "salt_buckets": None}
+    if skew_ratio is not None and skew_ratio > SKEW_SALT_THRESHOLD:
+        salt = min(1 << math.ceil(math.log2(skew_ratio)), MAX_SALT)
+        return {"broadcast": False, "salt_buckets": salt}
+    return {"broadcast": False, "salt_buckets": None}
+
+
+def auto_join_kwargs(
+    polys: DataFrame,
+    bits: int,
+    manifest: dict | None = None,
+    broadcast_threshold: int = BROADCAST_BYTES_DEFAULT,
+) -> dict:
+    """Join-strategy kwargs for spatial_join_points_in_polys, derived
+    from the polygon side's plan-statistics size (scaled by the
+    envelope cover explosion factor) and optional manifest skew."""
+    base = estimated_size_bytes(polys)
+    # cover explosion ≈ cells per polygon; without per-layer stats use a
+    # conservative small multiplier (envelopes several cells wide)
+    cover_bytes = base * 4
+    return choose_join(cover_bytes, manifest_skew_ratio(manifest), broadcast_threshold)

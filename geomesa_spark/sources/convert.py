@@ -32,7 +32,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["sft_to_schema", "parse_sft", "read_delimited", "read_json", "compile_transform"]
+__all__ = [
+    "sft_to_schema",
+    "parse_sft",
+    "read_delimited",
+    "read_json",
+    "read_xml",
+    "read_fixed_width",
+    "compile_transform",
+]
 
 _SFT_TYPES = {
     "string": T.StringType(),
@@ -217,6 +225,91 @@ def read_delimited(
             c = c.try_cast(a["dtype"]) if not isinstance(a["dtype"], (T.ArrayType, T.MapType)) else c
         cols.append(c.alias(a["name"]))
     return raw.select(*cols)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    sft_spec: str,
+    xpaths: dict[str, str] | None = None,
+    record_tag: str | None = None,
+) -> DataFrame:
+    """XmlConverter (reference geomesa-convert-xml XmlConverter.scala):
+    XML records → SFT-typed DataFrame.
+
+    Spark-first: extraction uses the BUILT-IN ``xpath_string`` SQL
+    function (Hive UDF, JVM-side — no per-row Python and no external
+    XML package). One record per line by default; with ``record_tag``,
+    multi-record lines/documents are exploded by splitting on the
+    element boundary first (regexp, codegen).
+
+    xpaths maps attribute → XPath relative to the record root, e.g.
+    ``{"name": "/feature/name/text()"}``; defaults to
+    ``/<record_tag or first tag>/<attr>/text()``.
+    """
+    attrs = parse_sft(sft_spec)
+    raw = spark.read.text(path)
+    rec = F.col("value")
+    if record_tag:
+        pieces = F.expr(
+            f"regexp_extract_all(value, '<{record_tag}[\\\\s\\\\S]*?</{record_tag}>', 0)"
+        )
+        raw = raw.select(F.explode(pieces).alias("value"))
+        rec = F.col("value")
+    cols = []
+    for a in attrs:
+        xp = (xpaths or {}).get(a["name"])
+        if xp is None:
+            root = record_tag or "*"
+            xp = f"//{a['name']}/text()" if root == "*" else f"/{root}/{a['name']}/text()"
+        c = F.expr(f"xpath_string(value, '{xp}')")
+        if a["type"] == "date":
+            c = F.to_timestamp(c)
+        elif not isinstance(a["dtype"], (T.ArrayType, T.MapType)):
+            c = c.try_cast(a["dtype"])
+        cols.append(c.alias(a["name"]))
+    return raw.select(*cols)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    sft_spec: str,
+    offsets: list[tuple[int, int]],
+    transforms: dict[str, str] | None = None,
+) -> DataFrame:
+    """FixedWidthConverter (reference geomesa-convert-fixedwidth):
+    byte-offset fields → SFT-typed DataFrame.
+
+    ``offsets[i] = (start, width)`` (0-based start) for the i-th SFT
+    attribute — pure ``substring`` + cast column expressions, one
+    codegen stage. ``transforms`` (attr → expression over $1..$n field
+    refs, $i = the i-th sliced field) compile like the delimited
+    converter's.
+    """
+    attrs = parse_sft(sft_spec)
+    if len(offsets) != len(attrs):
+        raise ValueError("read_fixed_width: one (start, width) per SFT attribute")
+    raw = spark.read.text(path)
+    sliced = raw.select(
+        *[
+            F.trim(F.substring(F.col("value"), start + 1, width)).alias(f"_f{i+1}")
+            for i, (start, width) in enumerate(offsets)
+        ]
+    )
+    fields = sliced.columns
+    cols = []
+    for i, a in enumerate(attrs):
+        if transforms and a["name"] in transforms:
+            c = compile_transform(transforms[a["name"]], fields)
+        else:
+            c = F.col(fields[i])
+        if a["type"] == "date" and not (transforms and a["name"] in transforms):
+            c = F.to_timestamp(c)
+        elif not isinstance(a["dtype"], (T.ArrayType, T.MapType)):
+            c = c.try_cast(a["dtype"])
+        cols.append(c.alias(a["name"]))
+    return sliced.select(*cols)
 
 
 def read_json(

@@ -133,6 +133,171 @@ class TestStatsDsl:
             run_stats_dsl(df, "Bogus(x)")
 
 
+class TestStatsRound2:
+    @pytest.fixture(scope="class")
+    def ev(self, spark):
+        from pyspark.sql import functions as SF
+
+        return spark.range(0, 2000).select(
+            (SF.col("id") % 37).alias("v"),
+            (SF.col("id") % 7).cast("double").alias("x"),
+            ((SF.col("id") % 7) * 2 + (SF.col("id") % 3)).cast("double").alias("y"),
+            SF.format_string("k%d", SF.col("id") % 5).alias("k"),
+        ).cache()
+
+    def test_cms_estimates_match_exact(self, ev):
+        from geomesa_spark.operators.stats import (
+            cms_decode, cms_estimate_long, frequency_sketch,
+        )
+
+        buf = frequency_sketch(ev, "v", eps=0.0001).collect()[0]["cms"]
+        sk = cms_decode(bytes(buf))
+        assert sk["total"] == 2000
+        exact = {
+            r["v"]: r["freq"]
+            for r in ev.groupBy("v").agg(F.count("*").alias("freq")).collect()
+        }
+        for item, cnt in exact.items():
+            # wide sketch + small domain → estimates are exact
+            assert cms_estimate_long(sk, int(item)) == cnt
+
+    def test_cms_partition_invariant_merge(self, ev):
+        """merge(a,b) == stat(a++b): the sketch must not depend on how
+        partial aggregation splits the data (SURVEY §5.1 property)."""
+        from geomesa_spark.operators.stats import frequency_sketch
+
+        one = frequency_sketch(ev.repartition(1), "v").collect()[0]["cms"]
+        many = frequency_sketch(ev.repartition(13), "v").collect()[0]["cms"]
+        assert bytes(one) == bytes(many)
+
+    def test_descriptive_covariance(self, ev):
+        import numpy as np
+
+        from geomesa_spark.operators.stats import descriptive_stats
+
+        row = descriptive_stats(ev, ["x", "y"]).collect()[0]
+        pdf = ev.select("x", "y").toPandas()
+        want = np.cov(pdf["x"], pdf["y"], ddof=1)[0][1]
+        assert row["cov_x_y"] == pytest.approx(want)
+
+    def test_groupby_nests_all_inner_stats(self, ev):
+        from geomesa_spark.operators.stats import run_stats_dsl
+
+        out = run_stats_dsl(
+            ev,
+            "GroupBy(k,TopK(v,3));GroupBy(k,Histogram(v,4,0,40));"
+            "GroupBy(k,Cardinality(v));GroupBy(k,DescriptiveStats(x,y))",
+        )
+        topk = out["GroupBy(k,TopK(v,3))"].collect()
+        assert len(topk) == 5 * 3
+        hist = out["GroupBy(k,Histogram(v,4,0,40))"]
+        assert hist.agg({"cnt": "sum"}).collect()[0][0] == 2000
+        card = {r["k"]: r["exact_distinct_v"] for r in out["GroupBy(k,Cardinality(v))"].collect()}
+        assert all(v > 0 for v in card.values()) and len(card) == 5
+        desc = out["GroupBy(k,DescriptiveStats(x,y))"].columns
+        assert "cov_x_y" in desc
+
+
+class TestStrategyDecider:
+    def test_index_choice_truth_table(self):
+        from geomesa_spark.plans.decider import QueryShape, choose_index
+
+        assert choose_index(QueryShape(has_bbox=True)) == "z2"
+        assert choose_index(QueryShape(has_bbox=True, has_interval=True)) == "z3"
+        assert choose_index(QueryShape(has_bbox=True, extended_geoms=True)) == "xz2"
+        assert choose_index(
+            QueryShape(has_bbox=True, has_interval=True, extended_geoms=True)
+        ) == "xz3"
+        assert choose_index(QueryShape(has_interval=True)) == "z3"
+        assert choose_index(QueryShape(attr_equality=True, attr_selectivity=0.001)) == "attr"
+        # unselective attribute filter with a bbox → spatial index wins
+        assert choose_index(
+            QueryShape(has_bbox=True, attr_equality=True, attr_selectivity=0.5)
+        ) == "z2"
+        assert choose_index(QueryShape()) == "full"
+
+    def test_join_choice(self):
+        from geomesa_spark.plans.decider import choose_join
+
+        assert choose_join(1 << 20) == {"broadcast": True, "salt_buckets": None}
+        assert choose_join(1 << 40) == {"broadcast": False, "salt_buckets": None}
+        assert choose_join(1 << 40, skew_ratio=9.0) == {"broadcast": False, "salt_buckets": 16}
+        assert choose_join(1 << 40, skew_ratio=5.0) == {"broadcast": False, "salt_buckets": 8}
+
+    def test_manifest_skew(self):
+        from geomesa_spark.plans.decider import manifest_skew_ratio
+
+        m = {"partitions": [{"rows": 100}, {"rows": 100}, {"rows": 800}]}
+        assert manifest_skew_ratio(m) == pytest.approx(2.4)
+        assert manifest_skew_ratio(None) is None
+
+    def test_auto_strategy_broadcasts_small_parquet_layer(self, spark, tmp_path):
+        from geomesa_spark.operators.joins import spatial_join_points_in_polys
+        from geomesa_spark.tables import poly_layers, synthesize_documents
+        from geomesa_spark.operators.extract import extract_geo_points
+
+        p = str(tmp_path / "polys")
+        poly_layers(spark, 200).write.parquet(p)
+        polys = spark.read.parquet(p)
+        pts = extract_geo_points(synthesize_documents(spark, 500))
+        j = spatial_join_points_in_polys(pts, polys, bits=6, strategy="auto")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestConvertersRound2:
+    SFT = "name:String,age:Int,dtg:Date"
+
+    def test_xml_ingest(self, spark, tmp_path):
+        from geomesa_spark.sources.convert import read_xml
+
+        p = tmp_path / "in.xml"
+        p.write_text(
+            "<feature><name>alice</name><age>31</age><dtg>2024-01-02 03:04:05</dtg></feature>\n"
+            "<feature><name>bob</name><age>44</age><dtg>2024-02-03 04:05:06</dtg></feature>\n"
+        )
+        df = read_xml(spark, str(p), self.SFT, record_tag="feature")
+        rows = {r["name"]: r for r in df.collect()}
+        assert rows["alice"]["age"] == 31
+        assert str(rows["bob"]["dtg"]).startswith("2024-02-03")
+
+    def test_xml_multi_record_line(self, spark, tmp_path):
+        from geomesa_spark.sources.convert import read_xml
+
+        p = tmp_path / "multi.xml"
+        p.write_text(
+            "<f><name>a</name><age>1</age><dtg>2024-01-01 00:00:00</dtg></f>"
+            "<f><name>b</name><age>2</age><dtg>2024-01-01 00:00:00</dtg></f>\n"
+        )
+        df = read_xml(spark, str(p), self.SFT, record_tag="f")
+        assert df.count() == 2
+
+    def test_fixed_width_ingest(self, spark, tmp_path):
+        from geomesa_spark.sources.convert import read_fixed_width
+
+        p = tmp_path / "fw.txt"
+        p.write_text("alice     031 2024-01-02 03:04:05\nbob       044 2024-02-03 04:05:06\n")
+        df = read_fixed_width(
+            spark, str(p), self.SFT, offsets=[(0, 10), (10, 3), (14, 19)]
+        )
+        rows = {r["name"]: r for r in df.collect()}
+        assert rows["alice"]["age"] == 31
+        assert str(rows["bob"]["dtg"]).startswith("2024-02-03")
+
+    def test_fixed_width_with_transform(self, spark, tmp_path):
+        from geomesa_spark.sources.convert import read_fixed_width
+
+        p = tmp_path / "fw2.txt"
+        p.write_text("ab12\ncd34\n")
+        df = read_fixed_width(
+            spark, str(p), "tag:String,num:Int",
+            offsets=[(0, 2), (2, 2)],
+            transforms={"tag": "upperCase($1)"},
+        )
+        rows = sorted((r["tag"], r["num"]) for r in df.collect())
+        assert rows == [("AB", 12), ("CD", 34)]
+
+
 class TestAnn:
     def test_cosine_topk_matches_numpy(self, spark):
         rng = np.random.RandomState(7)
