@@ -531,6 +531,32 @@ def q_tube_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "span_offset", "vertex_id")
 
 
+def q_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 visibility filtering: deterministic Accumulo-style label per
+    event, filtered for auths {user, internal} through the expression
+    evaluator (operators/visibility.py). The oracle enumerates which
+    label classes the auth set satisfies."""
+    from geomesa_spark.operators import visibility as V
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    labeled = ev.withColumn(
+        "visibility",
+        F.element_at(
+            F.array(
+                F.lit(""),                          # everyone
+                F.lit("user"),                      # granted
+                F.lit("admin"),                     # denied
+                F.lit("admin|(user&internal)"),     # granted via conjunction
+                F.lit("user&admin"),                # denied
+            ),
+            (F.col("event_id") % 5 + 1).cast("int"),
+        ),
+    )
+    return V.filter_by_auths(labeled, ("user", "internal")).select(
+        "event_id", "visibility"
+    )
+
+
 def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 writer semantics end-to-end: init a fid-bucketed table from
     events, apply an upsert delta (value+1000 for event_id%5==0, two
@@ -707,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_join": q_attr_join,
         "tube_select": q_tube_select,
         "upsert_latest": q_upsert_latest,
+        "visibility": q_visibility,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -1052,6 +1079,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type,
                    CASE WHEN event_id % 5 = 0 THEN value + 1000.0 ELSE value END AS value
             FROM events WHERE event_id % 7 <> 0
+        """,
+        # auth set {user, internal} satisfies label classes 0,1,3 of the
+        # deterministic 5-way label cycle
+        "visibility": """
+            SELECT event_id,
+                   ['', 'user', 'admin', 'admin|(user&internal)', 'user&admin'][
+                     CAST(event_id % 5 AS INT) + 1] AS visibility
+            FROM events WHERE event_id % 5 IN (0, 1, 3)
         """,
         # --- training-data pipeline --------------------------------------
         "dedup_exact": """

@@ -129,6 +129,76 @@ class TestExport:
         assert secs == 1704067200
 
 
+class TestShapefile:
+    def test_point_roundtrip(self, spark, tmp_path):
+        from geomesa_spark.sources.shapefile import read_shapefile_points, write_shapefile
+
+        df = spark.createDataFrame(
+            [("a", 1.5, -2.25, 10), ("b", -170.0, 85.0, 20)],
+            "name string, lon double, lat double, age int",
+        )
+        base = str(tmp_path / "out")
+        n = write_shapefile(df, base)
+        assert n == 2
+        pts = sorted(read_shapefile_points(base))
+        assert pts == [(-170.0, 85.0), (1.5, -2.25)]
+        # dbf sanity: header counts + payload text present
+        raw = open(base + ".dbf", "rb").read()
+        import struct as _s
+
+        nrec, hlen, rlen = _s.unpack_from("<IHH", raw, 4)
+        assert nrec == 2 and len(raw) == hlen + nrec * rlen + 1
+        assert b"a" in raw and b"10.000000" in raw
+
+    def test_avro_roundtrip_gated(self, spark, tmp_path):
+        """Avro needs the spark-avro jar; run the round-trip when it
+        loads, otherwise skip (sandbox has no jar)."""
+        df = spark.createDataFrame([(1, "x")], "id long, v string")
+        p = str(tmp_path / "avro_out")
+        try:
+            export(df, p, "avro")
+        except Exception as e:
+            pytest.skip(f"spark-avro jar unavailable: {type(e).__name__}")
+        back = spark.read.format("avro").load(p)
+        assert back.collect() == df.collect()
+
+
+class TestVisibility:
+    AUTHS = ("user", "internal")
+
+    def test_expression_semantics(self):
+        from geomesa_spark.operators.visibility import evaluate_visibility
+
+        a = frozenset(self.AUTHS)
+        assert evaluate_visibility("user", a)
+        assert not evaluate_visibility("admin", a)
+        assert evaluate_visibility("admin|user", a)
+        assert evaluate_visibility("user&internal", a)
+        assert not evaluate_visibility("user&admin", a)
+        assert evaluate_visibility("admin|(user&internal)", a)
+        assert not evaluate_visibility("admin&(user|internal)", a)
+        assert evaluate_visibility("", a) and evaluate_visibility(None, a)
+
+    def test_filter_dataframe(self, spark):
+        from geomesa_spark.operators.visibility import filter_by_auths
+
+        df = spark.createDataFrame(
+            [
+                ("r1", "user"),
+                ("r2", "admin"),
+                ("r3", "admin|(user&internal)"),
+                ("r4", ""),
+                ("r5", None),
+                ("r6", "user&admin"),
+                ("r7", "((broken"),
+            ],
+            "id string, visibility string",
+        )
+        got = {r["id"] for r in filter_by_auths(df, self.AUTHS).collect()}
+        # malformed labels fail closed; empty/null visible to everyone
+        assert got == {"r1", "r3", "r4", "r5"}
+
+
 class TestMultimodal:
     def test_media_pipeline(self, spark):
         from geomesa_spark.operators.multimodal import (
