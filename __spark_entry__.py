@@ -671,6 +671,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5, n_planes=4)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file scale path): deterministic coarse
+    quantizer (first-8 vectors as centroids), nprobe=2 — oracle
+    re-derives the clustering and probing bit-exactly."""
+    from geomesa_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -745,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -1215,6 +1226,54 @@ def oracle_sql() -> dict[str, str]:
                    * sqrt(list_sum(list_transform(generate_series(1, len(q.q_emb)),
                      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))) AS sim
               FROM bkt e JOIN qv q ON e.bucket = q.bucket AND e.vec_id <> q.q_vec_id
+            )
+            SELECT q_vec_id, vec_id, round(sim, 6) AS sim_r, CAST(rnk AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_vec_id ORDER BY round(sim, 6) DESC, vec_id ASC) AS rnk
+              FROM sims
+            ) WHERE rnk <= 5
+        """,
+        # IVF: centroid scores use the same sequential fold as the
+        # engine's dot() (list_reduce from prepended 0.0) so cluster
+        # assignment and probe ranking are bit-identical
+        "ann_ivf": """
+            WITH cents AS (
+              SELECT vec_id AS k_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8
+            ),
+            scored AS (
+              SELECT e.vec_id, c.k_id,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE))),
+                  (a, x) -> a + x) AS score
+              FROM embeddings e CROSS JOIN cents c
+            ),
+            listed AS (
+              SELECT vec_id, k_id AS cluster FROM (
+                SELECT vec_id, k_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, k_id ASC) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT vec_id AS q_vec_id, k_id AS cluster FROM (
+                SELECT vec_id, k_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, k_id ASC) AS rn
+                FROM scored WHERE vec_id < 5
+              ) WHERE rn <= 2
+            ),
+            sims AS (
+              SELECT l.vec_id, p.q_vec_id,
+                list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                     i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))) AS sim
+              FROM listed l
+              JOIN probes p ON l.cluster = p.cluster AND l.vec_id <> p.q_vec_id
+              JOIN embeddings e ON e.vec_id = l.vec_id
+              JOIN embeddings qe ON qe.vec_id = p.q_vec_id
             )
             SELECT q_vec_id, vec_id, round(sim, 6) AS sim_r, CAST(rnk AS INT) AS rank FROM (
               SELECT *, row_number() OVER (

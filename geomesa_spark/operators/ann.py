@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "norm", "cosine_topk", "with_lsh_bucket", "lsh_cosine_topk"]
+__all__ = [
+    "dot",
+    "norm",
+    "cosine_topk",
+    "with_lsh_bucket",
+    "lsh_cosine_topk",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 MIX = 2_654_435_761
 PLANE_STRIDE = 1_000_003
@@ -80,6 +88,86 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization: each vector joins its top-``nprobe``
+    centroids by inner product (sequential-fold dot — deterministic and
+    oracle-reproducible; ties break on centroid id).
+
+    Spark shape: broadcast the (small) centroid table, score with a
+    codegen fold, rank with a per-vector window. At extreme dimension ×
+    centroid counts the scoring kernel would move to a mapInPandas
+    matrix multiply; the join/window shape stays identical.
+
+    Output: vectors' columns + (k_id, score, probe_rank).
+    """
+    c = centroids.select(F.col(id_col).alias("k_id"), F.col(vec_col).alias("c_vec"))
+    scored = vectors.crossJoin(F.broadcast(c)).withColumn(
+        "score", dot(F.col(vec_col), F.col("c_vec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("k_id").asc())
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= nprobe)
+        .drop("c_vec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate nearest neighbors (the inverted-file scale path
+    next to hyperplane LSH): corpus vectors are listed under their
+    nearest centroid; a query scans only its ``nprobe`` nearest
+    centroids' lists and ranks them exactly.
+
+    Centroids here are the first ``n_centroids`` corpus vectors — a
+    deterministic, training-free coarse quantizer the DuckDB oracle can
+    re-derive bit-for-bit; production would swap in offline k-means
+    (an iterative Spark job) without touching this query shape. At
+    100 TB the corpus's ``cluster`` column is the table's partition
+    key, so a query prunes to nprobe partitions.
+
+    Output shape matches cosine_topk: (q_vec_id, vec_id, sim_r, rank).
+    """
+    cents = corpus.where(F.col(id_col) < n_centroids)
+    listed = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col),
+        F.col(vec_col).alias("c_vec2"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        F.col("k_id").alias("cluster"),
+    )
+    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("q_vec_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.col("k_id").alias("cluster"),
+    )
+    cand = listed.join(F.broadcast(probes), on="cluster").where(
+        F.col(id_col) != F.col("q_vec_id")
+    )
+    sim = dot(F.col("c_vec2"), F.col("q_vec")) / (F.col("c_norm") * F.col("q_norm"))
+    cand = cand.withColumn("sim_r", F.round(sim, round_digits))
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("sim_r").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_vec_id", id_col, "sim_r", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def _plane_component(p: int, i: Column) -> Column:
     """Deterministic ±1 hyperplane component for plane p, dimension i."""
     bit = F.shiftrightunsigned((F.lit(p * PLANE_STRIDE) + i) * MIX, 13).bitwiseAND(F.lit(1))
@@ -87,13 +175,19 @@ def _plane_component(p: int, i: Column) -> Column:
 
 
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, out: str = "bucket"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    out: str = "bucket",
+    plane_offset: int = 0,
 ) -> DataFrame:
-    """Adds the hyperplane-sign bucket id (0..2^n_planes-1)."""
+    """Adds the hyperplane-sign bucket id (0..2^n_planes-1);
+    ``plane_offset`` selects an independent plane family (one per LSH
+    table in the multi-table variant)."""
     v = _dbl(F.col(vec_col))
 
     def plane_fn(p: int):
-        return lambda i: _plane_component(p, i)
+        return lambda i: _plane_component(p + plane_offset, i)
 
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
@@ -118,22 +212,41 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     n_planes: int = 4,
     round_digits: int = 6,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Bucketed ANN: rank only within the query's hyperplane bucket.
+    """Bucketed ANN: rank only within the query's hyperplane bucket(s).
     Approximate (recall < 1 by construction); same output shape as
-    cosine_topk."""
-    c = with_lsh_bucket(corpus, vec_col, n_planes)
-    q = with_lsh_bucket(queries, vec_col, n_planes)
-    q = q.select(
+    cosine_topk.
+
+    ``n_tables`` > 1 is the multi-table recall remedy: each table
+    hashes with an independent plane family, candidates are the UNION
+    of per-table bucket matches (deduped before ranking) — recall rises
+    toward 1 exponentially in the table count while the per-table join
+    stays a bucketed equi-join."""
+    pair_frames = []
+    for t in range(n_tables):
+        off = t * n_planes
+        c = with_lsh_bucket(corpus, vec_col, n_planes, plane_offset=off)
+        q = with_lsh_bucket(queries, vec_col, n_planes, plane_offset=off)
+        q = q.select(F.col(id_col).alias("q_vec_id"), F.col("bucket"))
+        c = c.select(F.col(id_col), "bucket")
+        pair_frames.append(
+            c.join(F.broadcast(q), on="bucket").select("q_vec_id", id_col)
+        )
+    pairs = pair_frames[0]
+    for pf in pair_frames[1:]:
+        pairs = pairs.unionByName(pf)
+    pairs = pairs.where(F.col(id_col) != F.col("q_vec_id")).distinct()
+
+    q_side = queries.select(
         F.col(id_col).alias("q_vec_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
-        F.col("bucket"),
     )
-    c = c.select(
-        F.col(id_col), F.col(vec_col).alias("c_vec"), norm(F.col(vec_col)).alias("c_norm"), "bucket"
+    c_side = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("c_vec"), norm(F.col(vec_col)).alias("c_norm")
     )
-    cand = c.join(F.broadcast(q), on="bucket").where(F.col(id_col) != F.col("q_vec_id"))
+    cand = pairs.join(F.broadcast(q_side), on="q_vec_id").join(c_side, on=id_col)
     sim = dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_norm") * F.col("q_norm"))
     cand = cand.withColumn("sim_r", F.round(sim, round_digits))
     w = Window.partitionBy("q_vec_id").orderBy(F.col("sim_r").desc(), F.col(id_col).asc())

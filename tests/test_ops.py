@@ -311,3 +311,45 @@ class TestAnn:
         sims = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
         order = [i for i in np.argsort(-np.round(sims, 6), kind="stable") if i != 0][:3]
         assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == order
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.RandomState(11)
+        vecs = rng.randn(200, 16).astype("float32")
+        return spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        ).cache()
+
+    def _recall(self, approx, exact):
+        a = {(r.q_vec_id, r.vec_id) for r in approx}
+        e = {(r.q_vec_id, r.vec_id) for r in exact}
+        return len(a & e) / len(e)
+
+    def test_ivf_partitions_and_recalls(self, spark, emb):
+        from geomesa_spark.operators.ann import ivf_assign, ivf_topk
+
+        q = emb.where(F.col("vec_id") < 5)
+        # every corpus vector lands in exactly one cluster
+        listed = ivf_assign(emb, emb.where(F.col("vec_id") < 8), nprobe=1)
+        assert listed.count() == 200
+        assert listed.select("vec_id").distinct().count() == 200
+        exact = cosine_topk(emb, q, k=5).collect()
+        # probing every list is exhaustive → recall 1
+        full = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).collect()
+        assert self._recall(full, exact) == 1.0
+        # partial probing is approximate but non-trivial
+        part = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2).collect()
+        assert self._recall(part, exact) >= 0.4
+
+    def test_lsh_multi_table_recall_monotone(self, spark, emb):
+        from geomesa_spark.operators.ann import lsh_cosine_topk
+
+        q = emb.where(F.col("vec_id") < 5)
+        exact = cosine_topk(emb, q, k=5).collect()
+        r1 = self._recall(lsh_cosine_topk(emb, q, k=5, n_planes=4, n_tables=1).collect(), exact)
+        r4 = self._recall(lsh_cosine_topk(emb, q, k=5, n_planes=4, n_tables=4).collect(), exact)
+        r8 = self._recall(lsh_cosine_topk(emb, q, k=5, n_planes=4, n_tables=8).collect(), exact)
+        # deterministic on this fixture: 0.2 → 0.48 → 0.76
+        assert r1 <= r4 <= r8
+        assert r4 >= 0.4 and r8 >= 0.7
