@@ -1011,6 +1011,7 @@ _WKB_TYPES = {
     4: "MULTIPOINT",
     5: "MULTILINESTRING",
     6: "MULTIPOLYGON",
+    7: "GEOMETRYCOLLECTION",
 }
 _WKB_CODES = {v: k for k, v in _WKB_TYPES.items()}
 
@@ -1054,6 +1055,9 @@ def wkb_write(geom: Geometry) -> bytes:
                 + b"".join(coords(_close(r)) for r in rings)
             )
         return head + struct.pack("<I", len(by_poly)) + b"".join(parts)
+    if t == "GEOMETRYCOLLECTION":
+        kids = geom.parts or []
+        return head + struct.pack("<I", len(kids)) + b"".join(wkb_write(k) for k in kids)
     raise ValueError(t)
 
 
@@ -1109,6 +1113,12 @@ def wkb_read(buf: bytes) -> Geometry:
                     rings.append(r)
                     ring_poly.append(pi)
             return Geometry("MULTIPOLYGON", rings, ring_poly)
+        if t == "GEOMETRYCOLLECTION":
+            (n,) = read("I", end)
+            parts = [read_geom() for _ in range(n)]
+            g = Geometry(t, [r for p in parts for r in p.rings])
+            g.parts = parts
+            return g
         raise ValueError(t)
 
     return read_geom()

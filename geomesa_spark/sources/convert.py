@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -37,6 +38,8 @@ __all__ = [
     "parse_sft",
     "read_delimited",
     "read_json",
+    "read_geojson",
+    "geojson_geometry_to_wkt",
     "read_xml",
     "read_fixed_width",
     "compile_transform",
@@ -225,6 +228,92 @@ def read_delimited(
             c = c.try_cast(a["dtype"]) if not isinstance(a["dtype"], (T.ArrayType, T.MapType)) else c
         cols.append(c.alias(a["name"]))
     return raw.select(*cols)
+
+
+def geojson_geometry_to_wkt(col: Column) -> Column:
+    """GeoJSON geometry-object JSON string → WKT column.
+
+    Arrow-batched pandas UDF (coordinate nesting depth varies by type,
+    which defeats a single from_json schema); the inverse of
+    st_asGeoJSON. An ingest-boundary kernel, not a join hot path.
+    """
+
+    @F.pandas_udf(T.StringType())
+    def conv(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        import numpy as np
+
+        from geomesa_spark.geom import Geometry, to_wkt
+
+        def one(txt):
+            if txt is None:
+                return None
+            try:
+                g = _json.loads(txt)
+                t = g["type"].upper()
+                c = g.get("coordinates")
+                if t == "POINT":
+                    return to_wkt(Geometry("POINT", [np.array([c], dtype=float)]))
+                if t in ("LINESTRING", "MULTIPOINT"):
+                    return to_wkt(Geometry(t, [np.array(c, dtype=float)]))
+                if t in ("POLYGON", "MULTILINESTRING"):
+                    return to_wkt(Geometry(t, [np.array(r, dtype=float) for r in c]))
+                if t == "MULTIPOLYGON":
+                    rings, ring_poly = [], []
+                    for pi, poly in enumerate(c):
+                        for r in poly:
+                            rings.append(np.array(r, dtype=float))
+                            ring_poly.append(pi)
+                    return to_wkt(Geometry(t, rings, ring_poly))
+                return None
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    return conv(col)
+
+
+def read_geojson(
+    spark: SparkSession,
+    path: str,
+    sft_spec: str,
+    geom_attr: str | None = None,
+) -> DataFrame:
+    """GeoJSON-lines converter (reference geomesa-convert-json GeoJSON
+    mode): one Feature per line → SFT-typed DataFrame. Properties map
+    by name; the default-geometry attribute gets the feature's geometry
+    as WKT (plus lon/lat doubles when it is a Point)."""
+    attrs = parse_sft(sft_spec)
+    if geom_attr is None:
+        geom_attr = next(
+            (a["name"] for a in attrs if a["is_default_geom"] or a["type"] in _GEOM_TYPES),
+            None,
+        )
+    raw = spark.read.text(path)
+    cols = []
+    for a in attrs:
+        if a["name"] == geom_attr:
+            c = geojson_geometry_to_wkt(
+                F.get_json_object(F.col("value"), "$.geometry")
+            )
+        else:
+            c = F.get_json_object(F.col("value"), f"$.properties.{a['name']}")
+            if a["type"] == "date":
+                c = F.to_timestamp(c)
+            elif not isinstance(a["dtype"], (T.ArrayType, T.MapType)):
+                c = c.try_cast(a["dtype"])
+        cols.append(c.alias(a["name"]))
+    out = raw.select(*cols)
+    if geom_attr and any(a["name"] == geom_attr and a["type"] == "point" for a in attrs):
+        pt = r"POINT \(([-+0-9.eE]+) ([-+0-9.eE]+)\)"
+        out = out.withColumn(
+            "lon", F.regexp_extract(F.col(geom_attr), pt, 1).try_cast("double")
+        ).withColumn(
+            "lat", F.regexp_extract(F.col(geom_attr), pt, 2).try_cast("double")
+        )
+    return out
 
 
 def read_xml(

@@ -44,6 +44,7 @@ __all__ = [
     "persist_tick",
     "flush_epoch",
     "epoch_committed",
+    "live_spatial_join",
 ]
 
 FEATURE_SCHEMA = (
@@ -184,6 +185,42 @@ def track_state(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def live_spatial_join(
+    stream: DataFrame,
+    polys: DataFrame,
+    bits: int = 6,
+    refine: str = "auto",
+) -> DataFrame:
+    """Stream-static spatial join: live points against a static polygon
+    layer (reference: a Kafka layer joined to a store layer in a
+    GeoMesa Spark job; here the streaming side keeps Structured
+    Streaming semantics end-to-end).
+
+    Same two-phase shape as the batch operator — cell equi-join against
+    the broadcast exploded cover, envelope filter, vectorized PIP
+    refine (mapInPandas is streaming-supported) — so a micro-batch
+    plans exactly like the batch join and the static side broadcasts
+    once per trigger."""
+    from geomesa_spark.operators.joins import cover_cells_for_polys, refine_pip
+
+    cover = F.broadcast(cover_cells_for_polys(polys, bits))
+    pts = with_cell_key(stream, bits)
+    cand = pts.join(cover, on="cell", how="inner")
+    cand = cand.where(
+        (F.col("lon") >= F.col("min_lon"))
+        & (F.col("lon") <= F.col("max_lon"))
+        & (F.col("lat") >= F.col("min_lat"))
+        & (F.col("lat") <= F.col("max_lat"))
+    )
+    drop = ["cell", "wkt", "min_lon", "min_lat", "max_lon", "max_lat"]
+    if refine == "never":
+        return cand.drop(*drop)
+    if refine == "auto" and "kind" in cand.columns:
+        cand = cand.withColumn("__exact", F.col("kind") == "bbox")
+        return refine_pip(cand, skip_col="__exact").drop(*drop, "__exact")
+    return refine_pip(cand).drop(*drop)
 
 
 def epoch_committed(path: str, epoch_id: int) -> bool:

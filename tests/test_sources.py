@@ -129,6 +129,59 @@ class TestExport:
         assert secs == 1704067200
 
 
+class TestGeoJsonIngest:
+    def test_feature_lines(self, spark, tmp_path):
+        import json
+
+        from geomesa_spark.sources.convert import read_geojson
+
+        p = tmp_path / "f.geojsonl"
+        feats = [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [1.5, -2.25]},
+             "properties": {"name": "a", "age": 3}},
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [100.0, 45.0]},
+             "properties": {"name": "b", "age": 4}},
+        ]
+        p.write_text("\n".join(json.dumps(f) for f in feats) + "\n")
+        df = read_geojson(spark, str(p), "name:String,age:Int,*geom:Point")
+        rows = {r["name"]: r for r in df.collect()}
+        assert rows["a"]["age"] == 3
+        assert rows["a"]["geom"] == "POINT (1.5 -2.25)"
+        assert rows["b"]["lon"] == 100.0 and rows["b"]["lat"] == 45.0
+
+    def test_polygon_geometry(self, spark, tmp_path):
+        import json
+
+        from geomesa_spark.sources.convert import read_geojson
+
+        p = tmp_path / "poly.geojsonl"
+        p.write_text(json.dumps({
+            "type": "Feature",
+            "geometry": {"type": "Polygon",
+                         "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]},
+            "properties": {"name": "sq"},
+        }) + "\n")
+        df = read_geojson(spark, str(p), "name:String,*geom:Polygon")
+        w = df.collect()[0]["geom"]
+        from geomesa_spark.geom import geom_area, parse_wkt
+
+        assert geom_area(parse_wkt(w)) == 4.0
+
+
+class TestWkbCollection:
+    def test_geometrycollection_roundtrip(self):
+        from geomesa_spark.geom import parse_wkt, to_wkt, wkb_read, wkb_write
+
+        w = "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1), POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))"
+        g = parse_wkt(w)
+        back = wkb_read(wkb_write(g))
+        assert back.geom_type == "GEOMETRYCOLLECTION"
+        assert len(back.parts) == 3
+        assert to_wkt(back).startswith("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING")
+
+
 class TestShapefile:
     def test_point_roundtrip(self, spark, tmp_path):
         from geomesa_spark.sources.shapefile import read_shapefile_points, write_shapefile

