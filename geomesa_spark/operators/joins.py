@@ -33,6 +33,7 @@ from geomesa_spark.operators.extract import grid_cell
 __all__ = [
     "cover_cells_for_polys",
     "spatial_join_points_in_polys",
+    "spatial_join_geoms",
     "distance_join",
     "refine_pip",
     "haversine_m_col",
@@ -227,6 +228,83 @@ def spatial_join_points_in_polys(
         cand = cand.withColumn("__exact", F.col("kind") == "bbox")
         return refine_pip(cand, skip_col="__exact").drop(*drop_cols, "__exact")
     return refine_pip(cand).drop(*drop_cols)
+
+
+def spatial_join_geoms(
+    left: DataFrame,
+    right: DataFrame,
+    bits: int = 6,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    broadcast: bool | None = True,
+    predicate: str = "intersects",
+) -> DataFrame:
+    """Geometry×geometry spatial join (layer-to-layer): one row per
+    (left geometry, right geometry) pair satisfying ``predicate``
+    ('intersects' | 'contains' — left as the container).
+
+    Reference: GeoMesaJoinRelation handles arbitrary geometry pairs via
+    its grid partitioner + JTS refine. Spark shape: BOTH sides explode
+    their envelope cover (a geometry spans several cells, unlike the
+    point join), equi-join on cell, dedup the candidate pair ids
+    BEFORE the exact kernel (a pair sharing k cells must refine once,
+    not k times), then refine with the vectorized geometry predicate
+    grouped by the left geometry.
+
+    Both sides need (id, wkt, min_lon/min_lat/max_lon/max_lat).
+    """
+    lc = cover_cells_for_polys(
+        left.select(
+            F.col(left_id), F.col("wkt").alias("__lwkt"),
+            "min_lon", "min_lat", "max_lon", "max_lat",
+        ),
+        bits,
+    ).select(left_id, "__lwkt", "cell")
+    rc = cover_cells_for_polys(
+        right.select(
+            F.col(right_id), F.col("wkt").alias("__rwkt"),
+            "min_lon", "min_lat", "max_lon", "max_lat",
+        ),
+        bits,
+    ).select(right_id, "__rwkt", "cell")
+    if broadcast:
+        rc = F.broadcast(rc)
+    cand = (
+        lc.join(rc, on="cell", how="inner")
+        .drop("cell")
+        .dropDuplicates([left_id, right_id])
+    )
+
+    schema = cand.schema
+
+    def _refine(batches):
+        from geomesa_spark.geom import geom_contains, geoms_intersect, parse_wkt
+
+        fn = geoms_intersect if predicate == "intersects" else geom_contains
+        cache: dict = {}
+
+        def geo(w):
+            g = cache.get(w)
+            if g is None:
+                g = parse_wkt(w)
+                if len(cache) > 8192:
+                    cache.clear()
+                cache[w] = g
+            return g
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            lw = pdf["__lwkt"].to_numpy()
+            rw = pdf["__rwkt"].to_numpy()
+            for i in range(len(pdf)):
+                keep[i] = bool(fn(geo(lw[i]), geo(rw[i])))
+            yield pdf[keep]
+
+    out = cand.mapInPandas(_refine, schema=schema)
+    return out.drop("__lwkt", "__rwkt")
 
 
 def distance_join(

@@ -67,15 +67,22 @@ def main() -> int:
 
     t_all = time.monotonic()
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    def write_counted(df, path):
+        """Write + row count in ONE pass (Observation on the write job —
+        no post-write re-read of the stage output)."""
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(path)
+        return int(obs.get["rows"])
+
     # 1. documents
     docs_path, done = stage("documents")
     if args.docs:
         docs_path = args.docs
     elif not done:
-        synthesize_documents(spark, args.n_docs, partitions=256).write.mode(
-            "overwrite"
-        ).parquet(docs_path)
-        n = spark.read.parquet(docs_path).count()
+        n = write_counted(synthesize_documents(spark, args.n_docs, partitions=256), docs_path)
         write_manifest(docs_path, spec={"stage": "documents"},
                        partitions=[{"bucket": 0, "rows": int(n)}],
                        lineage={"generator": "tables.synthesize_documents", "n_docs": args.n_docs})
@@ -85,8 +92,7 @@ def main() -> int:
     pts_path, done = stage("doc_points")
     if not done:
         pts = with_z2_cell(extract_geo_points(docs))
-        pts.write.mode("overwrite").parquet(pts_path)
-        n = spark.read.parquet(pts_path).count()
+        n = write_counted(pts, pts_path)
         write_manifest(pts_path, spec={"stage": "doc_points", "cell": "z2/31bit"},
                        partitions=[{"bucket": 0, "rows": int(n)}],
                        lineage={"input": docs_path,
@@ -98,8 +104,7 @@ def main() -> int:
     if not done:
         polys = poly_layers(spark, args.n_polys)
         pairs = spatial_join_points_in_polys(pts, polys, bits=args.bits, broadcast=True)
-        pairs.write.mode("overwrite").parquet(pairs_path)
-        n = spark.read.parquet(pairs_path).count()
+        n = write_counted(pairs, pairs_path)
         write_manifest(pairs_path, spec={"stage": "pairs", "join_bits": args.bits},
                        partitions=[{"bucket": 0, "rows": int(n)}],
                        lineage={"points": pts_path, "n_polys": args.n_polys,

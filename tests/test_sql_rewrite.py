@@ -117,6 +117,50 @@ class TestLiteralFilterRewrite:
         assert fast == slow and len(fast) > 0
 
 
+class TestGeomGeomJoin:
+    def test_matches_brute_force(self, spark):
+        """Layer×layer intersects join equals the NumPy brute force."""
+        from geomesa_spark.geom import geoms_intersect, parse_wkt
+        from geomesa_spark.operators.joins import spatial_join_geoms
+
+        a = poly_layers(spark, 60).withColumnRenamed("poly_id", "left_id")
+        b = (
+            poly_layers(spark, 90)
+            .where(F.col("poly_id").substr(6, 6).cast("int") >= 30)
+            .withColumnRenamed("poly_id", "right_id")
+        )
+        got = {
+            (r["left_id"], r["right_id"])
+            for r in spatial_join_geoms(a, b, bits=5).collect()
+        }
+        rows_a = a.collect()
+        rows_b = b.collect()
+        want = {
+            (ra["left_id"], rb["right_id"])
+            for ra in rows_a
+            for rb in rows_b
+            if geoms_intersect(parse_wkt(ra["wkt"]), parse_wkt(rb["wkt"]))
+        }
+        assert got == want and len(want) > 0
+
+    def test_contains_predicate(self, spark):
+        from geomesa_spark.operators.joins import spatial_join_geoms
+
+        big = spark.createDataFrame(
+            [("B", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", 0.0, 0.0, 10.0, 10.0)],
+            "left_id string, wkt string, min_lon double, min_lat double, max_lon double, max_lat double",
+        )
+        small = spark.createDataFrame(
+            [
+                ("in", "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", 1.0, 1.0, 2.0, 2.0),
+                ("out", "POLYGON ((20 20, 21 20, 21 21, 20 21, 20 20))", 20.0, 20.0, 21.0, 21.0),
+            ],
+            "right_id string, wkt string, min_lon double, min_lat double, max_lon double, max_lat double",
+        )
+        got = {r["right_id"] for r in spatial_join_geoms(big, small, bits=4, predicate="contains").collect()}
+        assert got == {"in"}
+
+
 class TestAntimeridianWrap:
     """ADVICE round-1: cover ranges must wrap at ±180, not clamp."""
 
