@@ -462,6 +462,50 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_returnflag", "l_linestatus")
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue (pure filter + aggregate; exact
+    decimal sum so the oracle matches bit-for-bit)."""
+    _utc(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    f = l.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,6)"))
+    return f.agg(rev.cast("double").alias("revenue"), F.count("*").alias("n_items"))
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping-priority shape (adapted to the driver schema:
+    no o_shippriority column — o_orderpriority carried instead):
+    3-way join, decimal-exact revenue, deterministic top-10."""
+    _utc(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    j = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(28,6)")
+    )
+    out = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        rev.cast("double").alias("revenue")
+    )
+    return out.orderBy(
+        F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+    ).limit(10)
+
+
 def q_bin_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 BIN record packing: (track, secs, lon, lat) over the canonical
     fixture layer (reference BinAggregatingScan 16-byte records)."""
@@ -737,6 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_union_dedup": q_or_union_dedup,
         "lambda_merge": q_lambda_merge,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
         "bin_records": q_bin_records,
         "set_ops": q_set_ops,
         "sorted_topn": q_sorted_topn,
@@ -1041,6 +1087,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
         """,
         "bin_records": """
             SELECT printf('f-%05d', t.i) AS fid,

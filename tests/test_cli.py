@@ -1,0 +1,62 @@
+"""CLI surface (tools/cli.py) — reference `geomesa ingest/export/stats`
+command parity, exercised in-process via main(argv)."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+
+@pytest.fixture(scope="module")
+def cli():
+    import cli as m
+
+    return m
+
+
+class TestCli:
+    def test_ingest_csv_then_stats(self, spark, cli, tmp_path, capsys):
+        src = tmp_path / "in.csv"
+        src.write_text("alice,31\nbob,44\n")
+        out = str(tmp_path / "tbl")
+        assert cli.main([
+            "ingest", "--format", "csv", "--sft", "name:String,age:Int",
+            "--input", str(src), "--output", out,
+        ]) == 0
+        got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["ingested"] == 2
+        assert cli.main(["stats", "--input", out, "--spec", "Count();MinMax(age)"]) == 0
+        stats = json.loads(capsys.readouterr().out)
+        assert stats["Count()"][0]["count"] == 2
+        assert stats["MinMax(age)"][0]["min_age"] == 31
+
+    def test_sql_with_spatial_rewrite(self, spark, cli, tmp_path, capsys):
+        from geomesa_spark.operators.extract import extract_geo_points
+        from geomesa_spark.tables import poly_layers, synthesize_documents
+
+        pts = str(tmp_path / "pts")
+        pol = str(tmp_path / "pol")
+        extract_geo_points(synthesize_documents(spark, 500)).write.parquet(pts)
+        poly_layers(spark, 100).write.parquet(pol)
+        assert cli.main([
+            "sql", "--spatial-rewrite",
+            "--view", f"p={pts}", "--view", f"q={pol}",
+            "--query",
+            "SELECT count(*) AS n FROM p p JOIN q q"
+            " ON st_contains(q.wkt, st_point(p.lon, p.lat))",
+        ]) == 0
+        n = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["n"]
+        assert n > 0
+
+    def test_export_shapefile(self, spark, cli, tmp_path, capsys):
+        src = str(tmp_path / "tbl2")
+        spark.createDataFrame(
+            [("a", 1.0, 2.0)], "name string, lon double, lat double"
+        ).write.parquet(src)
+        base = str(tmp_path / "shp_out")
+        assert cli.main(["export", "--input", src, "--format", "shapefile",
+                         "--output", base]) == 0
+        assert os.path.exists(base + ".shp") and os.path.exists(base + ".dbf")
