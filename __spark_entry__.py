@@ -222,18 +222,21 @@ def q_pip_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql string over the registered st_* catalog (vectorized
     grouped kernel; every WKT ring goes through the ray-cast — so
     bbox-kind polygons use half-open semantics here, unlike the
-    two-phase operator's closed-envelope fast path)."""
-    from geomesa_spark.functions.st import register_st_functions
+    two-phase operator's closed-envelope fast path). Since round 2 the
+    SQL surface routes through the spatial rewriter (plans/
+    sql_rewrite.py), so this plans as a cell-cover BroadcastHashJoin —
+    not the round-1 BroadcastNestedLoopJoin cartesian."""
+    from geomesa_spark.plans.sql_rewrite import spatial_sql
 
-    register_st_functions(spark)
     _points(spark, sf_dir).createOrReplaceTempView("doc_pts_v")
     _polys(spark, True).createOrReplaceTempView("polys_v")
-    return spark.sql(
+    return spatial_sql(
+        spark,
         """
         SELECT p.doc_id, p.span_offset, q.poly_id
         FROM doc_pts_v p JOIN polys_v q
           ON st_contains(q.wkt, st_point(p.lon, p.lat))
-        """
+        """,
     )
 
 

@@ -70,6 +70,11 @@ _FILTER_PIP = re.compile(
     r"st_point\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s*\)",
     re.IGNORECASE,
 )
+_FILTER_DW = re.compile(
+    r"st_distanceSphere\s*\(\s*st_point\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s*,\s*"
+    r"st_point\s*\(\s*(-?[\d.eE+]+)\s*,\s*(-?[\d.eE+]+)\s*\)\s*\)\s*<=?\s*([\d.eE+]+)",
+    re.IGNORECASE,
+)
 
 _CLAUSE_KW = re.compile(r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION)\b", re.IGNORECASE)
 
@@ -283,7 +288,27 @@ def _rewrite_literal_filters(sql: str) -> str:
             f" AND {lat} >= {b[1]!r}D AND {lat} <= {b[3]!r}D AND {m.group(0)})"
         )
 
-    return _FILTER_PIP.sub(repl, sql)
+    out = _FILTER_PIP.sub(repl, sql)
+
+    def repl_dw(m: re.Match) -> str:
+        # DWITHIN around a literal point → circle-bbox conjuncts
+        # (residual keeps exactness; skip near the antimeridian where
+        # a raw-lon box would wrongly exclude wrapped matches)
+        import math
+
+        lon, lat = m.group(1), m.group(2)
+        cx, cy, r = float(m.group(3)), float(m.group(4)), float(m.group(5))
+        rlat = r / 111195.0
+        coslat = max(math.cos(math.radians(min(abs(cy) + rlat, 90.0))), 1e-6)
+        rlon = rlat / coslat
+        if cx - rlon < -180.0 or cx + rlon > 180.0:
+            return m.group(0)
+        return (
+            f"({lon} >= {cx - rlon!r}D AND {lon} <= {cx + rlon!r}D"
+            f" AND {lat} >= {cy - rlat!r}D AND {lat} <= {cy + rlat!r}D AND {m.group(0)})"
+        )
+
+    return _FILTER_DW.sub(repl_dw, out)
 
 
 def spatial_sql(

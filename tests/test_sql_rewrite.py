@@ -116,6 +116,24 @@ class TestLiteralFilterRewrite:
         slow = set(r[0] for r in spark.sql(sql).collect())
         assert fast == slow and len(fast) > 0
 
+    def test_dwithin_literal_filter(self, spark, geo_views):
+        sql = (
+            "SELECT doc_id FROM rw_pts WHERE st_distanceSphere("
+            "st_point(lon, lat), st_point(0.0, 0.0)) <= 2000000.0"
+        )
+        rewritten = rewrite_spatial_sql(sql, spark)
+        assert "lon >=" in rewritten and "st_distanceSphere" in rewritten
+        fast = set(r[0] for r in spatial_sql(spark, sql).collect())
+        slow = set(r[0] for r in spark.sql(sql).collect())
+        assert fast == slow and len(fast) > 0
+
+    def test_dwithin_literal_near_dateline_untouched(self, spark):
+        sql = (
+            "SELECT 1 FROM rw_pts WHERE st_distanceSphere("
+            "st_point(lon, lat), st_point(-179.9, 0.0)) <= 300000.0"
+        )
+        assert rewrite_spatial_sql(sql, spark) == sql
+
 
 class TestGeomGeomJoin:
     def test_matches_brute_force(self, spark):
