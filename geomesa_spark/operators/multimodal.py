@@ -133,10 +133,20 @@ def decode_image(df: DataFrame, mode: str = "fake", bytes_col: str = "media_byte
 
 
 def image_features(df: DataFrame, pixels_col: str = "pixels") -> DataFrame:
-    """Vectorized feature extraction over decoded pixel buffers:
-    per-channel means + a 64-bit difference-hash (phash-style) — real
-    NumPy compute, the model for plugging an actual vision featurizer.
-    Output adds (mean_r, mean_g, mean_b, dhash)."""
+    """Ragged-batch feature extraction over decoded pixel buffers:
+    per-channel means + a 64-bit difference-hash (phash-style).
+    Output adds (mean_r, mean_g, mean_b, dhash).
+
+    The kernel is batch-vectorized despite variable image sizes:
+
+    - channel means: ONE concatenation of every buffer in the Arrow
+      batch → ``np.add.reduceat`` at the per-image boundaries over the
+      ``(N_pixels, 3)`` view — no per-image Python.
+    - dhash: images grouped by (h, w) shape; each same-shape group
+      stacks into a 4-D block and hashes in one vectorized comparison
+      (fake-decoded dims span ~576 shapes, real pipelines resize to a
+      handful, so groups are large).
+    """
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -145,25 +155,52 @@ def image_features(df: DataFrame, pixels_col: str = "pixels") -> DataFrame:
            T.StructField("mean_b", T.DoubleType()), T.StructField("dhash", T.LongType())]
     )
     cols = [f.name for f in df.schema.fields]
+    pow2 = 1 << np.arange(64, dtype=np.uint64)
 
     def _feat(batches):
         for pdf in batches:
             pdf = pdf.copy()
-            mr, mg, mb, dh = [], [], [], []
-            for px, w, h, c in zip(pdf[pixels_col], pdf["width"], pdf["height"], pdf["channels"]):
-                if px is None:
-                    mr.append(None), mg.append(None), mb.append(None), dh.append(None)
-                    continue
-                a = np.frombuffer(px, dtype=np.uint8).reshape(int(h), int(w), int(c))
-                means = a.mean(axis=(0, 1))
-                mr.append(float(means[0])), mg.append(float(means[1])), mb.append(float(means[2]))
-                g = a.mean(axis=2)
-                rows = np.linspace(0, g.shape[0] - 1, 8).astype(int)
-                colsi = np.linspace(0, g.shape[1] - 1, 9).astype(int)
-                small = g[np.ix_(rows, colsi)]
-                bits = (small[:, 1:] > small[:, :-1]).flatten()
-                dh.append(int(bits.dot(1 << np.arange(64, dtype=np.uint64)).astype(np.int64)))
-            pdf["mean_r"], pdf["mean_g"], pdf["mean_b"], pdf["dhash"] = mr, mg, mb, dh
+            n = len(pdf)
+            px = pdf[pixels_col].to_numpy()
+            wv = pdf["width"].to_numpy()
+            hv = pdf["height"].to_numpy()
+            mr = np.full(n, np.nan)
+            mg = np.full(n, np.nan)
+            mb = np.full(n, np.nan)
+            dh = np.full(n, None, dtype=object)
+            valid = np.array([p is not None for p in px], dtype=bool)
+            vidx = np.nonzero(valid)[0]
+            if len(vidx):
+                bufs = [np.frombuffer(px[i], dtype=np.uint8) for i in vidx]
+                lens = np.array([b.size for b in bufs], dtype=np.int64)
+                flat3 = np.concatenate(bufs).reshape(-1, 3)
+                bounds = np.concatenate([[0], np.cumsum(lens)[:-1]]) // 3
+                sums = np.add.reduceat(flat3.astype(np.int64), bounds, axis=0)
+                npx = (lens // 3).astype(np.float64)
+                mr[vidx] = sums[:, 0] / npx
+                mg[vidx] = sums[:, 1] / npx
+                mb[vidx] = sums[:, 2] / npx
+
+                shapes = {}
+                for j, i in enumerate(vidx):
+                    shapes.setdefault((int(hv[i]), int(wv[i])), []).append((i, j))
+                for (h, w), members in shapes.items():
+                    idx = [i for i, _ in members]
+                    stack = np.stack(
+                        [bufs[j].reshape(h, w, 3) for _, j in members]
+                    )
+                    g = stack.mean(axis=3)
+                    rows = np.linspace(0, h - 1, 8).astype(int)
+                    colsi = np.linspace(0, w - 1, 9).astype(int)
+                    small = g[:, rows][:, :, colsi]
+                    bits = (small[:, :, 1:] > small[:, :, :-1]).reshape(len(idx), 64)
+                    vals = bits.dot(pow2).astype(np.int64)
+                    for i, v in zip(idx, vals):
+                        dh[i] = int(v)
+            pdf["mean_r"] = [None if not valid[i] else float(mr[i]) for i in range(n)]
+            pdf["mean_g"] = [None if not valid[i] else float(mg[i]) for i in range(n)]
+            pdf["mean_b"] = [None if not valid[i] else float(mb[i]) for i in range(n)]
+            pdf["dhash"] = dh
             yield pdf[cols + ["mean_r", "mean_g", "mean_b", "dhash"]]
 
     return df.mapInPandas(_feat, schema=schema)
