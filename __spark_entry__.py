@@ -186,6 +186,54 @@ def q_z3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_z3_cell(pts).select("doc_id", "span_offset", "epoch_bin", "cell_z3")
 
 
+def q_z3_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P6 end-to-end spatio-temporal indexed scan: Z3 coarse range
+    predicate (per-epoch-bin BIGMIN ranges → parquet pushdown) + exact
+    bbox/time refine — the full planner path, not just key encoding.
+
+    The cell-keyed table is MATERIALIZED first (localCheckpoint), as a
+    stored Z3 index table would be: filtering the in-flight encoding
+    expression instead would clone the 63-bit interleave into every
+    range term (each BETWEEN gets its own copy once the filter pushes
+    through the projection) and Catalyst optimization explodes."""
+    from geomesa_spark.operators.extract import with_z3_cell
+    from geomesa_spark.plans.planner import bbox_predicate, z3_range_predicate
+
+    _utc(spark)
+    pts = _points(spark, sf_dir)
+    i = F.substring("doc_id", 5, 12).cast("long")
+    pts = pts.withColumn(
+        "dtg", F.timestamp_seconds(F.lit(1704067200) + i * 37 + F.col("span_offset") * 13)
+    )
+    pts = with_z3_cell(pts).localCheckpoint(eager=False)
+    t_lo = 1704067200 * 1000
+    t_hi = (1704067200 + 250_000) * 1000
+    x0, y0, x1, y1 = BBOX
+    pred = (
+        z3_range_predicate([(x0, y0, x1, y1)], t_lo, t_hi)
+        & bbox_predicate((x0, y0, x1, y1))
+        & (F.unix_timestamp("dtg") * 1000).between(t_lo, t_hi)
+    )
+    return pts.where(pred).select("doc_id", "span_offset", "lon", "lat")
+
+
+def q_xz2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 extended-geometry indexed scan: XZ2 sequence-code coarse
+    ranges (Böhm enlarged cells, one key per geometry) + exact closed
+    envelope-intersection refine over the polygon layer."""
+    from geomesa_spark.operators.extract import with_xz2_cell
+    from geomesa_spark.plans.planner import xz2_range_predicate
+
+    x0, y0, x1, y1 = BBOX
+    p = with_xz2_cell(_polys(spark, False))
+    pred = (
+        xz2_range_predicate([(x0, y0, x1, y1)])
+        & (F.col("max_lon") >= x0) & (F.col("min_lon") <= x1)
+        & (F.col("max_lat") >= y0) & (F.col("min_lat") <= y1)
+    )
+    return p.where(pred).select("poly_id", "kind")
+
+
 def _polys(spark: SparkSession, oracle_kinds_only: bool) -> DataFrame:
     from geomesa_spark.tables import poly_layers
 
@@ -762,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_filter": q_bbox_filter,
         "z2_cells": q_z2_cells,
         "z3_cells": q_z3_cells,
+        "z3_select": q_z3_select,
+        "xz2_select": q_xz2_select,
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "pip_join_sql": q_pip_join_sql,
@@ -882,6 +932,25 @@ def oracle_sql() -> dict[str, str]:
                      b -> (((xi >> b) & 1) << (3 * b)) + (((yi >> b) & 1) << (3 * b + 1))
                           + (((ti >> b) & 1) << (3 * b + 2)))) AS BIGINT) AS cell_z3
             FROM n
+        """,
+        "z3_select": f"""
+            WITH {SQL_PTS}
+            SELECT doc_id, span_offset, lon, lat FROM (
+              SELECT p.*,
+                     1704067200 + CAST(substr(p.doc_id, 5, 12) AS BIGINT) * 37
+                       + p.span_offset * 13 AS secs
+              FROM pts p
+            )
+            WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
+              AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+              AND secs * 1000 >= {1704067200 * 1000}
+              AND secs * 1000 <= {(1704067200 + 250_000) * 1000}
+        """,
+        "xz2_select": f"""
+            WITH {SQL_POLYS}
+            SELECT poly_id, kind FROM polys_env
+            WHERE max_lon >= {BBOX[0]} AND min_lon <= {BBOX[2]}
+              AND max_lat >= {BBOX[1]} AND min_lat <= {BBOX[3]}
         """,
         "pip_join": f"""
             WITH {SQL_PTS}, {SQL_POLYS}
