@@ -144,7 +144,9 @@ def run_once(cores: int, sf_dir: str, n_docs: int, n_polys: int = 2000, stages=N
     )
     results: dict[str, float] = {}
     counts: dict[str, int] = {}
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    # min-of-3 by default: this VM's load spikes inflate single runs
+    # 2-4x (BENCH.md), and min-of-2 still caught a stall in round 2
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     with tempfile.TemporaryDirectory() as tmpdir:
         qs = pipeline_queries(spark, sf_dir, n_docs, cores, tmpdir, n_polys=n_polys)
         if stages:

@@ -758,7 +758,10 @@ def clip_polygons(subject: np.ndarray, clip: np.ndarray, op: str) -> Geometry | 
         )
 
     # phase 2: entry/exit flags (alternate from the first vertex's
-    # containment state); difference flips clip, union flips both
+    # containment state); A−B ≡ A ∩ complement(B): complementing B
+    # flips which side is "inside", which in GH flag terms flips the
+    # SUBJECT's entry/exit parity (the traversal still walks the clip
+    # ring backwards through its unflipped flags); union flips both
     def mark(head: _GHNode, other_ring: np.ndarray, flip: bool):
         first = head.pt
         inside = _pip_ring(first[0], first[1], other_ring)
@@ -767,8 +770,8 @@ def clip_polygons(subject: np.ndarray, clip: np.ndarray, op: str) -> Geometry | 
                 nd.entry = (not inside) ^ flip
                 inside = not inside
 
-    mark(s_head, c_ring, flip=(op == "union"))
-    mark(c_head, s_ring, flip=(op in ("difference", "union")))
+    mark(s_head, c_ring, flip=(op in ("difference", "union")))
+    mark(c_head, s_ring, flip=(op == "union"))
 
     # phase 3: traversal
     out_rings: list[np.ndarray] = []

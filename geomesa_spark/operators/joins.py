@@ -38,6 +38,7 @@ __all__ = [
     "refine_pip",
     "haversine_m_col",
     "tube_select",
+    "densify_track",
     "attribute_join",
 ]
 
@@ -430,6 +431,48 @@ def tube_select(
     return (
         cand.where((F.col("dist_m") <= radius_m) & (F.col("dt_s") <= time_window_s))
         .drop("cell", "__bin", "min_lon", "max_lon", "min_lat", "max_lat")
+    )
+
+
+def densify_track(
+    tube: DataFrame,
+    max_seg_s: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str = "dtg",
+    order_col: str = "vertex_id",
+    track_col: str = "tube_id",
+) -> DataFrame:
+    """Interpolate extra vertices along a track so consecutive points
+    are at most ``max_seg_s`` seconds apart (the reference's
+    TubeBuilder interpolation — TubeSelectProcess samples between input
+    points). Pure built-ins: lead() window + transform(sequence) over
+    the interpolation fractions + explode; feeds tube_select so the
+    corridor has no gaps between sparse vertices."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(track_col).orderBy(F.col(order_col).asc())
+    t = (
+        tube.withColumn("__nlon", F.lead(lon).over(w))
+        .withColumn("__nlat", F.lead(lat).over(w))
+        .withColumn("__ndtg", F.lead(dtg).over(w))
+    )
+    secs = F.unix_timestamp(F.col(dtg))
+    nsecs = F.unix_timestamp(F.col("__ndtg"))
+    n_seg = F.when(
+        F.col("__ndtg").isNotNull(),
+        F.greatest(F.ceil((nsecs - secs) / F.lit(max_seg_s)), F.lit(1)),
+    ).otherwise(F.lit(1))
+    t = t.withColumn("__k", F.explode(F.sequence(F.lit(0), n_seg - 1)))
+    frac = F.col("__k") / n_seg.cast("double")
+    interp = lambda a, b: F.when(  # noqa: E731
+        F.col("__ndtg").isNotNull(), a + (b - a) * frac
+    ).otherwise(a)
+    return (
+        t.withColumn(lon, interp(F.col(lon), F.col("__nlon")))
+        .withColumn(lat, interp(F.col(lat), F.col("__nlat")))
+        .withColumn(dtg, F.timestamp_seconds(interp(secs, nsecs)))
+        .drop("__nlon", "__nlat", "__ndtg", "__k")
     )
 
 

@@ -137,3 +137,41 @@ class TestHaversine:
         d2 = haversine_m(lon2, lat2, lon1, lat1)
         assert np.allclose(d1, d2)
         assert (d1 >= 0).all() and (d1 <= np.pi * 6371008.8 + 1).all()
+
+
+class TestClipProperties:
+    """Greiner–Hormann invariants over random star polygons:
+    area(A∩B) + area(A−B) = area(A), and ∩/∪ inclusion-exclusion."""
+
+    @staticmethod
+    def _star(seed, cx, cy, n=9, r=3.0):
+        r_ = np.random.RandomState(seed)
+        ang = np.sort(r_.uniform(0, 2 * np.pi, n))
+        rad = r_.uniform(0.4 * r, r, n)
+        return np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+
+    def test_area_conservation(self):
+        from geomesa_spark.geom import clip_polygons, geom_area
+
+        checked = 0
+        for seed in range(40):
+            a = self._star(seed, 0.0, 0.0)
+            b = self._star(seed + 1000, np.random.RandomState(seed).uniform(-2, 2),
+                           np.random.RandomState(seed + 7).uniform(-2, 2))
+            ga = abs(
+                sum(np.cross(a[i], a[(i + 1) % len(a)]) for i in range(len(a)))
+            ) / 2.0
+            inter = clip_polygons(a, b, "intersection")
+            diff = clip_polygons(a, b, "difference")
+            ai = geom_area(inter) if inter is not None else 0.0
+            ad = geom_area(diff) if diff is not None else 0.0
+            assert ai + ad == pytest.approx(ga, rel=1e-9), f"seed {seed}"
+            # union = A + B - A∩B
+            uni = clip_polygons(a, b, "union")
+            gb = abs(
+                sum(np.cross(b[i], b[(i + 1) % len(b)]) for i in range(len(b)))
+            ) / 2.0
+            au = geom_area(uni) if uni is not None else 0.0
+            assert au == pytest.approx(ga + gb - ai, rel=1e-9), f"seed {seed}"
+            checked += 1
+        assert checked == 40

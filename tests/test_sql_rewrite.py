@@ -135,6 +135,30 @@ class TestLiteralFilterRewrite:
         assert rewrite_spatial_sql(sql, spark) == sql
 
 
+class TestDensifyTrack:
+    def test_segments_bounded_and_endpoints_kept(self, spark):
+        from geomesa_spark.operators.joins import densify_track
+
+        tube = spark.createDataFrame(
+            [
+                ("t0", 0, 0.0, 0.0, "2024-01-01 00:00:00"),
+                ("t0", 1, 10.0, 0.0, "2024-01-01 01:00:00"),
+                ("t0", 2, 10.0, 5.0, "2024-01-01 01:30:00"),
+            ],
+            "tube_id string, vertex_id int, lon double, lat double, dtg string",
+        ).withColumn("dtg", F.to_timestamp("dtg"))
+        out = densify_track(tube, max_seg_s=600).orderBy("dtg").collect()
+        # 1h gap → 6 segments, 30m gap → 3, plus the final vertex
+        assert len(out) == 6 + 3 + 1
+        secs = [r["dtg"].timestamp() for r in out]
+        gaps = [b - a for a, b in zip(secs, secs[1:])]
+        assert max(gaps) <= 600
+        assert out[0]["lon"] == 0.0 and out[-1]["lon"] == 10.0 and out[-1]["lat"] == 5.0
+        # interpolated positions lie on the segment
+        mid = out[3]
+        assert mid["lat"] == 0.0 and 0.0 < mid["lon"] < 10.0
+
+
 class TestGeomGeomJoin:
     def test_matches_brute_force(self, spark):
         """Layer×layer intersects join equals the NumPy brute force."""

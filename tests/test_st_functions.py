@@ -173,6 +173,12 @@ class TestProcessing:
         assert sql(f"st_area(st_difference('{BOX}', '{BOX_FAR}'))") == pytest.approx(16.0)
         # subject inside clip → empty (NULL)
         assert sql(f"st_difference(q, '{BOX}')", q="POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))") is None
+        # ASYMMETRIC case (regression: the GH flag flip once computed
+        # B−A; square−square cases are symmetric and missed it)
+        ell = "POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))"  # area 20
+        sq = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"  # area 4, overlap 3
+        assert sql(f"st_area(st_difference('{ell}', '{sq}'))") == pytest.approx(17.0)
+        assert sql(f"st_area(st_difference('{sq}', '{ell}'))") == pytest.approx(1.0)
 
     def test_intersection_points(self, sql):
         got = sql(f"st_intersection(m, '{BOX}')", m="MULTIPOINT (1 1, 9 9)")
