@@ -581,7 +581,26 @@ def _dist_sphere(a: str, b: str) -> float:
 
 
 st_distanceSphere = _binary(_dist_sphere, T.DoubleType())
-st_distanceSpheroid = st_distanceSphere  # spherical approximation
+
+
+def _dist_spheroid(a: str, b: str) -> float:
+    """WGS84 geodesic (Vincenty) — a real spheroid distance, no longer
+    the sphere alias (reference st_distanceSpheroid uses GeodeticCalculator,
+    the same ellipsoid model)."""
+    ga, gb = _parse(a), _parse(b)
+    if ga.geom_type == "POINT" and gb.geom_type == "POINT":
+        return float(
+            G.vincenty_m(
+                ga.rings[0][0, 0], ga.rings[0][0, 1], gb.rings[0][0, 0], gb.rings[0][0, 1]
+            )
+        )
+    cx, cy = G.geom_centroid(gb)
+    px, py = G.closest_point_on(ga, cx, cy)
+    qx, qy = G.closest_point_on(gb, px, py)
+    return float(G.vincenty_m(px, py, qx, qy))
+
+
+st_distanceSpheroid = _binary(_dist_spheroid, T.DoubleType())
 
 
 def _length_sphere(w: str) -> float:
@@ -597,7 +616,21 @@ def _length_sphere(w: str) -> float:
 
 
 st_lengthSphere = _unary(_length_sphere, T.DoubleType())
-st_lengthSpheroid = st_lengthSphere
+
+
+def _length_spheroid(w: str) -> float:
+    g = _parse(w)
+    total = 0.0
+    for r in g.rings:
+        e = G._close(r) if g.geom_type in ("POLYGON", "MULTIPOLYGON") else r
+        if len(e) > 1:
+            total += float(
+                G.vincenty_m(e[:-1, 0], e[:-1, 1], e[1:, 0], e[1:, 1]).sum()
+            )
+    return total
+
+
+st_lengthSpheroid = _unary(_length_spheroid, T.DoubleType())
 st_closestPoint = _binary(
     lambda a, b: (lambda c: f"POINT ({c[0]} {c[1]})")(
         G.closest_point_on(_parse(a), *G.geom_centroid(_parse(b)))

@@ -26,6 +26,7 @@ __all__ = [
     "points_in_polygon",
     "points_in_rings",
     "haversine_m",
+    "vincenty_m",
     "bbox_of",
     "EARTH_RADIUS_M",
     "geom_area",
@@ -242,6 +243,86 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     dlat = lat2 - lat1
     a = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+
+
+def vincenty_m(lon1, lat1, lon2, lat2, tol: float = 1e-12, max_iter: int = 200) -> np.ndarray:
+    """Geodesic distance on the WGS84 ellipsoid (Vincenty 1975 inverse
+    formula — public algorithm), vectorized. Near-antipodal pairs that
+    fail to converge fall back to the spherical haversine (documented
+    Vincenty limitation; error there ≤ 0.5%)."""
+    a, f = WGS84_A, WGS84_F
+    b = (1.0 - f) * a
+    lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    U1 = np.arctan((1.0 - f) * np.tan(lat1))
+    U2 = np.arctan((1.0 - f) * np.tan(lat2))
+    L = lon2 - lon1
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy() if L.shape else np.array(L, dtype=np.float64)
+    lam = np.atleast_1d(lam).astype(np.float64)
+    shape = lam.shape
+    active = np.ones(shape, dtype=bool)
+    sin_sig = np.zeros(shape)
+    cos_sig = np.ones(shape)
+    sigma = np.zeros(shape)
+    cos2_alpha = np.ones(shape)
+    cos_2sigm = np.zeros(shape)
+    converged = np.zeros(shape, dtype=bool)
+    for _ in range(max_iter):
+        if not active.any():
+            break
+        sl, cl = np.sin(lam), np.cos(lam)
+        sin_sig = np.hypot(cosU2 * sl, cosU1 * sinU2 - sinU1 * cosU2 * cl)
+        cos_sig = sinU1 * sinU2 + cosU1 * cosU2 * cl
+        sigma = np.arctan2(sin_sig, cos_sig)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(sin_sig != 0, cosU1 * cosU2 * sl / np.where(sin_sig != 0, sin_sig, 1.0), 0.0)
+            cos2_alpha = 1.0 - sin_alpha * sin_alpha
+            cos_2sigm = np.where(
+                cos2_alpha != 0,
+                cos_sig - 2.0 * sinU1 * sinU2 / np.where(cos2_alpha != 0, cos2_alpha, 1.0),
+                0.0,  # equatorial line
+            )
+        C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+        lam_new = L + (1.0 - C) * f * sin_alpha * (
+            sigma + C * sin_sig * (cos_2sigm + C * cos_sig * (-1.0 + 2.0 * cos_2sigm**2))
+        )
+        delta = np.abs(lam_new - lam)
+        lam = np.where(active, lam_new, lam)
+        newly = active & (delta < tol)
+        converged |= newly
+        active &= ~newly
+    u2 = cos2_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = B * sin_sig * (
+        cos_2sigm
+        + B / 4.0 * (
+            cos_sig * (-1.0 + 2.0 * cos_2sigm**2)
+            - B / 6.0 * cos_2sigm * (-3.0 + 4.0 * sin_sig**2) * (-3.0 + 4.0 * cos_2sigm**2)
+        )
+    )
+    dist = b * A * (sigma - dsig)
+    same = (lat1 == lat2) & (lon1 == lon2)
+    dist = np.where(np.atleast_1d(same), 0.0, dist)
+    # non-converged (near-antipodal): spherical fallback
+    bad = ~converged & ~np.atleast_1d(same)
+    if bad.any():
+        hv = np.atleast_1d(
+            haversine_m(
+                np.degrees(np.atleast_1d(lon1)), np.degrees(np.atleast_1d(lat1)),
+                np.degrees(np.atleast_1d(lon2)), np.degrees(np.atleast_1d(lat2)),
+            )
+        )
+        dist = np.where(bad, hv, dist)
+    return dist.reshape(shape) if shape else float(dist)
 
 
 def bbox_of(wkts) -> np.ndarray:

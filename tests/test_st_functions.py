@@ -239,3 +239,32 @@ class TestCoversSimpleN:
         assert sql(f"st_numGeometries('{gc}')") == 2
         assert sql(f"st_geometryN('{gc}', 1)") == "POINT (1 2)"
         assert sql(f"st_geometryN('{gc}', 2)") == "LINESTRING (0 0, 1 1)"
+
+
+class TestSpheroid:
+    def test_vincenty_known_values(self):
+        import numpy as np
+
+        from geomesa_spark.geom import vincenty_m
+
+        # published WGS84 geodesics
+        assert float(vincenty_m(np.array([0.0]), np.array([0.0]),
+                                np.array([1.0]), np.array([0.0]))[0]) == pytest.approx(111319.491, abs=0.01)
+        assert float(vincenty_m(np.array([0.0]), np.array([0.0]),
+                                np.array([0.0]), np.array([1.0]))[0]) == pytest.approx(110574.389, abs=0.01)
+        # Vincenty's own test line (Flinders Peak -> Buninyong): 54972.271 m
+        assert float(vincenty_m(np.array([144.42486788888888]), np.array([-37.95103341666667]),
+                                np.array([143.92649552777777]), np.array([-37.65282113888889]))[0]
+                     ) == pytest.approx(54972.271, abs=0.01)
+
+    def test_spheroid_vs_sphere_sql(self, sql):
+        d_sph = sql("st_distanceSphere(a, b)", a="POINT (0 0)", b="POINT (0 1)")
+        d_ell = sql("st_distanceSpheroid(a, b)", a="POINT (0 0)", b="POINT (0 1)")
+        assert d_ell == pytest.approx(110574.389, abs=0.01)
+        assert d_ell != d_sph  # no longer an alias
+        assert abs(d_ell - d_sph) < 1000
+
+    def test_length_spheroid(self, sql):
+        # one-degree equatorial segment
+        got = sql("st_lengthSpheroid(l)", l="LINESTRING (0 0, 1 0)")
+        assert got == pytest.approx(111319.491, abs=0.01)
