@@ -603,6 +603,24 @@ def _dist_spheroid(a: str, b: str) -> float:
 st_distanceSpheroid = _binary(_dist_spheroid, T.DoubleType())
 
 
+@F.pandas_udf(T.BooleanType())
+def st_dwithin(a: pd.Series, b: pd.Series, meters: pd.Series) -> pd.Series:
+    """Great-circle DWITHIN predicate (ECQL DWITHIN / PostGIS
+    ST_DWithin surface form): distanceSphere(a, b) <= meters. The
+    spatial rewriter turns join conditions in this form into
+    cell-cover equi-joins."""
+    out = []
+    for wa, wb, m in zip(a, b, meters):
+        if wa is None or wb is None or m is None:
+            out.append(None)
+            continue
+        try:
+            out.append(bool(_dist_sphere(wa, wb) <= float(m)))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 def _length_sphere(w: str) -> float:
     g = _parse(w)
     total = 0.0
@@ -721,6 +739,7 @@ ST_FUNCTIONS: dict = {
     "st_distance": st_distance,
     "st_distanceSphere": st_distanceSphere,
     "st_distanceSpheroid": st_distanceSpheroid,
+    "st_dwithin": st_dwithin,
     "st_area": st_area,
     "st_length": st_length,
     "st_lengthSphere": st_lengthSphere,

@@ -65,6 +65,11 @@ _DWITHIN = re.compile(
     r"st_point\s*\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)\s*\)\s*<=?\s*(?P<r>[\w.]+)$",
     re.IGNORECASE,
 )
+_DWITHIN_FN = re.compile(
+    r"^st_dwithin\s*\(\s*st_point\s*\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)\s*,\s*"
+    r"st_point\s*\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)\s*,\s*(?P<r>[\w.]+)\s*\)$",
+    re.IGNORECASE,
+)
 _FILTER_PIP = re.compile(
     r"st_(contains|covers|intersects)\s*\(\s*'([^']+)'\s*,\s*"
     r"st_point\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s*\)",
@@ -194,7 +199,7 @@ def _rewrite_join(sql: str, spark: SparkSession | None, n: int, broadcast: bool)
                 return sql
             poly_a, pt_a = ga, pa1
         else:
-            dw = _DWITHIN.match(cond)
+            dw = _DWITHIN.match(cond) or _DWITHIN_FN.match(cond)
             if not dw:
                 return sql
             qa1, qlon, qa2, qlat, ra1, rlon, ra2, rlat, radius = dw.groups()

@@ -103,6 +103,27 @@ class TestDwithinRewrite:
         assert got == ref
 
 
+class TestDwithinFunctionForm:
+    def test_st_dwithin_join_rewrites(self, spark, geo_views):
+        sql = """
+        SELECT q.q_id, p.doc_id, p.span_offset
+        FROM rw_pts p JOIN rw_probes q
+          ON st_dwithin(st_point(p.lon, p.lat), st_point(q.lon, q.lat), q.radius_m)
+        """
+        rewritten = rewrite_spatial_sql(sql, spark)
+        assert "__cell" in rewritten
+        got = set(map(tuple, spatial_sql(spark, sql).collect()))
+        ref = set(
+            map(
+                tuple,
+                distance_join(geo_views["pts"], query_points(spark, 2000), bits=6)
+                .select("q_id", "doc_id", "span_offset")
+                .collect(),
+            )
+        )
+        assert got == ref and len(got) > 0
+
+
 class TestLiteralFilterRewrite:
     def test_bbox_conjuncts_added(self, spark, geo_views):
         sql = (

@@ -144,6 +144,17 @@ class TestStreaming:
         finally:
             q.stop()
 
+    def test_kafka_source_gated(self, spark):
+        """No kafka connector jar in this sandbox: the constructor must
+        gate with a clear error (or build a plan where the jar exists)."""
+        from geomesa_spark.streaming.live import kafka_features
+
+        try:
+            df = kafka_features(spark, "localhost:9092", "features")
+            assert "__fid__" in df.columns  # jar present: schema path intact
+        except RuntimeError as e:
+            assert "spark-sql-kafka" in str(e)
+
     def test_live_spatial_join_stream_static(self, spark, stream, tmp_path):
         """Stream-static spatial join: rate-source points against a
         static polygon layer, matched rows arrive per micro-batch with
