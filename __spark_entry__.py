@@ -740,6 +740,22 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components (HashMin
+    label propagation) over the MinHash-LSH candidate-pair graph — the
+    canonical-representative assignment a dedup pipeline keys its
+    keep/drop decision on. Oracle: recursive-CTE transitive closure
+    with min-label aggregation."""
+    from geomesa_spark.operators.dedup import (
+        dedup_clusters, lsh_candidate_pairs, with_minhash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = with_minhash(docs, n_hashes=16, shingle_k=1)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return dedup_clusters(pairs)
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs blocked by source."""
     from geomesa_spark.operators.dedup import ngram_jaccard_pairs
@@ -851,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
@@ -1316,6 +1333,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN ok o ON a.b = o.b AND a.band_key = o.band_key
             JOIN bands b
               ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        # transitive closure with min-label aggregation == the engine's
+        # HashMin fixpoint; the edge set mirrors the capped LSH pairs
+        "dedup_clusters": f"""
+            WITH RECURSIVE {SQL_MINHASH},
+            bands AS (
+              SELECT doc_id, g.b,
+                     array_to_string(sig[g.b*4+1 : g.b*4+4], ',') AS band_key
+              FROM mh CROSS JOIN (VALUES (0),(1),(2),(3)) AS g(b)
+            ),
+            ok AS (
+              SELECT b, band_key FROM bands GROUP BY b, band_key
+              HAVING count(*) <= 10000
+            ),
+            prs AS (
+              SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+              FROM bands a
+              JOIN ok o ON a.b = o.b AND a.band_key = o.band_key
+              JOIN bands b
+                ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT key_a AS s, key_b AS d FROM prs
+              UNION SELECT key_b, key_a FROM prs
+            ),
+            reach (node, lbl) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node
+            )
+            SELECT node, min(lbl) AS label FROM reach GROUP BY node
         """,
         "jaccard_pairs": """
             WITH sh AS (

@@ -31,6 +31,7 @@ __all__ = [
     "token_hash",
     "with_minhash",
     "lsh_candidate_pairs",
+    "dedup_clusters",
     "with_simhash",
     "ngram_jaccard_pairs",
 ]
@@ -163,6 +164,53 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    candidate-pair graph via HashMin label propagation (the standard
+    large-scale CC shape — each round every node adopts the minimum
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds, and near-dup clusters are nearly cliques, so
+    typically 2-4).
+
+    Spark shape: a bounded driver loop of equi-joins; labels are
+    localCheckpoint'ed each round so lineage stays flat, and the loop
+    exits on a converged round (changed == 0 — the convergence count
+    rides the same aggregation). Output: (node, label) with label =
+    min doc key of the component — the canonical representative to
+    keep, everything else is the duplicate set.
+    """
+    e = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+    e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = e.join(labels, e["dst"] == labels["node"]).select(
+            F.col("src").alias("node"), "label"
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "__old"), "node")
+            .where(F.col("label") != F.col("__old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:

@@ -71,6 +71,16 @@ class TestDedup:
         n = ngram_jaccard_pairs(docs, allow_full_cartesian=True, threshold=0.99).count()
         assert n >= 1
 
+    def test_dedup_clusters_connected_components(self, spark):
+        from geomesa_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("d", "e"), ("f", "c")],
+            "key_a string, key_b string",
+        )
+        got = {r["node"]: r["label"] for r in dedup_clusters(pairs).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "f": "a", "d": "d", "e": "d"}
+
     def test_lsh_hot_bucket_cap(self, spark):
         """A flood of near-identical docs must not go quadratic: over
         the cap, the hot bucket is dropped (and logged), in bounded
