@@ -364,6 +364,18 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vectorize_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster → vector: thresholded density cells merged into
+    4-adjacent connected regions with envelope + stats (inverse of the
+    DensityScan direction; oracle re-derives the regions with a
+    recursive-CTE closure)."""
+    from geomesa_spark.operators.tiles import vectorize_density
+
+    return vectorize_density(
+        _points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34, min_weight=2.0
+    )
+
+
 def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row invariant: span sequence (kind,text,media_ref,order) is
     untouched after the document flows through the spatial-join pipeline.
@@ -836,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_join": q_dwithin_join,
         "knn": q_knn,
         "density_grid": q_density_grid,
+        "vectorize_density": q_vectorize_density,
         "tile_assign": q_tile_assign,
         "tile_pyramid": q_tile_pyramid,
         "span_invariant": q_span_invariant,
@@ -1057,6 +1070,47 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
             WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
             GROUP BY 1, 2
+        """,
+        "vectorize_density": f"""
+            WITH RECURSIVE {SQL_PTS},
+            cellsq AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(sum(1.0) AS DOUBLE) AS weight,
+                     count(*) AS cnt
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            cells AS (
+              SELECT *, CAST(iy AS BIGINT) * 72 + ix AS cell_id
+              FROM cellsq WHERE weight >= 2.0
+            ),
+            edges AS (
+              SELECT a.cell_id AS s, b.cell_id AS d
+              FROM cells a JOIN cells b
+                ON (b.ix = a.ix + 1 AND b.iy = a.iy) OR (b.ix = a.ix AND b.iy = a.iy + 1)
+              UNION
+              SELECT b.cell_id, a.cell_id
+              FROM cells a JOIN cells b
+                ON (b.ix = a.ix + 1 AND b.iy = a.iy) OR (b.ix = a.ix AND b.iy = a.iy + 1)
+            ),
+            reach (node, lbl) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node
+            ),
+            lab AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node)
+            SELECT COALESCE(l.label, c.cell_id) AS region_id,
+                   count(*) AS n_cells,
+                   CAST(sum(weight) AS DOUBLE) AS weight,
+                   CAST(sum(cnt) AS BIGINT) AS cnt,
+                   -180.0 + min(ix) * 5.0 AS x0,
+                   -85.0 + min(iy) * 5.0 AS y0,
+                   -180.0 + (max(ix) + 1) * 5.0 AS x1,
+                   -85.0 + (max(iy) + 1) * 5.0 AS y1
+            FROM cells c LEFT JOIN lab l ON c.cell_id = l.node
+            GROUP BY 1
         """,
         "tile_assign": f"""
             WITH {SQL_PTS}

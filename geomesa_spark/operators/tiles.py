@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.sources.catalog import write_manifest
 
-__all__ = ["density_grid", "tile_pyramid", "write_tiles"]
+__all__ = ["density_grid", "tile_pyramid", "write_tiles", "vectorize_density"]
 
 
 def density_grid(
@@ -95,6 +95,61 @@ def tile_pyramid(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.select(F.col("level").cast("int"), "xi", "yi", "weight", "cnt")
+
+
+def vectorize_density(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    min_weight: float = 1.0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Raster → vector: threshold the density grid and merge
+    4-adjacent surviving cells into connected regions (the inverse of
+    the DensityScan direction — together they close the north star's
+    raster↔vector loop).
+
+    Spark shape: density aggregation → self equi-join on shifted cell
+    ids for adjacency edges → HashMin connected components
+    (dedup_clusters — bounded label-propagation fixpoint) → per-region
+    envelope + stats. Output: (region_id = min cell id, n_cells,
+    weight, cnt, x0, y0, x1, y1) with the envelope in bbox
+    coordinates; st_makeBBOX(x0,y0,x1,y1) yields the polygon WKT.
+    """
+    from geomesa_spark.operators.dedup import dedup_clusters
+
+    x0b, y0b, x1b, y1b = bbox
+    dx = (x1b - x0b) / width
+    dy = (y1b - y0b) / height
+    g = density_grid(points, bbox, width, height, weight_col=weight_col)
+    cells = g.where(F.col("weight") >= min_weight).withColumn(
+        "cell_id", F.col("iy").cast("long") * width + F.col("ix")
+    )
+    a = cells.select("cell_id", "ix", "iy")
+    right = (
+        a.select(F.col("cell_id").alias("n_id"), F.col("ix").alias("nx"), F.col("iy").alias("ny"))
+    )
+    edges = None
+    for dxi, dyi in ((1, 0), (0, 1)):
+        e = a.join(
+            right,
+            (F.col("nx") == F.col("ix") + dxi) & (F.col("ny") == F.col("iy") + dyi),
+        ).select(F.col("cell_id").alias("key_a"), F.col("n_id").alias("key_b"))
+        edges = e if edges is None else edges.unionByName(e)
+    labels = dedup_clusters(edges)
+    labeled = cells.join(labels, cells["cell_id"] == labels["node"], "left").withColumn(
+        "region_id", F.coalesce(F.col("label"), F.col("cell_id"))  # singleton regions
+    )
+    return labeled.groupBy("region_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("weight").alias("weight"),
+        F.sum("cnt").alias("cnt"),
+        (F.lit(x0b) + F.min("ix") * dx).alias("x0"),
+        (F.lit(y0b) + F.min("iy") * dy).alias("y0"),
+        (F.lit(x0b) + (F.max("ix") + 1) * dx).alias("x1"),
+        (F.lit(y0b) + (F.max("iy") + 1) * dy).alias("y1"),
+    )
 
 
 def write_tiles(

@@ -196,3 +196,30 @@ class TestDensity:
         assert len(got) == len(want)
         assert (got["cnt"].sort_index() == want.sort_index()).all()
         assert got["cnt"].sum() == len(pts)
+
+    def test_vectorize_density_regions(self, spark):
+        """Raster→vector: an L-shaped blob, a separate blob, and a
+        singleton cell must become three regions with exact envelopes."""
+        from geomesa_spark.operators.tiles import vectorize_density
+
+        def cell_pts(ix, iy, n):
+            # n points inside 10-degree cell (ix, iy) of a 36x18 grid
+            return [(f"d{ix}-{iy}-{k}", 0, -180.0 + ix * 10 + 5.0, -90.0 + iy * 10 + 5.0)
+                    for k in range(n)]
+
+        rows = (
+            cell_pts(2, 2, 3) + cell_pts(3, 2, 3) + cell_pts(3, 3, 3)  # L blob
+            + cell_pts(10, 10, 4) + cell_pts(11, 10, 2)               # pair blob
+            + cell_pts(20, 5, 5)                                      # singleton
+            + cell_pts(30, 8, 1)                                      # below threshold
+        )
+        pts = spark.createDataFrame(rows, "doc_id string, span_offset int, lon double, lat double")
+        out = vectorize_density(pts, (-180.0, -90.0, 180.0, 90.0), 36, 18, min_weight=2.0)
+        regions = {r["region_id"]: r for r in out.collect()}
+        assert len(regions) == 3
+        by_cells = sorted((r["n_cells"], r["cnt"]) for r in regions.values())
+        assert by_cells == [(1, 5), (2, 6), (3, 9)]
+        l_blob = next(r for r in regions.values() if r["n_cells"] == 3)
+        assert (l_blob["x0"], l_blob["y0"], l_blob["x1"], l_blob["y1"]) == (
+            -160.0, -70.0, -140.0, -50.0
+        )
