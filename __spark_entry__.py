@@ -234,6 +234,31 @@ def q_xz2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.where(pred).select("poly_id", "kind")
 
 
+def q_xz3_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 spatio-temporal EXTENDED-geometry indexed scan (reference
+    XZ3IndexKeySpace): polygons with a deterministic event time get
+    (epoch_bin, cell_xz3) keys; the query applies the XZ3 coarse range
+    predicate + exact closed envelope-intersection and time refine."""
+    from geomesa_spark.operators.extract import with_xz3_cell
+    from geomesa_spark.plans.planner import xz3_range_predicate
+
+    _utc(spark)
+    p = _polys(spark, False)
+    k = F.substring("poly_id", 6, 6).cast("long")
+    p = p.withColumn("dtg", F.timestamp_seconds(F.lit(1704067200) + k * 3600))
+    p = with_xz3_cell(p)
+    x0, y0, x1, y1 = BBOX
+    t_lo = 1704067200 * 1000
+    t_hi = (1704067200 + 500 * 3600) * 1000
+    pred = (
+        xz3_range_predicate([(x0, y0, x1, y1)], t_lo, t_hi)
+        & (F.col("max_lon") >= x0) & (F.col("min_lon") <= x1)
+        & (F.col("max_lat") >= y0) & (F.col("min_lat") <= y1)
+        & (F.unix_timestamp("dtg") * 1000).between(t_lo, t_hi)
+    )
+    return p.where(pred).select("poly_id", "kind")
+
+
 def _polys(spark: SparkSession, oracle_kinds_only: bool) -> DataFrame:
     from geomesa_spark.tables import poly_layers
 
@@ -840,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z3_cells": q_z3_cells,
         "z3_select": q_z3_select,
         "xz2_select": q_xz2_select,
+        "xz3_select": q_xz3_select,
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "pip_join_sql": q_pip_join_sql,
@@ -981,6 +1007,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT poly_id, kind FROM polys_env
             WHERE max_lon >= {BBOX[0]} AND min_lon <= {BBOX[2]}
               AND max_lat >= {BBOX[1]} AND min_lat <= {BBOX[3]}
+        """,
+        "xz3_select": f"""
+            WITH {SQL_POLYS}
+            SELECT poly_id, kind FROM polys_env
+            WHERE max_lon >= {BBOX[0]} AND min_lon <= {BBOX[2]}
+              AND max_lat >= {BBOX[1]} AND min_lat <= {BBOX[3]}
+              AND (1704067200 + CAST(substr(poly_id, 6, 6) AS BIGINT) * 3600) * 1000
+                    >= {1704067200 * 1000}
+              AND (1704067200 + CAST(substr(poly_id, 6, 6) AS BIGINT) * 3600) * 1000
+                    <= {(1704067200 + 500 * 3600) * 1000}
         """,
         "pip_join": f"""
             WITH {SQL_PTS}, {SQL_POLYS}

@@ -189,6 +189,21 @@ def compile_transform(expr: str, fields: list[str]) -> Column:
         "stringToDouble": lambda: c[0].try_cast("double"),
         "stringToInt": lambda: c[0].try_cast("int"),
         "stringToLong": lambda: c[0].try_cast("long"),
+        "toDouble": lambda: c[0].try_cast("double"),
+        "toInt": lambda: c[0].try_cast("int"),
+        "toLong": lambda: c[0].try_cast("long"),
+        "toBoolean": lambda: c[0].try_cast("boolean"),
+        "emptyToNull": lambda: F.when(F.trim(c[0]) == "", None).otherwise(c[0]),
+        "stringToBytes": lambda: c[0].cast("binary"),
+        "bytesToString": lambda: c[0].cast("string"),
+        "dateToMillis": lambda: F.unix_timestamp(c[0]) * 1000
+        + F.date_format(c[0], "SSS").cast("long"),
+        "printf": lambda: F.format_string(args[0].strip().strip("'"), *c[1:]),
+        "strlen": lambda: F.length(c[0]),
+        "capitalize": lambda: F.initcap(c[0]),
+        "list": lambda: F.array(*c),
+        "listItem": lambda: F.element_at(c[0], F.lit(int(args[1]) + 1)),
+        "mapValue": lambda: F.element_at(c[0], args[1].strip().strip("'")),
     }
     if fn not in table:
         raise ValueError(f"unknown transform function: {fn!r}")

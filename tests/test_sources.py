@@ -65,6 +65,24 @@ class TestDelimitedConverter:
         assert len(got.h) == 32
         assert got.wd == "cd"
 
+    def test_transform_language_round2(self, spark):
+        fields = ["c0", "c1", "c2"]
+        df = spark.createDataFrame([("ab", "", "3.5")], "c0 string, c1 string, c2 string")
+        got = df.select(
+            compile_transform("emptyToNull($2)", fields).alias("en"),
+            compile_transform("toDouble($3)", fields).alias("d"),
+            compile_transform("printf('%s-%s', $1, $3)", fields).alias("p"),
+            compile_transform("capitalize($1)", fields).alias("cap"),
+            compile_transform("listItem(list($1, $3), 1)", fields).alias("li"),
+            compile_transform("strlen($1)", fields).alias("n"),
+        ).collect()[0]
+        assert got.en is None
+        assert got.d == 3.5
+        assert got.p == "ab-3.5"
+        assert got.cap == "Ab"
+        assert got.li == "3.5"  # 0-based item index, reference convention
+        assert got.n == 2
+
 
 class TestExport:
     def test_roundtrip_formats(self, spark, tmp_path):
