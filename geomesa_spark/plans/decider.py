@@ -34,6 +34,7 @@ __all__ = [
     "choose_join",
     "estimated_size_bytes",
     "manifest_skew_ratio",
+    "stats_skew_ratio",
     "auto_join_kwargs",
 ]
 
@@ -89,6 +90,19 @@ def manifest_skew_ratio(manifest: dict | None) -> float | None:
     return max(rows) / (sum(rows) / len(rows))
 
 
+def stats_skew_ratio(stats: dict | None) -> float | None:
+    """Hot-cell skew from ``analyze_table`` stats: hottest cell rows
+    over the mean rows per distinct cell."""
+    if not stats:
+        return None
+    cells = stats.get("cells") or {}
+    top = cells.get("top") or []
+    mean = cells.get("mean_rows") or 0
+    if not top or not mean:
+        return None
+    return top[0]["rows"] / mean
+
+
 def choose_join(
     cover_bytes: int,
     skew_ratio: float | None = None,
@@ -111,13 +125,19 @@ def auto_join_kwargs(
     polys: DataFrame,
     bits: int,
     manifest: dict | None = None,
+    table_stats: dict | None = None,
     broadcast_threshold: int = BROADCAST_BYTES_DEFAULT,
 ) -> dict:
     """Join-strategy kwargs for spatial_join_points_in_polys, derived
     from the polygon side's plan-statistics size (scaled by the
-    envelope cover explosion factor) and optional manifest skew."""
+    envelope cover explosion factor) and persisted skew metrics —
+    either a write manifest's per-partition rows or an analyze
+    snapshot's hot-cell histogram (catalog.analyze_table)."""
     base = estimated_size_bytes(polys)
     # cover explosion ≈ cells per polygon; without per-layer stats use a
     # conservative small multiplier (envelopes several cells wide)
     cover_bytes = base * 4
-    return choose_join(cover_bytes, manifest_skew_ratio(manifest), broadcast_threshold)
+    skew = stats_skew_ratio(table_stats)
+    if skew is None:
+        skew = manifest_skew_ratio(manifest)
+    return choose_join(cover_bytes, skew, broadcast_threshold)

@@ -15,7 +15,14 @@ import os
 import time
 from typing import Any
 
-__all__ = ["write_manifest", "read_manifest", "latest_manifest", "is_complete"]
+__all__ = [
+    "write_manifest",
+    "read_manifest",
+    "latest_manifest",
+    "is_complete",
+    "analyze_table",
+    "table_stats",
+]
 
 _MANIFEST_DIR = "_manifest"
 
@@ -67,3 +74,74 @@ def read_manifest(path: str) -> dict:
 def is_complete(table_path: str) -> bool:
     m = latest_manifest(table_path)
     return bool(m and m.get("complete"))
+
+
+def analyze_table(
+    spark,
+    table_path: str,
+    cell_col: str | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    top_cells: int = 16,
+) -> dict:
+    """``geomesa stats-analyze`` analogue (reference geomesa-tools
+    StatsAnalyzeCommand → GeoMesaStats.writer :~100): ONE aggregation
+    pass computes row count, spatial bounds, and — when a cell key
+    column exists — the hot-cell histogram, then commits them as an
+    ``analyze`` manifest snapshot. plans/decider.py consumes the
+    resulting ``stats`` block (hot-cell skew ratio → salted-join
+    choice; row count → broadcast choice) so strategy selection runs
+    off persisted metrics instead of caller flags or rescans."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_path)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    has_geo = lon_col in df.columns and lat_col in df.columns
+    if has_geo:
+        aggs += [
+            F.min(lon_col).alias("min_lon"), F.min(lat_col).alias("min_lat"),
+            F.max(lon_col).alias("max_lon"), F.max(lat_col).alias("max_lat"),
+        ]
+    base = df.agg(*aggs).collect()[0].asDict()
+    stats: dict = {"rows": int(base["rows"])}
+    if has_geo and base["min_lon"] is not None:
+        stats["bbox"] = [
+            float(base["min_lon"]), float(base["min_lat"]),
+            float(base["max_lon"]), float(base["max_lat"]),
+        ]
+    if cell_col and cell_col in df.columns:
+        hist = (
+            df.groupBy(cell_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col(cell_col).asc())
+            .limit(top_cells)
+            .collect()
+        )
+        n_cells = df.select(cell_col).distinct().count()
+        stats["cells"] = {
+            "col": cell_col,
+            "distinct": int(n_cells),
+            "top": [{"cell": int(r[cell_col]), "rows": int(r["n"])} for r in hist],
+            "mean_rows": stats["rows"] / max(n_cells, 1),
+        }
+    return write_manifest(
+        table_path,
+        spec={"op": "analyze"},
+        partitions=[],
+        lineage={"op": "analyze", "stats": stats},
+    )
+
+
+def table_stats(table_path: str) -> dict | None:
+    """Most recent analyze stats for a table (None if never analyzed)."""
+    mdir = os.path.join(table_path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    for fn in sorted(
+        (f for f in os.listdir(mdir) if f.startswith("manifest-") and f.endswith(".json")),
+        reverse=True,
+    ):
+        m = read_manifest(os.path.join(mdir, fn))
+        if m.get("lineage", {}).get("op") == "analyze":
+            return m["lineage"]["stats"]
+    return None

@@ -241,6 +241,31 @@ class TestStrategyDecider:
         assert manifest_skew_ratio(m) == pytest.approx(2.4)
         assert manifest_skew_ratio(None) is None
 
+    def test_analyze_feeds_decider(self, spark, tmp_path):
+        """stats-analyze → persisted hot-cell histogram → salted-join
+        choice (the GeoMesaStats → StrategyDecider wiring)."""
+        from geomesa_spark.plans.decider import choose_join, stats_skew_ratio
+        from geomesa_spark.sources.catalog import analyze_table, table_stats
+
+        path = str(tmp_path / "skewed")
+        # 900 rows in one hot cell, 100 spread over 10 cells
+        hot = spark.range(0, 900).selectExpr(
+            "CAST(5 AS LONG) AS cell", "id AS v", "1.0 AS lon", "2.0 AS lat"
+        )
+        cold = spark.range(0, 100).selectExpr(
+            "CAST(10 + id % 10 AS LONG) AS cell", "id AS v", "3.0 AS lon", "4.0 AS lat"
+        )
+        hot.unionByName(cold).write.parquet(path)
+        analyze_table(spark, path, cell_col="cell")
+        st = table_stats(path)
+        assert st["rows"] == 1000
+        assert st["bbox"] == [1.0, 2.0, 3.0, 4.0]
+        assert st["cells"]["top"][0] == {"cell": 5, "rows": 900}
+        skew = stats_skew_ratio(st)
+        assert skew == pytest.approx(900 / (1000 / 11))
+        got = choose_join(1 << 40, skew_ratio=skew)
+        assert got["salt_buckets"] == 16  # hot cell → maximal salting
+
     def test_auto_strategy_broadcasts_small_parquet_layer(self, spark, tmp_path):
         from geomesa_spark.operators.joins import spatial_join_points_in_polys
         from geomesa_spark.tables import poly_layers, synthesize_documents

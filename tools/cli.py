@@ -119,6 +119,15 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_stats_analyze(args) -> int:
+    from geomesa_spark.sources.catalog import analyze_table
+
+    spark = _session(args.cores)
+    m = analyze_table(spark, args.input, cell_col=args.cell_col)
+    print(json.dumps(m["lineage"]["stats"], default=str, indent=1))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from geomesa_spark.sources.upsert import compact
 
@@ -169,6 +178,11 @@ def main(argv=None) -> int:
     p.add_argument("--limit", type=int, default=100)
     p.add_argument("--spatial-rewrite", action="store_true")
     p.set_defaults(fn=cmd_sql)
+
+    p = sub.add_parser("stats-analyze")
+    p.add_argument("--input", required=True)
+    p.add_argument("--cell-col")
+    p.set_defaults(fn=cmd_stats_analyze)
 
     p = sub.add_parser("compact")
     p.add_argument("--table", required=True)
