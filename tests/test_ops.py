@@ -180,6 +180,44 @@ class TestStatsRound2:
         many = frequency_sketch(ev.repartition(13), "v").collect()[0]["cms"]
         assert bytes(one) == bytes(many)
 
+    def test_stats_partition_invariant(self, ev):
+        """merge(a,b) == stat(a++b) (SURVEY §5.1): every stat must be
+        independent of how partial aggregation splits the data — Spark's
+        partial/final merge IS the reference's sketch merge, so results
+        at 1 vs 13 partitions must be identical."""
+        from geomesa_spark.operators.stats import (
+            descriptive_stats, histogram, minmax, topk,
+        )
+
+        for fn in (
+            lambda d: minmax(d, ["v", "x"]),
+            lambda d: histogram(d, "v", 8, 0.0, 40.0),
+            lambda d: topk(d, "k", 3),
+        ):
+            one = sorted(map(tuple, fn(ev.repartition(1)).collect()))
+            many = sorted(map(tuple, fn(ev.repartition(13)).collect()))
+            assert one == many
+        # float moments are merge-order-sensitive in the last ulps
+        # (non-associative summation — true of the reference's merged
+        # accumulators too); equal to 1e-9 relative
+        one = descriptive_stats(ev.repartition(1), ["x", "y"]).collect()[0]
+        many = descriptive_stats(ev.repartition(13), ["x", "y"]).collect()[0]
+        for k in one.asDict():
+            assert many[k] == pytest.approx(one[k], rel=1e-9), k
+
+    def test_histogram_halves_merge_to_whole(self, ev):
+        """Explicit merge form: per-bin counts of two disjoint halves
+        sum to the whole input's histogram."""
+        from geomesa_spark.operators.stats import histogram
+
+        a = ev.where(F.col("v") % 2 == 0)
+        b = ev.where(F.col("v") % 2 != 0)
+        whole = {r["bin"]: r["cnt"] for r in histogram(ev, "v", 8, 0.0, 40.0).collect()}
+        ha = {r["bin"]: r["cnt"] for r in histogram(a, "v", 8, 0.0, 40.0).collect()}
+        hb = {r["bin"]: r["cnt"] for r in histogram(b, "v", 8, 0.0, 40.0).collect()}
+        merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+        assert merged == whole
+
     def test_descriptive_covariance(self, ev):
         import numpy as np
 
