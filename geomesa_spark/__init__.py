@@ -19,4 +19,8 @@ Everything is DataFrame/Catalyst-first; Python appears only in
 vectorized pandas/Arrow UDF kernels (no per-row Python).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from geomesa_spark.engine import GeoMesaSpark  # noqa: E402
+
+__all__ = ["GeoMesaSpark", "__version__"]

@@ -1,0 +1,132 @@
+"""User-facing facade: one object bundling the engine's surfaces.
+
+The reference's entry point is a GeoTools ``DataStore`` (connect once,
+then query/write through it); the Spark-native analogue is one thin
+object over a SparkSession that registers the ``st_*`` catalog and
+exposes every operator family without hunting through modules:
+
+    from geomesa_spark import GeoMesaSpark
+    gm = GeoMesaSpark(spark)
+    pts  = gm.load("/data/points")
+    hits = gm.sql("SELECT ... JOIN ... ON st_contains(q.wkt, st_point(p.lon, p.lat))")
+    gm.join_points_in_polys(pts, polys, strategy="auto")
+    gm.write_tiles(joined, "/data/tiles")
+
+Every method delegates to the module-level function it names — the
+facade adds no behavior, only discoverability; power users keep the
+functional API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["GeoMesaSpark"]
+
+
+class GeoMesaSpark:
+    def __init__(self, spark: SparkSession):
+        from geomesa_spark.functions.st import register_st_functions
+
+        self.spark = spark
+        register_st_functions(spark)
+
+    # --- IO ---------------------------------------------------------------
+    def load(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    def write_tiles(self, df: DataFrame, path: str, **kw) -> dict:
+        from geomesa_spark.operators.tiles import write_tiles
+
+        return write_tiles(df, path, **kw)
+
+    def analyze(self, path: str, cell_col: str | None = None) -> dict:
+        from geomesa_spark.sources.catalog import analyze_table
+
+        return analyze_table(self.spark, path, cell_col=cell_col)
+
+    # --- SQL surface (spatial rewrite applied) ---------------------------
+    def sql(self, query: str, **kw) -> DataFrame:
+        from geomesa_spark.plans.sql_rewrite import spatial_sql
+
+        return spatial_sql(self.spark, query, **kw)
+
+    # --- spatial operators ------------------------------------------------
+    def join_points_in_polys(self, points: DataFrame, polys: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.joins import spatial_join_points_in_polys
+
+        return spatial_join_points_in_polys(points, polys, **kw)
+
+    def join_geoms(self, left: DataFrame, right: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.joins import spatial_join_geoms
+
+        return spatial_join_geoms(left, right, **kw)
+
+    def dwithin(self, points: DataFrame, probes: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.joins import distance_join
+
+        return distance_join(points, probes, **kw)
+
+    def knn(self, points: DataFrame, probes: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.knn import knn
+
+        return knn(points, probes, **kw)
+
+    def density(self, points: DataFrame, bbox, width: int, height: int, **kw) -> DataFrame:
+        from geomesa_spark.operators.tiles import density_grid
+
+        return density_grid(points, bbox, width, height, **kw)
+
+    def vectorize(self, points: DataFrame, bbox, width: int, height: int, **kw) -> DataFrame:
+        from geomesa_spark.operators.tiles import vectorize_density
+
+        return vectorize_density(points, bbox, width, height, **kw)
+
+    # --- stats / dedup / similarity --------------------------------------
+    def stats(self, df: DataFrame, spec: str) -> dict:
+        from geomesa_spark.operators.stats import run_stats_dsl
+
+        return run_stats_dsl(df, spec)
+
+    def dedup_pairs(self, docs: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.dedup import lsh_candidate_pairs, with_minhash
+
+        sig_kw = {k: kw.pop(k) for k in ("n_hashes", "shingle_k") if k in kw}
+        return lsh_candidate_pairs(with_minhash(docs, **sig_kw), **kw)
+
+    def dedup_clusters(self, pairs: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.dedup import dedup_clusters
+
+        return dedup_clusters(pairs, **kw)
+
+    def ann(self, corpus: DataFrame, queries: DataFrame, method: str = "brute", **kw) -> DataFrame:
+        from geomesa_spark.operators import ann as A
+
+        fn = {"brute": A.cosine_topk, "lsh": A.lsh_cosine_topk, "ivf": A.ivf_topk}[method]
+        return fn(corpus, queries, **kw)
+
+    # --- writer semantics -------------------------------------------------
+    def upsert_init(self, df: DataFrame, path: str, **kw) -> None:
+        from geomesa_spark.sources.upsert import init_table
+
+        init_table(df, path, **kw)
+
+    def upsert(self, df: DataFrame, path: str) -> int:
+        from geomesa_spark.sources.upsert import append_upserts
+
+        return append_upserts(df, path)
+
+    def delete(self, fids: DataFrame, path: str) -> int:
+        from geomesa_spark.sources.upsert import append_deletes
+
+        return append_deletes(fids, path)
+
+    def read_latest(self, path: str) -> DataFrame:
+        from geomesa_spark.sources.upsert import read_latest
+
+        return read_latest(self.spark, path)
+
+    def compact(self, path: str) -> dict | None:
+        from geomesa_spark.sources.upsert import compact
+
+        return compact(self.spark, path)

@@ -60,3 +60,36 @@ class TestCli:
         assert cli.main(["export", "--input", src, "--format", "shapefile",
                          "--output", base]) == 0
         assert os.path.exists(base + ".shp") and os.path.exists(base + ".dbf")
+
+
+class TestFacade:
+    def test_engine_facade_surfaces(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from geomesa_spark import GeoMesaSpark
+        from geomesa_spark.operators.extract import extract_geo_points
+        from geomesa_spark.tables import poly_layers, synthesize_documents
+
+        gm = GeoMesaSpark(spark)
+        pts = extract_geo_points(synthesize_documents(spark, 500))
+        polys = poly_layers(spark, 100)
+        j = gm.join_points_in_polys(pts, polys, bits=6, broadcast=True)
+        assert j.count() > 0
+        d = gm.density(pts, (-180.0, -85.0, 180.0, 85.0), 36, 17)
+        assert d.agg(F.sum("cnt")).collect()[0][0] > 0
+        pts.createOrReplaceTempView("fac_pts")
+        polys.createOrReplaceTempView("fac_polys")
+        s = gm.sql(
+            "SELECT count(*) AS n FROM fac_pts p JOIN fac_polys q"
+            " ON st_contains(q.wkt, st_point(p.lon, p.lat))"
+        )
+        assert s.collect()[0]["n"] == j.count()
+        # writer semantics round trip
+        base = spark.createDataFrame([("a", 1), ("b", 2)], "__fid__ string, v int")
+        path = str(tmp_path / "fac_tbl")
+        gm.upsert_init(base, path, n_buckets=4)
+        gm.upsert(spark.createDataFrame([("a", 10)], "__fid__ string, v int"), path)
+        gm.delete(spark.createDataFrame([("b",)], "__fid__ string"), path)
+        gm.compact(path)
+        got = {(r["__fid__"], r["v"]) for r in gm.read_latest(path).collect()}
+        assert got == {("a", 10)}
