@@ -174,10 +174,6 @@ class TestStreaming:
             assert ok
         finally:
             q.stop()
-        # every emitted pair must pass the exact batch-side check
-        from geomesa_spark.operators.joins import spatial_join_points_in_polys
-        from geomesa_spark.streaming.live import rate_features
-
         got = {(r["__fid__"], r["poly_id"]) for b in seen for r in b}
         assert len(got) > 0
 
