@@ -70,6 +70,25 @@ polys_env AS (
 )
 """
 
+# second rectangle layer (tables.py::rect_layer, n=500) for the
+# geometry×geometry joins; envelope arithmetic mirrored op-for-op
+N_RECTS = 500
+SQL_RECTS = f"""
+rects AS (
+  SELECT printf('rect-%05d', t.m) AS rect_id,
+         -180.0 + CAST(t.m * 137 % 36000 AS DOUBLE) / 100.0 AS lon_c,
+         -85.0 + CAST(t.m * 89 % 17000 AS DOUBLE) / 100.0 AS lat_c,
+         0.2 + CAST(t.m % 40 AS DOUBLE) * 0.07 AS size_deg
+  FROM range(0, {N_RECTS}) t(m)
+),
+rects_env AS (
+  SELECT rect_id,
+         lon_c - size_deg / 2.0 AS min_lon, lat_c - size_deg / 2.0 AS min_lat,
+         lon_c + size_deg / 2.0 AS max_lon, lat_c + size_deg / 2.0 AS max_lat
+  FROM rects
+)
+"""
+
 # probe points (tables.py::query_points)
 def _sql_probes(n: int) -> str:
     return f"""
@@ -343,6 +362,65 @@ def q_pip_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         _points(spark, sf_dir), _polys(spark, False), bits=6, broadcast=True
     )
     return j.select("doc_id", "span_offset", "poly_id")
+
+
+def _geom_layers(spark: SparkSession):
+    from geomesa_spark.tables import rect_layer
+
+    left = _polys(spark, False).where(F.col("kind") == "bbox").select(
+        F.col("poly_id").alias("left_id"),
+        "wkt", "min_lon", "min_lat", "max_lon", "max_lat",
+    )
+    right = rect_layer(spark, N_RECTS).withColumnRenamed("rect_id", "right_id")
+    return left, right
+
+
+def q_geom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 general form: geometry×geometry (layer-to-layer) spatial join
+    with ST_Intersects — both sides explode their cell cover, pair-dedup
+    before refine, batched NumPy predicate kernel (geom.batch_predicate,
+    zero per-pair Python). Rect×rect intersects reduces to the CLOSED
+    bbox-overlap test (pytest-proven kernel property), which the oracle
+    states in ANSI SQL."""
+    from geomesa_spark.operators.joins import spatial_join_geoms
+
+    left, right = _geom_layers(spark)
+    return spatial_join_geoms(left, right, bits=6).select("left_id", "right_id")
+
+
+def q_geom_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry×geometry join with the CONTAINS predicate (left as
+    container). For rect pairs the kernel's half-open vertex rule plus
+    the collinear edge-touch rejection make containment ⇔ strictly
+    inside — the oracle's strict-inequality form."""
+    from geomesa_spark.operators.joins import spatial_join_geoms
+
+    left, right = _geom_layers(spark)
+    return spatial_join_geoms(left, right, bits=6, predicate="contains").select(
+        "left_id", "right_id"
+    )
+
+
+def q_geom_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layer×layer join written as SQL text: the rewriter turns
+    ``ON st_intersects(a.wkt, b.wkt)`` into a both-sides cell-cover
+    equi-join with a reference-point dedup conjunct (one row per pair,
+    no DISTINCT needed) + the batched st_intersects kernel as residual
+    — BroadcastHashJoin, not the BroadcastNestedLoopJoin cartesian the
+    raw UDF condition would plan."""
+    from geomesa_spark.plans.sql_rewrite import spatial_sql
+
+    left, right = _geom_layers(spark)
+    left.createOrReplaceTempView("layer_a_v")
+    right.createOrReplaceTempView("layer_b_v")
+    return spatial_sql(
+        spark,
+        """
+        SELECT a.left_id, b.right_id
+        FROM layer_a_v a JOIN layer_b_v b
+          ON st_intersects(a.wkt, b.wkt)
+        """,
+    )
 
 
 def q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,6 +949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_sql": q_pip_join_sql,
         "pip_join_sql_pruned": q_pip_join_sql_pruned,
         "pip_join_all": q_pip_join_all,
+        "geom_join": q_geom_join,
+        "geom_contains": q_geom_contains,
+        "geom_join_sql": q_geom_join_sql,
         "dwithin_join": q_dwithin_join,
         "knn": q_knn,
         "density_grid": q_density_grid,
@@ -1079,6 +1160,30 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (q.kind = 'holed' AND p.lon >= q.hx0 AND p.lon < q.hx1
                        AND p.lat >= q.hy0 AND p.lat < q.hy1)
             WHERE q.kind <> 'convex'
+        """,
+        "geom_join": f"""
+            WITH {SQL_POLYS}, {SQL_RECTS}
+            SELECT q.poly_id AS left_id, r.rect_id AS right_id
+            FROM polys_env q JOIN rects_env r
+              ON q.min_lon <= r.max_lon AND r.min_lon <= q.max_lon
+             AND q.min_lat <= r.max_lat AND r.min_lat <= q.max_lat
+            WHERE q.kind = 'bbox'
+        """,
+        "geom_contains": f"""
+            WITH {SQL_POLYS}, {SQL_RECTS}
+            SELECT q.poly_id AS left_id, r.rect_id AS right_id
+            FROM polys_env q JOIN rects_env r
+              ON q.min_lon < r.min_lon AND r.max_lon < q.max_lon
+             AND q.min_lat < r.min_lat AND r.max_lat < q.max_lat
+            WHERE q.kind = 'bbox'
+        """,
+        "geom_join_sql": f"""
+            WITH {SQL_POLYS}, {SQL_RECTS}
+            SELECT q.poly_id AS left_id, r.rect_id AS right_id
+            FROM polys_env q JOIN rects_env r
+              ON q.min_lon <= r.max_lon AND r.min_lon <= q.max_lon
+             AND q.min_lat <= r.max_lat AND r.min_lat <= q.max_lat
+            WHERE q.kind = 'bbox'
         """,
         "dwithin_join": f"""
             WITH {SQL_PTS}, {_sql_probes(N_PROBES)}

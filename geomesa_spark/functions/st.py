@@ -453,11 +453,14 @@ import re as _re_mod  # noqa: E402
 _POINT_FAST = _re_mod.compile(_POINT_RE)
 
 
-def _rel_grouped(per_geom_points, fallback):
+def _rel_grouped(per_geom_points, fallback, batch_pred: str | None = None):
     """Vectorized predicate: when the second operand column is all
     POINTs (the join/filter hot shape), group the batch by the first
-    geometry and run the batched kernel once per distinct geometry;
-    otherwise fall back to per-distinct-pair evaluation."""
+    geometry and run the batched kernel once per distinct geometry.
+    For general geometry×geometry batches, ``batch_pred`` names a
+    geom.batch_predicate mode evaluated over the WHOLE batch at once
+    (the layer×layer SQL-join residual hot path); only predicates with
+    no batched form fall back to per-distinct-pair evaluation."""
 
     @F.pandas_udf(T.BooleanType())
     def udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -473,6 +476,16 @@ def _rel_grouped(per_geom_points, fallback):
                 res = per_geom_points(_parse(w), pxv[idx], pyv[idx])
                 for i, r in zip(idx, res):
                     out[i] = bool(r)
+            return pd.Series(out)
+        if batch_pred is not None:
+            mask = a.notna() & b.notna()
+            out = np.full(len(a), None, dtype=object)
+            mv = mask.to_numpy()
+            if mv.any():
+                res = G.batch_predicate(
+                    a[mask].to_numpy(), b[mask].to_numpy(), batch_pred
+                )
+                out[mv] = [bool(r) for r in res]
             return pd.Series(out)
         return pd.Series(
             [None if (x is None or y is None) else bool(fallback(_parse(x), _parse(y)))
@@ -491,6 +504,7 @@ st_intersects = _rel_grouped(
     if g.geom_type in ("POLYGON", "MULTIPOLYGON")
     else [G.geoms_intersect(g, G.Geometry("POINT", [np.array([[x, y]])])) for x, y in zip(px, py)],
     G.geoms_intersect,
+    batch_pred="intersects",
 )
 st_disjoint = _rel_grouped(
     lambda g, px, py: ~G.points_in_polygon(px, py, g)
@@ -503,6 +517,7 @@ st_contains = _rel_grouped(
     if g.geom_type in ("POLYGON", "MULTIPOLYGON")
     else np.zeros(len(px), dtype=bool),
     G.geom_contains,
+    batch_pred="contains",
 )
 st_covers = _rel_grouped(
     # closed-region test: interior (ray-cast) OR exactly on boundary —

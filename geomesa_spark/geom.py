@@ -36,6 +36,7 @@ __all__ = [
     "segments_intersect",
     "geoms_intersect",
     "geom_contains",
+    "batch_predicate",
     "geom_covers",
     "points_on_boundary",
     "is_simple",
@@ -583,6 +584,326 @@ def geom_contains(g1: Geometry, g2: Geometry) -> bool:
     if g2.geom_type in ("POINT", "MULTIPOINT"):
         return True
     return not _any_edge_cross(g1, g2)
+
+
+# --- batched pair predicate (layer x layer joins) ------------------------
+#
+# The geometry-pair predicates above (geoms_intersect / geom_contains)
+# evaluate ONE pair per call. A layer x layer spatial join produces
+# millions of candidate pairs per Arrow batch; calling the scalar
+# predicate per pair is the row-at-a-time-Python anti-pattern. The
+# batched kernel below evaluates a whole batch of (left_wkt, right_wkt)
+# pairs with NumPy only:
+#
+#   1. parse each DISTINCT WKT once (caller-supplied cache survives
+#      across batches within a task),
+#   2. vectorized bbox reject over all pairs,
+#   3. group surviving pairs by LEFT geometry; within a group every
+#      test runs over packed arrays of the rights — right-vertex-in-left
+#      (one points_in_polygon call + or/and-reduceat), left-vertex-in-
+#      right (one edges x points crossing-parity pass, xor-reduceat per
+#      polygon part), shared-vertex / point-on-edge for the point/line
+#      combinations, and an orientation-test edge-cross pass, each
+#      reduced per right geometry with reduceat.
+#
+# Semantics are IDENTICAL to geoms_intersect / geom_contains applied
+# per pair (property-tested in tests/test_geom.py): the same IEEE
+# expressions, the same half-open ray-cast rule, the same test order.
+
+
+def _edges_of(geom: Geometry) -> np.ndarray:
+    """(E,4) [x0,y0,x1,y1] edge array: polygon rings closed, line paths
+    open, points none — the exact edge sets _any_edge_cross walks."""
+    if geom.geom_type in ("POINT", "MULTIPOINT"):
+        return np.zeros((0, 4))
+    closedish = geom.geom_type in ("POLYGON", "MULTIPOLYGON")
+    segs = []
+    for r in geom.rings:
+        e = _close(r) if closedish else r
+        if len(e) < 2:
+            continue
+        segs.append(np.concatenate([e[:-1], e[1:]], axis=1))
+    return np.concatenate(segs, axis=0) if segs else np.zeros((0, 4))
+
+
+def _pip_parts(geom: Geometry) -> tuple[np.ndarray, np.ndarray]:
+    """(closed edge array, per-part edge counts) for the batched parity
+    PIP. Parts mirror points_in_polygon: POLYGON = one parity group over
+    all rings (holes via even-odd); MULTIPOLYGON = one group per
+    polygon, OR'd by the caller. Zero-edge parts are dropped (they can
+    contain nothing)."""
+    if geom.geom_type == "POLYGON":
+        groups = [geom.rings]
+    else:
+        by_poly: dict[int, list[np.ndarray]] = {}
+        for r, pi in zip(geom.rings, geom.ring_poly):
+            by_poly.setdefault(pi, []).append(r)
+        groups = [rings for _, rings in sorted(by_poly.items())]
+    segs, counts = [], []
+    for rings in groups:
+        cnt = 0
+        for r in rings:
+            e = _close(r)
+            if len(e) < 2:
+                continue
+            segs.append(np.concatenate([e[:-1], e[1:]], axis=1))
+            cnt += len(e) - 1
+        if cnt:
+            counts.append(cnt)
+    if not segs:
+        return np.zeros((0, 4)), np.zeros(0, dtype=np.int64)
+    return np.concatenate(segs, axis=0), np.asarray(counts, dtype=np.int64)
+
+
+def _seg_or(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Segment-wise ANY over ``vals`` split by ``counts`` (empty → False)."""
+    out = np.zeros(len(counts), dtype=bool)
+    nz = counts > 0
+    if nz.any():
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+        out[nz] = np.logical_or.reduceat(vals, offs)
+    return out
+
+
+def _seg_and(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Segment-wise ALL (empty → True, vacuous — callers guard)."""
+    out = np.ones(len(counts), dtype=bool)
+    nz = counts > 0
+    if nz.any():
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+        out[nz] = np.logical_and.reduceat(vals, offs)
+    return out
+
+
+def _cross_cols(A: np.ndarray, B: np.ndarray, proper_only: bool = False) -> np.ndarray:
+    """Per-B-edge: does ANY edge of A cross it? Same orientation /
+    collinear-touch tests as _any_edge_cross, broadcast [m,E] and
+    chunked over E so memory stays bounded."""
+    m, E = len(A), len(B)
+    out = np.zeros(E, dtype=bool)
+    if m == 0 or E == 0:
+        return out
+    a0x, a0y = A[:, 0][:, None], A[:, 1][:, None]
+    a1x, a1y = A[:, 2][:, None], A[:, 3][:, None]
+    step = max(1, 4_000_000 // m)
+    for s in range(0, E, step):
+        b = B[s : s + step]
+        b0x, b0y = b[:, 0][None, :], b[:, 1][None, :]
+        b1x, b1y = b[:, 2][None, :], b[:, 3][None, :]
+        o1 = np.sign((a1x - a0x) * (b0y - a0y) - (a1y - a0y) * (b0x - a0x))
+        o2 = np.sign((a1x - a0x) * (b1y - a0y) - (a1y - a0y) * (b1x - a0x))
+        o3 = np.sign((b1x - b0x) * (a0y - b0y) - (b1y - b0y) * (a0x - b0x))
+        o4 = np.sign((b1x - b0x) * (a1y - b0y) - (b1y - b0y) * (a1x - b0x))
+        if proper_only:
+            hit = (o1 * o2 < 0) & (o3 * o4 < 0)
+        else:
+            proper = (o1 != o2) & (o3 != o4)
+            col = (
+                ((o1 == 0) & (np.minimum(a0x, a1x) <= b0x) & (b0x <= np.maximum(a0x, a1x))
+                 & (np.minimum(a0y, a1y) <= b0y) & (b0y <= np.maximum(a0y, a1y)))
+                | ((o2 == 0) & (np.minimum(a0x, a1x) <= b1x) & (b1x <= np.maximum(a0x, a1x))
+                   & (np.minimum(a0y, a1y) <= b1y) & (b1y <= np.maximum(a0y, a1y)))
+                | ((o3 == 0) & (np.minimum(b0x, b1x) <= a0x) & (a0x <= np.maximum(b0x, b1x))
+                   & (np.minimum(b0y, b1y) <= a0y) & (a0y <= np.maximum(b0y, b1y)))
+                | ((o4 == 0) & (np.minimum(b0x, b1x) <= a1x) & (a1x <= np.maximum(b0x, b1x))
+                   & (np.minimum(b0y, b1y) <= a1y) & (a1y <= np.maximum(b0y, b1y)))
+            )
+            hit = proper | col
+        out[s : s + step] = hit.any(axis=0)
+    return out
+
+
+def _pip_many(
+    pts: np.ndarray, edges: np.ndarray, part_counts: np.ndarray, parts_per: np.ndarray
+) -> np.ndarray:
+    """ANY of ``pts`` inside each of several polygons at once.
+
+    ``edges``: concatenated closed edges, grouped part-by-part then
+    polygon-by-polygon; ``part_counts``: edges per parity part;
+    ``parts_per``: parts per polygon. One crossing matrix [E,p], parity
+    by xor-reduceat per part, OR across parts — the same half-open
+    crossing rule as points_in_rings (horizontal edges self-exclude via
+    the (y0<=py)!=(y1<=py) guard; same IEEE op order for xi)."""
+    n_right = len(parts_per)
+    out = np.zeros(n_right, dtype=bool)
+    if len(edges) == 0 or len(pts) == 0 or len(part_counts) == 0:
+        return out
+    px, py = pts[:, 0][None, :], pts[:, 1][None, :]
+    x0, y0 = edges[:, 0][:, None], edges[:, 1][:, None]
+    x1, y1 = edges[:, 2][:, None], edges[:, 3][:, None]
+    cond = (y0 <= py) != (y1 <= py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (py - y0) / (y1 - y0)
+        xi = x0 + t * (x1 - x0)
+    cross = cond & (px < xi)
+    part_offs = np.concatenate([[0], np.cumsum(part_counts)[:-1]])
+    par = np.bitwise_xor.reduceat(cross, part_offs, axis=0)
+    nz = parts_per > 0
+    if nz.any():
+        right_offs = np.concatenate([[0], np.cumsum(parts_per)[:-1]])[nz]
+        out[nz] = np.logical_or.reduceat(par, right_offs, axis=0).any(axis=1)
+    return out
+
+
+def _points_on_edges(pts: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """[E,p] bool: point j lies on edge i (exact collinearity + bbox) —
+    the degenerate segments_intersect(e0, e1, p, p) result."""
+    if len(edges) == 0 or len(pts) == 0:
+        return np.zeros((len(edges), len(pts)), dtype=bool)
+    ax, ay = edges[:, 0][:, None], edges[:, 1][:, None]
+    bx, by = edges[:, 2][:, None], edges[:, 3][:, None]
+    px, py = pts[:, 0][None, :], pts[:, 1][None, :]
+    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    return (
+        (cross == 0.0)
+        & (np.minimum(ax, bx) <= px) & (px <= np.maximum(ax, bx))
+        & (np.minimum(ay, by) <= py) & (py <= np.maximum(ay, by))
+    )
+
+
+def _pack_wkt(wkt: str, cache: dict) -> dict:
+    p = cache.get(wkt)
+    if p is None:
+        if len(cache) > 8192:
+            cache.clear()
+        g = parse_wkt(wkt)
+        kind = (
+            "point" if g.geom_type in ("POINT", "MULTIPOINT")
+            else "poly" if g.geom_type in ("POLYGON", "MULTIPOLYGON")
+            else "line"
+        )
+        p = {
+            "geom": g,
+            "bbox": g.bbox,
+            "verts": np.concatenate(g.rings),
+            "edges": _edges_of(g),
+            "kind": kind,
+        }
+        if kind == "poly":
+            p["pip_edges"], p["pip_counts"] = _pip_parts(g)
+        cache[wkt] = p
+    return p
+
+
+def batch_predicate(
+    left_wkts, right_wkts, predicate: str = "intersects", cache: dict | None = None
+) -> np.ndarray:
+    """Vectorized geometry-pair predicate over parallel WKT sequences.
+
+    Returns bool[n] with out[i] == geoms_intersect(L[i], R[i]) (or
+    geom_contains for predicate='contains') — no per-pair Python. This
+    is the refine kernel behind spatial_join_geoms and the st_*
+    geometry×geometry fallback."""
+    n = len(left_wkts)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    if cache is None:
+        cache = {}
+    lp = [_pack_wkt(w, cache) for w in left_wkts]
+    rp = [_pack_wkt(w, cache) for w in right_wkts]
+    lb = np.array([p["bbox"] for p in lp])
+    rb = np.array([p["bbox"] for p in rp])
+    alive = ~(
+        (lb[:, 2] < rb[:, 0]) | (rb[:, 2] < lb[:, 0])
+        | (lb[:, 3] < rb[:, 1]) | (rb[:, 3] < lb[:, 1])
+    )
+
+    groups: dict[str, list[int]] = {}
+    for i in np.flatnonzero(alive):
+        groups.setdefault(left_wkts[i], []).append(int(i))
+
+    for w, rows in groups.items():
+        gl = lp[rows[0]]  # not cache[w]: the cache may clear mid-batch
+        idx = np.asarray(rows)
+        rs = [rp[i] for i in idx]
+        res = np.zeros(len(idx), dtype=bool)
+        rkinds = np.array([r["kind"] for r in rs])
+
+        if predicate == "contains":
+            if gl["kind"] != "poly":
+                continue  # matches geom_contains: non-polygon container → False
+            vcat = np.concatenate([r["verts"] for r in rs])
+            vcounts = np.array([len(r["verts"]) for r in rs])
+            ins = points_in_polygon(vcat[:, 0], vcat[:, 1], gl["geom"])
+            allin = _seg_and(ins, vcounts)
+            cand = np.flatnonzero(allin)
+            if len(cand):
+                pmask = rkinds[cand] == "point"
+                res[cand[pmask]] = True
+                ecand = cand[~pmask]
+                if len(ecand):
+                    ecat = np.concatenate([rs[j]["edges"] for j in ecand])
+                    ecounts = np.array([len(rs[j]["edges"]) for j in ecand])
+                    crossed = _seg_or(_cross_cols(gl["edges"], ecat), ecounts)
+                    res[ecand] = ~crossed
+            out[idx] = res
+            continue
+
+        decided = np.zeros(len(idx), dtype=bool)
+        # test 1: any right vertex inside the (polygonal) left
+        if gl["kind"] == "poly":
+            vcat = np.concatenate([r["verts"] for r in rs])
+            vcounts = np.array([len(r["verts"]) for r in rs])
+            ins = points_in_polygon(vcat[:, 0], vcat[:, 1], gl["geom"])
+            anyv = _seg_or(ins, vcounts)
+            res |= anyv
+            decided |= anyv
+        # test 2: any left vertex inside a polygonal right
+        sel = np.flatnonzero(~decided & (rkinds == "poly"))
+        if len(sel):
+            pe = np.concatenate([rs[j]["pip_edges"] for j in sel])
+            pc = np.concatenate([rs[j]["pip_counts"] for j in sel])
+            parts_per = np.array([len(rs[j]["pip_counts"]) for j in sel])
+            anyl = _pip_many(gl["verts"], pe, pc, parts_per)
+            res[sel[anyl]] = True
+            decided[sel[anyl]] = True
+        # test 3: point/point shared vertex
+        if gl["kind"] == "point":
+            sel = np.flatnonzero(~decided & (rkinds == "point"))
+            if len(sel):
+                rcat = np.concatenate([rs[j]["verts"] for j in sel])
+                rcounts = np.array([len(rs[j]["verts"]) for j in sel])
+                lv = gl["verts"]
+                eq = (
+                    (rcat[:, 0][:, None] == lv[None, :, 0])
+                    & (rcat[:, 1][:, None] == lv[None, :, 1])
+                ).any(axis=1)
+                hit = _seg_or(eq, rcounts)
+                res[sel[hit]] = True
+                decided[sel] = True  # point/point fully decided here
+        # test 4: point-on-line (either orientation; polygon sides were
+        # decided above or are False per the scalar test order)
+        if gl["kind"] == "point":
+            sel = np.flatnonzero(~decided & (rkinds == "line"))
+            if len(sel):
+                ecat = np.concatenate([rs[j]["edges"] for j in sel])
+                ecounts = np.array([len(rs[j]["edges"]) for j in sel])
+                onb = _points_on_edges(gl["verts"], ecat).any(axis=1)
+                hit = _seg_or(onb, ecounts)
+                res[sel[hit]] = True
+                decided[sel] = True
+        elif gl["kind"] == "line":
+            sel = np.flatnonzero(~decided & (rkinds == "point"))
+            if len(sel):
+                vcat = np.concatenate([rs[j]["verts"] for j in sel])
+                vcounts = np.array([len(rs[j]["verts"]) for j in sel])
+                onb = _points_on_edges(vcat, gl["edges"]).any(axis=0)
+                hit = _seg_or(onb, vcounts)
+                res[sel[hit]] = True
+                decided[sel] = True
+        # test 5: edge crossing for the remaining pairs where both sides
+        # have edges (poly/line vs poly/line)
+        if len(gl["edges"]):
+            sel = np.flatnonzero(~decided & (rkinds != "point"))
+            sel = sel[[len(rs[j]["edges"]) > 0 for j in sel]] if len(sel) else sel
+            if len(sel):
+                ecat = np.concatenate([rs[j]["edges"] for j in sel])
+                ecounts = np.array([len(rs[j]["edges"]) for j in sel])
+                crossed = _seg_or(_cross_cols(gl["edges"], ecat), ecounts)
+                res[sel[crossed]] = True
+        out[idx] = res
+    return out
 
 
 def points_on_boundary(px: np.ndarray, py: np.ndarray, geom: Geometry) -> np.ndarray:

@@ -249,8 +249,10 @@ def spatial_join_geoms(
     their envelope cover (a geometry spans several cells, unlike the
     point join), equi-join on cell, dedup the candidate pair ids
     BEFORE the exact kernel (a pair sharing k cells must refine once,
-    not k times), then refine with the vectorized geometry predicate
-    grouped by the left geometry.
+    not k times), then refine with the BATCHED pair-predicate kernel
+    (geom.batch_predicate): the whole Arrow batch is grouped by left
+    geometry and evaluated with NumPy reduceat passes — zero per-pair
+    Python, unlike the round-2 per-row loop.
 
     Both sides need (id, wkt, min_lon/min_lat/max_lon/max_lat).
     """
@@ -279,29 +281,16 @@ def spatial_join_geoms(
     schema = cand.schema
 
     def _refine(batches):
-        from geomesa_spark.geom import geom_contains, geoms_intersect, parse_wkt
+        from geomesa_spark.geom import batch_predicate
 
-        fn = geoms_intersect if predicate == "intersects" else geom_contains
         cache: dict = {}
-
-        def geo(w):
-            g = cache.get(w)
-            if g is None:
-                g = parse_wkt(w)
-                if len(cache) > 8192:
-                    cache.clear()
-                cache[w] = g
-            return g
-
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            lw = pdf["__lwkt"].to_numpy()
-            rw = pdf["__rwkt"].to_numpy()
-            for i in range(len(pdf)):
-                keep[i] = bool(fn(geo(lw[i]), geo(rw[i])))
+            keep = batch_predicate(
+                pdf["__lwkt"].to_numpy(), pdf["__rwkt"].to_numpy(), predicate, cache
+            )
             yield pdf[keep]
 
     out = cand.mapInPandas(_refine, schema=schema)

@@ -19,6 +19,15 @@ Supported shapes (qualified column refs required):
   (also st_covers / st_intersects / st_within with the point first)
 - ``... ON st_distanceSphere(st_point(p.lon,p.lat), st_point(q.lon,q.lat)) <= r``
   (r literal or a probe-side column) — DWITHIN join
+- ``... FROM layer_a a JOIN layer_b b ON st_intersects(a.wkt, b.wkt)``
+  (also st_contains / st_covers between two geometry columns) — the
+  layer×layer join: BOTH sides explode their envelope cell cover, the
+  equi-join on ``__cell`` carries a reference-point dedup conjunct
+  (the pair is kept only at the cell containing the lower-left corner
+  of the two envelopes' intersection — a standard partition-based
+  spatial-join dedup, cf. PBSM/SpatialHadoop), so each candidate pair
+  appears EXACTLY once without knowing any id columns, and the
+  original predicate refines via the batched NumPy kernel.
 - ``WHERE st_contains('POLYGON (...)', st_point(lon, lat))`` — a WKT
   literal filter gains closed-bbox conjuncts that reach the parquet scan
   as PushedFilters (partition/row-group pruning).
@@ -58,6 +67,10 @@ _PIP_GEOM_FIRST = re.compile(
 _PIP_POINT_FIRST = re.compile(
     r"^st_(within|intersects)\s*\(\s*st_point\s*\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)"
     r"\s*,\s*(\w+)\.(\w+)\s*\)$",
+    re.IGNORECASE,
+)
+_GEOM_GEOM = re.compile(
+    r"^st_(intersects|contains|covers)\s*\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)$",
     re.IGNORECASE,
 )
 _DWITHIN = re.compile(
@@ -199,6 +212,15 @@ def _rewrite_join(sql: str, spark: SparkSession | None, n: int, broadcast: bool)
                 return sql
             poly_a, pt_a = ga, pa1
         else:
+            gg = _GEOM_GEOM.match(cond)
+            if gg:
+                _, la, lcol, ra, rcol = gg.groups()
+                if la == ra or la not in alias_table or ra not in alias_table:
+                    return sql
+                return _splice_geom_geom(
+                    sql, m, cond_end, spark, alias_table, la, lcol, ra, rcol,
+                    cond, n, broadcast, order=(a1, a2),
+                )
             dw = _DWITHIN.match(cond) or _DWITHIN_FN.match(cond)
             if not dw:
                 return sql
@@ -275,6 +297,54 @@ def _splice(
             flags=re.IGNORECASE,
         )
     return out
+
+
+def _splice_geom_geom(
+    sql: str,
+    join_m: re.Match,
+    cond_end: int,
+    spark: SparkSession | None,
+    alias_table: dict,
+    la: str,
+    lcol: str,
+    ra: str,
+    rcol: str,
+    residual: str,
+    n: int,
+    broadcast: bool,
+    order: tuple[str, str],
+) -> str:
+    """Layer×layer join: both sides cell-covered, reference-point dedup.
+
+    The equi-join on ``__cell`` would emit a pair once per shared cover
+    cell; the dedup conjunct keeps the pair ONLY at the cell containing
+    the lower-left corner of the envelopes' intersection. That corner's
+    coordinate lies in both envelopes, so its (pmod-wrapped) cell is in
+    both covers — every bbox-overlapping pair survives exactly once; the
+    residual st_* kernel then refines exactly. The same double
+    expressions as the cover (D-suffixed literals) guarantee the
+    canonical index is bit-identical to the cover's own floor index."""
+    a1, a2 = order
+    subs = {}
+    for alias, col in ((la, lcol), (ra, rcol)):
+        cols = _table_columns(spark, alias_table[alias])
+        has_env = all(c in cols for c in _ENV_COLS) if cols else False
+        subs[alias] = _poly_subquery(alias_table[alias], col, has_env, n)
+    gx = f"greatest({la}.min_lon, {ra}.min_lon)"
+    gy = f"greatest({la}.min_lat, {ra}.min_lat)"
+    canon = (
+        f"(least(greatest(floor(({gy} + 90.0D) / 180.0D * {n}), 0), {n - 1}) * {n}"
+        f" + pmod(floor(({gx} + 180.0D) / 360.0D * {n}), {n}))"
+    )
+    env_overlap = (
+        f"{la}.min_lon <= {ra}.max_lon AND {ra}.min_lon <= {la}.max_lon"
+        f" AND {la}.min_lat <= {ra}.max_lat AND {ra}.min_lat <= {la}.max_lat"
+    )
+    pre = f"{la}.__cell = {canon} AND {env_overlap}"
+    return _splice(
+        sql, join_m, cond_end, la, subs[la], ra, subs[ra], residual, pre, broadcast,
+        order=(a1, a2),
+    )
 
 
 def _rewrite_literal_filters(sql: str) -> str:

@@ -34,6 +34,7 @@ __all__ = [
     "synthesize_documents",
     "documents_from_driver_table",
     "poly_layers",
+    "rect_layer",
     "query_points",
     "canonical_layer",
     "SPAN_KINDS",
@@ -148,6 +149,43 @@ def poly_layers(spark: SparkSession, n_polys: int, skew: bool = True) -> DataFra
         "min_lon double, min_lat double, max_lon double, max_lat double"
     )
     return base.mapInPandas(make_wkt, schema=schema)
+
+
+def rect_layer(spark: SparkSession, n: int) -> DataFrame:
+    """Second rectangle layer for geometry×geometry joins (F2 variant).
+
+    Pure built-ins end-to-end: the WKT ring is concatenated from
+    double→string casts (Java Double.toString round-trips exactly, so
+    the refine kernel parses back the precise envelope doubles the
+    DuckDB oracle recomputes). Columns: rect_id, wkt + envelope."""
+    half = F.col("size_deg") / 2.0
+    x0, x1 = F.col("lon_c") - half, F.col("lon_c") + half
+    y0, y1 = F.col("lat_c") - half, F.col("lat_c") + half
+
+    def pt(x, y):
+        return F.concat(x.cast("string"), F.lit(" "), y.cast("string"))
+
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        pt(x0, y0), F.lit(", "), pt(x1, y0), F.lit(", "),
+        pt(x1, y1), F.lit(", "), pt(x0, y1), F.lit(", "), pt(x0, y0),
+        F.lit("))"),
+    )
+    return (
+        spark.range(0, n)
+        .select(
+            F.format_string("rect-%05d", F.col("id")).alias("rect_id"),
+            (F.lit(-180.0) + (F.col("id") * 137 % 36000) / 100.0).alias("lon_c"),
+            (F.lit(-85.0) + (F.col("id") * 89 % 17000) / 100.0).alias("lat_c"),
+            (F.lit(0.2) + (F.col("id") % 40) * 0.07).alias("size_deg"),
+        )
+        .select(
+            "rect_id",
+            wkt.alias("wkt"),
+            x0.alias("min_lon"), y0.alias("min_lat"),
+            x1.alias("max_lon"), y1.alias("max_lat"),
+        )
+    )
 
 
 def query_points(spark: SparkSession, n_queries: int) -> DataFrame:

@@ -278,3 +278,80 @@ class TestAntimeridianWrap:
             .count()
         )
         assert got == ref
+
+
+class TestGeomGeomRewrite:
+    def _layers(self, spark):
+        from geomesa_spark.tables import rect_layer
+
+        a = poly_layers(spark, 60).withColumnRenamed("poly_id", "left_id")
+        b = rect_layer(spark, 80).withColumnRenamed("rect_id", "right_id")
+        a.createOrReplaceTempView("gg_a")
+        b.createOrReplaceTempView("gg_b")
+        return a, b
+
+    def test_rewrite_fires_and_plans_hash_join(self, spark):
+        """The layer×layer SQL form must plan as a (Broadcast)HashJoin on
+        __cell — not a BroadcastNestedLoopJoin cartesian."""
+        from geomesa_spark.plans.sql_rewrite import rewrite_spatial_sql, spatial_sql
+
+        self._layers(spark)
+        sql = (
+            "SELECT a.left_id, b.right_id FROM gg_a a JOIN gg_b b "
+            "ON st_intersects(a.wkt, b.wkt)"
+        )
+        rw = rewrite_spatial_sql(sql, spark)
+        assert "__cell" in rw and "st_intersects" in rw
+        plan = spatial_sql(spark, sql)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "HashJoin" in plan
+
+    def test_rewritten_rows_match_brute_force(self, spark):
+        from geomesa_spark.geom import geoms_intersect, parse_wkt
+        from geomesa_spark.plans.sql_rewrite import spatial_sql
+
+        a, b = self._layers(spark)
+        sql = (
+            "SELECT a.left_id, b.right_id FROM gg_a a JOIN gg_b b "
+            "ON st_intersects(a.wkt, b.wkt)"
+        )
+        got = {(r["left_id"], r["right_id"]) for r in spatial_sql(spark, sql).collect()}
+        want = {
+            (ra["left_id"], rb["right_id"])
+            for ra in a.collect()
+            for rb in b.collect()
+            if geoms_intersect(parse_wkt(ra["wkt"]), parse_wkt(rb["wkt"]))
+        }
+        assert got == want and len(want) > 0
+
+    def test_exactly_one_row_per_pair(self, spark):
+        """Reference-point dedup: multi-cell overlaps must not duplicate."""
+        from geomesa_spark.plans.sql_rewrite import spatial_sql
+
+        self._layers(spark)
+        sql = (
+            "SELECT a.left_id, b.right_id FROM gg_a a JOIN gg_b b "
+            "ON st_intersects(a.wkt, b.wkt)"
+        )
+        rows = spatial_sql(spark, sql, bits=7).collect()
+        pairs = [(r["left_id"], r["right_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs))
+
+    def test_contains_form_rewrites(self, spark):
+        from geomesa_spark.geom import geom_contains, parse_wkt
+        from geomesa_spark.plans.sql_rewrite import rewrite_spatial_sql, spatial_sql
+
+        a, b = self._layers(spark)
+        sql = (
+            "SELECT a.left_id, b.right_id FROM gg_a a JOIN gg_b b "
+            "ON st_contains(a.wkt, b.wkt)"
+        )
+        assert "__cell" in rewrite_spatial_sql(sql, spark)
+        got = {(r["left_id"], r["right_id"]) for r in spatial_sql(spark, sql).collect()}
+        want = {
+            (ra["left_id"], rb["right_id"])
+            for ra in a.collect()
+            for rb in b.collect()
+            if geom_contains(parse_wkt(ra["wkt"]), parse_wkt(rb["wkt"]))
+        }
+        assert got == want
