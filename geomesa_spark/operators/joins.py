@@ -247,35 +247,61 @@ def spatial_join_geoms(
     Reference: GeoMesaJoinRelation handles arbitrary geometry pairs via
     its grid partitioner + JTS refine. Spark shape: BOTH sides explode
     their envelope cover (a geometry spans several cells, unlike the
-    point join), equi-join on cell, dedup the candidate pair ids
-    BEFORE the exact kernel (a pair sharing k cells must refine once,
-    not k times), then refine with the BATCHED pair-predicate kernel
-    (geom.batch_predicate): the whole Arrow batch is grouped by left
-    geometry and evaluated with NumPy reduceat passes — zero per-pair
-    Python, unlike the round-2 per-row loop.
+    point join), equi-join on cell, then REFERENCE-POINT dedup: a pair
+    sharing k cover cells must refine once, not k times, and instead of
+    a dropDuplicates (a full shuffle of the candidate pairs — the round-2
+    shape) a codegen'd filter keeps the pair only in the cell containing
+    the lower-left corner of the two envelopes' intersection (standard
+    PBSM/SpatialHadoop dedup; that corner lies in both envelopes, so its
+    cell is in both covers — exactly one surviving row per pair, zero
+    extra shuffles). Refine = the BATCHED pair-predicate kernel
+    (geom.batch_predicate): the Arrow batch is grouped by left geometry
+    and evaluated with NumPy reduceat passes — zero per-pair Python.
 
     Both sides need (id, wkt, min_lon/min_lat/max_lon/max_lat).
     """
+    n = 1 << bits
     lc = cover_cells_for_polys(
         left.select(
             F.col(left_id), F.col("wkt").alias("__lwkt"),
             "min_lon", "min_lat", "max_lon", "max_lat",
         ),
         bits,
-    ).select(left_id, "__lwkt", "cell")
+    ).select(
+        left_id, "__lwkt", "cell",
+        F.col("min_lon").alias("__lx0"), F.col("min_lat").alias("__ly0"),
+        F.col("max_lon").alias("__lx1"), F.col("max_lat").alias("__ly1"),
+    )
     rc = cover_cells_for_polys(
         right.select(
             F.col(right_id), F.col("wkt").alias("__rwkt"),
             "min_lon", "min_lat", "max_lon", "max_lat",
         ),
         bits,
-    ).select(right_id, "__rwkt", "cell")
+    ).select(
+        right_id, "__rwkt", "cell",
+        F.col("min_lon").alias("__rx0"), F.col("min_lat").alias("__ry0"),
+        F.col("max_lon").alias("__rx1"), F.col("max_lat").alias("__ry1"),
+    )
     if broadcast:
         rc = F.broadcast(rc)
-    cand = (
-        lc.join(rc, on="cell", how="inner")
-        .drop("cell")
-        .dropDuplicates([left_id, right_id])
+    cand = lc.join(rc, on="cell", how="inner")
+    # canonical cell of the envelope-intersection corner — the same IEEE
+    # floor expressions as cover_cells_for_polys, applied to greatest(),
+    # which returns one side's exact double, so the index is bit-equal
+    # to that side's own cover index
+    gx = F.greatest(F.col("__lx0"), F.col("__rx0"))
+    gy = F.greatest(F.col("__ly0"), F.col("__ry0"))
+    canon = (
+        _grid_index(gy, -90.0, 180.0, n) * n
+        + F.pmod(F.floor((gx + 180.0) / 360.0 * n).cast("long"), F.lit(n))
+    )
+    env_overlap = (
+        (F.col("__lx0") <= F.col("__rx1")) & (F.col("__rx0") <= F.col("__lx1"))
+        & (F.col("__ly0") <= F.col("__ry1")) & (F.col("__ry0") <= F.col("__ly1"))
+    )
+    cand = cand.where(env_overlap & (F.col("cell") == canon)).drop(
+        "cell", "__lx0", "__ly0", "__lx1", "__ly1", "__rx0", "__ry0", "__rx1", "__ry1"
     )
 
     schema = cand.schema
@@ -302,7 +328,7 @@ def distance_join(
     probes: DataFrame,
     bits: int = 6,
     radius_col: str = "radius_m",
-    broadcast: bool | None = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """DWITHIN join: points within ``radius_m`` meters of each probe
     (reference: ProximitySearchProcess / ECQL DWITHIN).
@@ -310,7 +336,17 @@ def distance_join(
     The probe side expands to the cell cover of its circle's bbox
     (lat-dependent lon scaling), equi-joins on cell, then refines with
     exact haversine — returned as column ``dist_m``.
+
+    ``broadcast=None`` (default) routes through the stats decider
+    (plans/decider.py::auto_broadcast): the exploded probe cover is
+    broadcast only when its plan-statistics size fits — a huge probe
+    table falls back to a shuffle hash join instead of OOMing the
+    broadcast build.
     """
+    if broadcast is None:
+        from geomesa_spark.plans.decider import auto_broadcast, cover_explode_factor
+
+        broadcast = auto_broadcast(probes, cover_explode_factor(bits))
     n = 1 << bits
     r_deg_lat = F.col(radius_col) / METERS_PER_DEG_LAT
     # lon half-width: the widest longitude offset of a distance circle
@@ -355,6 +391,7 @@ def tube_select(
     time_window_s: int,
     bits: int = 6,
     dtg: str = "dtg",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """J5 spatio-temporal corridor join (reference: geomesa-process/
     .../process/tube/TubeSelectProcess.scala): features within
@@ -371,7 +408,15 @@ def tube_select(
     points must carry lon/lat + ``dtg``; tube carries tube_id, lon/lat,
     ``dtg``. One output row per (point, matching tube vertex), dedup to
     per-point with dropDuplicates on the point key if desired.
+
+    ``broadcast=None`` → stats decider on the tube cover (cells × 3
+    time bins); a tube is normally tiny, but a densified multi-track
+    corridor table can outgrow a broadcast build.
     """
+    if broadcast is None:
+        from geomesa_spark.plans.decider import auto_broadcast, cover_explode_factor
+
+        broadcast = auto_broadcast(tube, cover_explode_factor(bits) * 3.0)
     bin_s = time_window_s
     r_deg_lat = radius_m / METERS_PER_DEG_LAT
 
@@ -411,7 +456,9 @@ def tube_select(
             )
         ),
     )
-    cand = pts.join(F.broadcast(cover), on=["cell", "__bin"], how="inner")
+    if broadcast:
+        cover = F.broadcast(cover)
+    cand = pts.join(cover, on=["cell", "__bin"], how="inner")
     cand = cand.withColumn(
         "dist_m", haversine_m_col(F.col("lon"), F.col("lat"), F.col("t_lon"), F.col("t_lat"))
     ).withColumn(

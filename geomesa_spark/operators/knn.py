@@ -79,13 +79,14 @@ def knn(
     n = 1 << bits
     if ring_cells is None:
         # size the ring from Catalyst plan statistics — free, no job
-        # (the old points.count() was a full extra scan per call); the
-        # estimate only tunes performance: the guard + fallback pass
-        # keep the result exact whatever ring size is chosen
+        # (the old points.count() was a full extra scan per call, and
+        # the round-2 probes.agg(max(k)).collect() fallback was still a
+        # job per call); k_max now defaults to a fixed conservative 32
+        # when the caller doesn't pass it — the estimate only tunes
+        # performance: the guard + fallback pass keep the result exact
+        # whatever ring size is chosen
         n_pts = _estimated_rows(points)
-        kmax = k_max if k_max is not None else (
-            probes.agg(F.max(k_col)).collect()[0][0] or 1  # probe sets are small
-        )
+        kmax = k_max if k_max is not None else 32
         per_cell = max(n_pts / float(n * n), 1e-12)
         # window with ~4·kmax expected points: (2R+1)^2 · per_cell ≥ 4·kmax
         r = int(math.ceil((math.sqrt(4.0 * kmax / per_cell) - 1.0) / 2.0))
@@ -138,7 +139,15 @@ def knn(
         .withColumn("cell", F.col("__yi") * n + F.pmod(F.col("__xi"), F.lit(n)))
         .drop("__xi", "__yi")
     )
-    cand = pts.join(F.broadcast(ring), on="cell", how="inner").drop("cell")
+    # ring side broadcast via the stats decider: probes explode by the
+    # (2R+1)² window, so a large probe table at a wide ring falls back
+    # to AQE's own join choice instead of a forced broadcast build
+    from geomesa_spark.plans.decider import auto_broadcast
+
+    bc_probes = auto_broadcast(probes, float((2 * r + 1) ** 2))
+    cand = pts.join(
+        F.broadcast(ring) if bc_probes else ring, on="cell", how="inner"
+    ).drop("cell")
     cand = cand.withColumn(
         "dist_m",
         haversine_m_col(F.col("lon"), F.col("lat"), F.col("q_lon"), F.col("q_lat")),
@@ -170,7 +179,7 @@ def knn(
 
     # --- pass 2: exact fallback for unresolved probes -----------------
     pending = probes.join(resolved_ids, "q_id", "left_anti").drop("__qxi", "__qyi")
-    cand2 = points.crossJoin(F.broadcast(pending))
+    cand2 = points.crossJoin(F.broadcast(pending) if bc_probes else pending)
     cand2 = cand2.withColumn(
         "dist_m",
         haversine_m_col(F.col("lon"), F.col("lat"), F.col("q_lon"), F.col("q_lat")),

@@ -36,6 +36,8 @@ __all__ = [
     "manifest_skew_ratio",
     "stats_skew_ratio",
     "auto_join_kwargs",
+    "auto_broadcast",
+    "cover_explode_factor",
 ]
 
 BROADCAST_BYTES_DEFAULT = 32 * 1024 * 1024
@@ -119,6 +121,28 @@ def choose_join(
         salt = min(1 << math.ceil(math.log2(skew_ratio)), MAX_SALT)
         return {"broadcast": False, "salt_buckets": salt}
     return {"broadcast": False, "salt_buckets": None}
+
+
+def cover_explode_factor(bits: int, base: float = 4.0) -> float:
+    """Cell-cover explosion estimate: cells per envelope quadruple per
+    extra grid bit (cell edge halves in both dimensions); anchored at a
+    conservative ×base for the default 6-bit grid and clamped so a
+    pathological bits choice can't zero out or explode the estimate."""
+    return min(max(base * 4.0 ** (bits - 6), 1.0), 64.0)
+
+
+def auto_broadcast(
+    df: DataFrame,
+    explode_factor: float = 1.0,
+    threshold: int = BROADCAST_BYTES_DEFAULT,
+) -> bool:
+    """Broadcast-or-not for a join side from Catalyst plan-statistics
+    size (no job), scaled by how much the side is about to explode
+    (cell cover, salt, ring window). The decider shape behind
+    distance_join / tube_select / knn when the caller doesn't force a
+    side — mirroring the reference's StrategyDecider cost check rather
+    than a hardcoded hint."""
+    return estimated_size_bytes(df) * explode_factor <= threshold
 
 
 def auto_join_kwargs(

@@ -426,3 +426,79 @@ class TestAnn:
         # deterministic on this fixture: 0.2 → 0.48 → 0.76
         assert r1 <= r4 <= r8
         assert r4 >= 0.4 and r8 >= 0.7
+
+
+class TestAutoBroadcastDecider:
+    def test_threshold_logic(self, spark):
+        from geomesa_spark.plans.decider import auto_broadcast, cover_explode_factor
+
+        small = spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS lon")
+        assert auto_broadcast(small, cover_explode_factor(6)) is True
+        # a tiny threshold forces the shuffle path regardless of size
+        assert auto_broadcast(small, 1.0, threshold=1) is False
+
+    def test_distance_join_auto_plans_broadcast_for_small_probes(self, spark, tmp_path):
+        from geomesa_spark.operators.joins import distance_join
+        from geomesa_spark.tables import query_points
+
+        pts = spark.range(0, 200).selectExpr(
+            "CAST(id AS STRING) AS doc_id",
+            "CAST(id % 360 - 180 + 0.25 AS DOUBLE) AS lon",
+            "CAST(id % 170 - 85 + 0.25 AS DOUBLE) AS lat",
+        )
+        probes = query_points(spark, 20)
+        plan = (
+            distance_join(pts, probes, bits=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_tube_select_auto_decider_matches_forced(self, spark):
+        from pyspark.sql import functions as F
+        from geomesa_spark.operators.joins import tube_select
+
+        pts = spark.range(0, 500).selectExpr(
+            "CAST(id AS STRING) AS doc_id",
+            "CAST(id % 360 - 180 + 0.5 AS DOUBLE) AS lon",
+            "CAST(id % 170 - 85 + 0.5 AS DOUBLE) AS lat",
+            "timestamp_seconds(1704067200 + id * 600) AS dtg",
+        )
+        tube = spark.range(0, 5).selectExpr(
+            "'t0' AS tube_id",
+            "CAST(id AS INT) AS vertex_id",
+            "CAST(id * 2.0 - 150.0 AS DOUBLE) AS lon",
+            "CAST(id * 3.0 - 40.0 AS DOUBLE) AS lat",
+            "timestamp_seconds(1704067200 + id * 3600) AS dtg",
+        )
+        auto = tube_select(pts, tube, 500_000.0, 14400, bits=5)
+        forced = tube_select(pts, tube, 500_000.0, 14400, bits=5, broadcast=True)
+        a = {tuple(r) for r in auto.select("doc_id", "vertex_id").collect()}
+        b = {tuple(r) for r in forced.select("doc_id", "vertex_id").collect()}
+        assert a == b
+
+    def test_knn_no_extra_job_without_k_max(self, spark):
+        """Sizing the ring must not launch a Spark job (the round-2
+        probes.agg(max k).collect() is gone): build the knn plan with
+        job tracking and assert zero jobs ran before an action."""
+        from geomesa_spark.operators.knn import knn
+
+        pts = spark.range(0, 100).selectExpr(
+            "CAST(id AS STRING) AS doc_id",
+            "CAST(0 AS INT) AS span_offset",
+            "CAST(id % 360 - 180 + 0.5 AS DOUBLE) AS lon",
+            "CAST(id % 170 - 85 + 0.5 AS DOUBLE) AS lat",
+        )
+        probes = spark.range(0, 3).selectExpr(
+            "CAST(id AS STRING) AS q_id",
+            "CAST(id * 10.0 AS DOUBLE) AS lon",
+            "CAST(id * 5.0 AS DOUBLE) AS lat",
+            "CAST(3 AS INT) AS k",
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        df = knn(pts, probes, bits=5)  # plan only — no action yet
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before
+        # and the result is still exact
+        rows = df.select("q_id", "rank").collect()
+        assert len(rows) == 9

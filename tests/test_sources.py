@@ -308,3 +308,64 @@ class TestMultimodal:
         frames = sample_frames(refs, every_n=5)
         r = frames.groupBy("media_ref").agg(F.count("*").alias("n"), F.max("frame_idx").alias("mx")).collect()
         assert all(x.n >= 2 and x.mx % 5 == 0 for x in r)
+
+
+class TestShapefileGeoms:
+    def test_polygon_roundtrip_with_hole(self, spark, tmp_path):
+        from geomesa_spark.geom import _close, _ring_signed_area2
+        from geomesa_spark.sources.shapefile import (
+            read_shapefile_geoms, write_shapefile_geoms,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"),
+                ("b", "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"),
+                ("c", "MULTIPOLYGON (((0 20, 2 20, 2 22, 0 22, 0 20)), ((5 20, 7 20, 7 22, 5 22, 5 20)))"),
+            ],
+            "fid string, wkt string",
+        )
+        base = str(tmp_path / "polys")
+        assert write_shapefile_geoms(df, base) == 3
+        gtype, recs = read_shapefile_geoms(base)
+        assert gtype == 5
+        assert [len(r) for r in recs] == [2, 1, 2]
+        # spec ring order: outer CW (negative shoelace), hole CCW
+        outer, hole = recs[0]
+        assert _ring_signed_area2(_close(outer)) < 0
+        assert _ring_signed_area2(_close(hole)) > 0
+        # coordinates preserved as a set
+        assert {(x, y) for x, y in outer} == {(0, 0), (4, 0), (4, 4), (0, 4)}
+        assert {(x, y) for x, y in hole} == {(1, 1), (3, 1), (3, 3), (1, 3)}
+
+    def test_polyline_roundtrip(self, spark, tmp_path):
+        from geomesa_spark.sources.shapefile import (
+            read_shapefile_geoms, write_shapefile_geoms,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("t1", "LINESTRING (0 0, 1 1, 2 0)"),
+                ("t2", "MULTILINESTRING ((0 5, 1 6), (2 7, 3 8, 4 7))"),
+            ],
+            "fid string, wkt string",
+        )
+        base = str(tmp_path / "lines")
+        assert write_shapefile_geoms(df, base) == 2
+        gtype, recs = read_shapefile_geoms(base)
+        assert gtype == 3
+        assert [len(r) for r in recs] == [1, 2]
+        assert [len(p) for p in recs[1]] == [2, 3]
+        assert recs[0][0].tolist() == [[0, 0], [1, 1], [2, 0]]
+
+    def test_mixed_types_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from geomesa_spark.sources.shapefile import write_shapefile_geoms
+
+        df = spark.createDataFrame(
+            [("a", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"), ("b", "LINESTRING (0 0, 1 1)")],
+            "fid string, wkt string",
+        )
+        with _pytest.raises(ValueError):
+            write_shapefile_geoms(df, str(tmp_path / "mixed"))

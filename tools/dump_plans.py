@@ -118,6 +118,50 @@ def main() -> int:
             plan_str(sq),
         ))
 
+        # round 3: layer×layer geometry join, Python API + SQL rewrite
+        from geomesa_spark.operators.joins import spatial_join_geoms
+        from geomesa_spark.tables import rect_layer
+
+        layer_a_path = os.path.join(td, "layer_a")
+        polys.withColumnRenamed("poly_id", "left_id").write.parquet(layer_a_path)
+        layer_a = spark.read.parquet(layer_a_path)
+        layer_b_path = os.path.join(td, "layer_b")
+        rect_layer(spark, 300).withColumnRenamed("rect_id", "right_id").write.parquet(
+            layer_b_path
+        )
+        layer_b = spark.read.parquet(layer_b_path)
+        gg = spatial_join_geoms(layer_a, layer_b, bits=6)
+        sections.append((
+            "Geometry×geometry layer join (J2 general form, round 3)",
+            "both sides explode their envelope cell cover (codegen sequence/"
+            "explode), BroadcastHashJoin on cell with the reference-point "
+            "dedup + envelope-overlap conjuncts as codegen'd filters (NO "
+            "dropDuplicates shuffle) feeding the single MapInPandas "
+            "batched-kernel refine — no per-pair Python, no nested-loop "
+            "join, no extra exchange.",
+            plan_str(gg),
+        ))
+
+        layer_a.createOrReplaceTempView("plans_layer_a")
+        layer_b.createOrReplaceTempView("plans_layer_b")
+        ggs = spatial_sql(
+            spark,
+            """
+            SELECT a.left_id, b.right_id FROM plans_layer_a a JOIN plans_layer_b b
+              ON st_intersects(a.wkt, b.wkt)
+            """,
+        )
+        sections.append((
+            "SQL-text layer×layer join through the rewriter (round 3)",
+            "ON st_intersects(a.wkt, b.wkt) between two geometry columns "
+            "rewrites to a both-sides cell-cover BroadcastHashJoin with a "
+            "reference-point dedup conjunct (one row per pair, no DISTINCT) "
+            "and the batched st_intersects kernel as the residual — the raw "
+            "UDF condition would have planned a BroadcastNestedLoopJoin "
+            "cartesian.",
+            plan_str(ggs),
+        ))
+
     out = ["# PLANS — physical-plan evidence\n",
            "Generated by tools/dump_plans.py; re-run after operator changes.\n"]
     for title, why, plan in sections:
