@@ -913,6 +913,20 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the embedding leg of the dedup
+    suite): self-join within hyperplane-LSH buckets + exact cosine
+    refine. The oracle mirrors the bucket bits AND the sequential-fold
+    dot/norm arithmetic bit-for-bit, so the threshold decision is
+    identical. (The synthetic embeddings have no true near-dups — the
+    0.3 threshold certifies the candidate+refine machinery on the
+    upper tail of the similarity distribution.)"""
+    from geomesa_spark.operators.ann import cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_dup_pairs(emb, threshold=0.3, n_planes=4)
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 5 probe vectors."""
     from geomesa_spark.operators.ann import cosine_topk
@@ -1022,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
+        "cosine_dup": q_cosine_dup,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1611,6 +1626,36 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.source = b.source
             WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
                     / len(list_distinct(a.shs || b.shs)) >= 0.7
+        """,
+        # near-dup refine decision mirrors the engine's sequential folds
+        # (list_reduce from prepended 0.0 ≡ F.aggregate) for dot AND
+        # norm, so round(sim,6) >= threshold flips identically
+        "cosine_dup": """
+            WITH bkt AS (
+              SELECT vec_id, embedding,
+                CAST(list_sum(list_transform(generate_series(0, 3), p ->
+                  CASE WHEN list_reduce(
+                      list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(generate_series(1, len(embedding)), i ->
+                          CAST(embedding[i] AS DOUBLE) *
+                          CAST((((((p * 1000003) + (i - 1)) * 2654435761) >> 13) & 1) * 2 - 1 AS DOUBLE))),
+                      (acc, x) -> acc + x) > 0
+                  THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket,
+                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, len(embedding)), i ->
+                    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                  (acc, x) -> acc + x)) AS nrm
+              FROM embeddings
+            ),
+            prs AS (
+              SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, len(a.embedding)), i ->
+                    CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                  (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS sim_r
+              FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT key_a, key_b, sim_r FROM prs WHERE sim_r >= 0.3
         """,
         "ann_cosine": f"""
             WITH {SQL_COSINE}

@@ -453,7 +453,9 @@ import re as _re_mod  # noqa: E402
 _POINT_FAST = _re_mod.compile(_POINT_RE)
 
 
-def _rel_grouped(per_geom_points, fallback, batch_pred: str | None = None):
+def _rel_grouped(
+    per_geom_points, fallback, batch_pred: str | None = None, batch_negate: bool = False
+):
     """Vectorized predicate: when the second operand column is all
     POINTs (the join/filter hot shape), group the batch by the first
     geometry and run the batched kernel once per distinct geometry.
@@ -485,6 +487,8 @@ def _rel_grouped(per_geom_points, fallback, batch_pred: str | None = None):
                 res = G.batch_predicate(
                     a[mask].to_numpy(), b[mask].to_numpy(), batch_pred
                 )
+                if batch_negate:
+                    res = ~res
                 out[mv] = [bool(r) for r in res]
             return pd.Series(out)
         return pd.Series(
@@ -511,6 +515,8 @@ st_disjoint = _rel_grouped(
     if g.geom_type in ("POLYGON", "MULTIPOLYGON")
     else [not G.geoms_intersect(g, G.Geometry("POINT", [np.array([[x, y]])])) for x, y in zip(px, py)],
     lambda a, b: not G.geoms_intersect(a, b),
+    batch_pred="intersects",
+    batch_negate=True,
 )
 st_contains = _rel_grouped(
     lambda g, px, py: G.points_in_polygon(px, py, g)
@@ -529,7 +535,17 @@ st_covers = _rel_grouped(
     else np.zeros(len(px), dtype=bool),
     G.geom_covers,
 )
-st_within = _rel(lambda a, b: G.geom_contains(b, a))
+@F.pandas_udf(T.BooleanType())
+def st_within(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_Within(a, b) ≡ ST_Contains(b, a) — evaluated with the batched
+    pair kernel (arguments swapped), not per-distinct-pair."""
+    mask = a.notna() & b.notna()
+    out = np.full(len(a), None, dtype=object)
+    mv = mask.to_numpy()
+    if mv.any():
+        res = G.batch_predicate(b[mask].to_numpy(), a[mask].to_numpy(), "contains")
+        out[mv] = [bool(r) for r in res]
+    return pd.Series(out)
 st_equals = _rel(
     lambda a, b: a.geom_type == b.geom_type
     and len(a.rings) == len(b.rings)

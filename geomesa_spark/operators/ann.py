@@ -27,6 +27,7 @@ __all__ = [
     "lsh_cosine_topk",
     "ivf_assign",
     "ivf_topk",
+    "cosine_dup_pairs",
 ]
 
 MIX = 2_654_435_761
@@ -254,4 +255,58 @@ def lsh_cosine_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_vec_id", id_col, "sim_r", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    round_digits: int = 6,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the embedding leg of the
+    dedup suite (next to MinHash/SimHash/Jaccard): a SELF-join within
+    hyperplane-LSH buckets, exact cosine refine at ``threshold``.
+
+    Scale shape: the join is a bucketed equi-join (2^n_planes-fold
+    candidate reduction; two vectors at cosine s share one plane's sign
+    w.p. 1 − acos(s)/π, so high-similarity pairs concentrate in shared
+    buckets; recall rises with more tables — callers union plane
+    families like lsh_cosine_topk). ``max_bucket`` caps a flood bucket
+    exactly like dedup.lsh_candidate_pairs: an m-vector degenerate
+    bucket would emit m²/2 candidates, so oversized buckets drop via
+    anti-join before the join (approximation an LSH pass is allowed —
+    the exact-dup layer upstream catches true duplicates).
+
+    Output: (key_a, key_b, sim_r) with key_a < key_b, one row per pair.
+    """
+    b = with_lsh_bucket(corpus, vec_col, n_planes).select(
+        F.col(id_col), F.col("bucket"), F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__norm"),
+    )
+    if max_bucket is not None:
+        b = b.localCheckpoint(eager=False)
+        hot = (
+            b.groupBy("bucket").agg(F.count("*").alias("__bn"))
+            .where(F.col("__bn") > max_bucket)
+            .select("bucket")
+        )
+        b = b.join(F.broadcast(hot), "bucket", "left_anti")
+    a = b.select(
+        F.col(id_col).alias("key_a"), F.col("bucket"),
+        F.col("__vec").alias("__va"), F.col("__norm").alias("__na"),
+    )
+    c = b.select(
+        F.col(id_col).alias("key_b"), F.col("bucket"),
+        F.col("__vec").alias("__vb"), F.col("__norm").alias("__nb"),
+    )
+    cand = a.join(c, on="bucket").where(F.col("key_a") < F.col("key_b"))
+    sim = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.withColumn("sim_r", F.round(sim, round_digits))
+        .where(F.col("sim_r") >= threshold)
+        .select("key_a", "key_b", "sim_r")
     )
