@@ -455,6 +455,17 @@ def q_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return density_grid(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
 
 
+def q_smooth_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 focal variant: tent-kernel (radius 1) convolution of the
+    72×34 density grid — the heatmap smoothing pass, computed over the
+    aggregated grid, not the raw points."""
+    from geomesa_spark.operators.tiles import smooth_density
+
+    return smooth_density(
+        _points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34, radius=1
+    )
+
+
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster pyramid rollup: density tiles at zoom levels 6→3, each
     parent aggregating its four children."""
@@ -1001,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_join": q_dwithin_join,
         "knn": q_knn,
         "density_grid": q_density_grid,
+        "smooth_density": q_smooth_density,
         "vectorize_density": q_vectorize_density,
         "tile_assign": q_tile_assign,
         "tile_pyramid": q_tile_pyramid,
@@ -1259,6 +1271,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM pts
             WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+            GROUP BY 1, 2
+        """,
+        "smooth_density": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(sum(1.0) AS DOUBLE) AS weight
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            )
+            SELECT CAST(g.ix + kx.v AS INT) AS ix, CAST(g.iy + ky.v AS INT) AS iy,
+                   CAST(sum(g.weight * CAST((2 - abs(kx.v)) * (2 - abs(ky.v)) AS DOUBLE)) AS DOUBLE) AS weight
+            FROM grid g
+            CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
+            CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+            WHERE g.ix + kx.v >= 0 AND g.ix + kx.v < 72
+              AND g.iy + ky.v >= 0 AND g.iy + ky.v < 34
             GROUP BY 1, 2
         """,
         "vectorize_density": f"""

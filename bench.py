@@ -52,9 +52,12 @@ def pipeline_queries(spark, sf_dir: str, n_docs: int, cores: int, tmpdir: str, n
         distance_join,
         spatial_join_points_in_polys,
     )
+    from geomesa_spark.operators.joins import spatial_join_geoms
     from geomesa_spark.operators.knn import knn
     from geomesa_spark.operators.tiles import density_grid, write_tiles
-    from geomesa_spark.tables import poly_layers, query_points, synthesize_documents
+    from geomesa_spark.tables import (
+        poly_layers, query_points, rect_layer, synthesize_documents,
+    )
 
     docs_path = os.path.join(tmpdir, "documents")
     synthesize_documents(spark, n_docs, partitions=cores * 4).write.parquet(docs_path)
@@ -78,6 +81,19 @@ def pipeline_queries(spark, sf_dir: str, n_docs: int, cores: int, tmpdir: str, n
     def q_pip_join_salted():
         return spatial_join_points_in_polys(
             extract_geo_points(docs), polys, bits=6, broadcast=False, salt_buckets=8
+        ).count()
+
+    rects_path = os.path.join(tmpdir, "rects")
+    rect_layer(spark, 30_000).withColumnRenamed("rect_id", "right_id").write.parquet(
+        rects_path
+    )
+    rects = spark.read.parquet(rects_path)
+
+    def q_geom_join():
+        # layer×layer: 2K polygons (incl. skewed giants) × 30K rects,
+        # both-sides cover join + reference-point dedup + batched kernel
+        return spatial_join_geoms(
+            polys.withColumnRenamed("poly_id", "left_id"), rects, bits=6
         ).count()
 
     def q_dwithin():
@@ -116,6 +132,7 @@ def pipeline_queries(spark, sf_dir: str, n_docs: int, cores: int, tmpdir: str, n
         "extract_cells": q_extract_cells,
         "pip_join_broadcast": q_pip_join_broadcast,
         "pip_join_salted": q_pip_join_salted,
+        "geom_join": q_geom_join,
         "dwithin": q_dwithin,
         "knn": q_knn,
         "density": q_density,

@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.sources.catalog import write_manifest
 
-__all__ = ["density_grid", "tile_pyramid", "write_tiles", "vectorize_density"]
+__all__ = [
+    "density_grid",
+    "smooth_density",
+    "tile_pyramid",
+    "write_tiles",
+    "vectorize_density",
+]
 
 
 def density_grid(
@@ -50,6 +56,56 @@ def density_grid(
             F.floor((F.col(lat) - y0) / dy).cast("int").alias("iy"),
         )
         .agg(F.sum(w).alias("weight"), F.count("*").alias("cnt"))
+    )
+
+
+def smooth_density(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    radius: int = 1,
+    weight_col: str | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Focal (kernel) density smoothing — the heatmap variant of A9
+    (reference DensityScan renders raw weights; GeoServer-side heatmaps
+    convolve them; here the convolution IS the Spark plan).
+
+    Separable integer TENT kernel k(dx,dy) = (r+1-|dx|)·(r+1-|dy|):
+    each non-empty grid cell explodes its (2r+1)² kernel footprint
+    (sequence × explode, codegen) and the target cell sums
+    contribution = cell_weight · k. With unit weights every
+    contribution is an exact integer double, so sums are
+    order-independent and the DuckDB oracle matches bit-for-bit — a
+    Gaussian kernel would hash-drift across libm exp() implementations
+    (swap the kernel expression for production smoothing; the plan
+    shape is identical). Shuffle cost: one groupBy over |cells|·(2r+1)²
+    rows of already-aggregated data, NOT over raw points.
+
+    Output: (ix, iy, weight) over the same grid as density_grid,
+    including cells lit only by neighbors; edge cells clip (no wrap).
+    """
+    r = radius
+    g = density_grid(points, bbox, width, height, weight_col=weight_col, lon=lon, lat=lat)
+    kx = F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("kx")
+    ky = F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("ky")
+    sm = g.select("ix", "iy", "weight", kx).select("ix", "iy", "weight", "kx", ky)
+    k = ((F.lit(r + 1) - F.abs(F.col("kx"))) * (F.lit(r + 1) - F.abs(F.col("ky")))).cast(
+        "double"
+    )
+    sm = sm.select(
+        (F.col("ix") + F.col("kx")).alias("tx"),
+        (F.col("iy") + F.col("ky")).alias("ty"),
+        (F.col("weight") * k).alias("contrib"),
+    ).where(
+        (F.col("tx") >= 0) & (F.col("tx") < width)
+        & (F.col("ty") >= 0) & (F.col("ty") < height)
+    )
+    return (
+        sm.groupBy(F.col("tx").cast("int").alias("ix"), F.col("ty").cast("int").alias("iy"))
+        .agg(F.sum("contrib").alias("weight"))
     )
 
 

@@ -502,3 +502,34 @@ class TestAutoBroadcastDecider:
         # and the result is still exact
         rows = df.select("q_id", "rank").collect()
         assert len(rows) == 9
+
+
+class TestSmoothDensity:
+    def test_tent_kernel_mass_and_values(self, spark):
+        from geomesa_spark.operators.tiles import smooth_density
+
+        # two points in one interior cell, far from grid edges
+        pts = spark.createDataFrame(
+            [("a", 0.5, 0.5), ("b", 0.6, 0.6)], "doc_id string, lon double, lat double"
+        )
+        out = smooth_density(pts, (-180.0, -85.0, 180.0, 85.0), 72, 34, radius=1)
+        rows = {(r["ix"], r["iy"]): r["weight"] for r in out.collect()}
+        # one source cell of weight 2: center 2*4=8, edge 2*2=4, corner 2*1=2
+        assert len(rows) == 9
+        total = sum(rows.values())
+        assert total == 2.0 * 16  # mass = weight × (tent sum)² with no clipping
+        cx, cy = max(rows, key=lambda k: rows[k])
+        assert rows[(cx, cy)] == 8.0
+        assert rows[(cx + 1, cy)] == 4.0 and rows[(cx + 1, cy + 1)] == 2.0
+
+    def test_edge_clipping(self, spark):
+        from geomesa_spark.operators.tiles import smooth_density
+
+        # a point in the grid's corner cell: footprint clips to 4 cells
+        pts = spark.createDataFrame(
+            [("a", -179.9, -84.9)], "doc_id string, lon double, lat double"
+        )
+        out = smooth_density(pts, (-180.0, -85.0, 180.0, 85.0), 72, 34, radius=1)
+        rows = {(r["ix"], r["iy"]): r["weight"] for r in out.collect()}
+        assert set(rows) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+        assert rows[(0, 0)] == 4.0 and rows[(1, 1)] == 1.0
