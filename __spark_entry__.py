@@ -837,6 +837,36 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return U.read_latest(spark, path).select("event_id", "user_id", "event_type", "value")
 
 
+def q_upsert_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 snapshot time travel: the same upsert table read AS OF the
+    upsert delta (sequence 1) — updated values visible, the later
+    delete tombstones not yet applied. Certifies the log-structured
+    snapshot contract (read_asof) end-to-end against a relational
+    reconstruction of that point in history."""
+    import os
+    import shutil
+    import tempfile
+
+    from geomesa_spark.sources import upsert as U
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"geomesa_upsert_asof_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    U.init_table(ev, path, fid_col="event_id", n_buckets=8)
+    s1 = U.append_upserts(
+        ev.where(F.col("event_id") % 5 == 0).withColumn("value", F.col("value") + 1000.0),
+        path,
+    )
+    U.append_deletes(ev.where(F.col("event_id") % 7 == 0).select("event_id"), path)
+    return U.read_asof(spark, path, s1).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (dedup / text / similarity)
 # ---------------------------------------------------------------------------
@@ -1037,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_join": q_attr_join,
         "tube_select": q_tube_select,
         "upsert_latest": q_upsert_latest,
+        "upsert_asof": q_upsert_asof,
         "visibility": q_visibility,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
@@ -1526,6 +1557,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type,
                    CASE WHEN event_id % 5 = 0 THEN value + 1000.0 ELSE value END AS value
             FROM events WHERE event_id % 7 <> 0
+        """,
+        "upsert_asof": """
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 5 = 0 THEN value + 1000.0 ELSE value END AS value
+            FROM events
         """,
         # auth set {user, internal} satisfies label classes 0,1,3 of the
         # deterministic 5-way label cycle

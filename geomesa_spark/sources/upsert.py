@@ -39,6 +39,7 @@ __all__ = [
     "append_upserts",
     "append_deletes",
     "read_latest",
+    "read_asof",
     "compact",
     "pending_deltas",
 ]
@@ -140,6 +141,38 @@ def read_latest(spark: SparkSession, path: str) -> DataFrame:
     base = spark.read.parquet(path)
     d = pending_deltas(spark, path)
     out = base if d is None else _merge_latest(base, d, spec["fid_col"])
+    return out.drop("__seq__", "__op__", "bucket")
+
+
+def read_asof(spark: SparkSession, path: str, seq: int) -> DataFrame:
+    """Snapshot (time-travel) read: the table AS OF delta sequence
+    ``seq`` — base ∪ deltas with ``__seq__ <= seq``, latest-wins, no
+    tombstoned rows (init_table is sequence 0; each append returns its
+    sequence number, which doubles as the snapshot id — the same
+    log-structured snapshot contract as Iceberg/Delta).
+
+    History older than the last compaction is folded into the base:
+    the compaction manifest's ``lineage.consumed_through_seq`` is the
+    travel horizon (snapshot expiration); asking below it raises."""
+    from geomesa_spark.sources.catalog import latest_manifest
+
+    spec = _spec(path)
+    m = latest_manifest(path)
+    horizon = 0
+    if m and m.get("lineage", {}).get("op") == "compaction":
+        horizon = int(m["lineage"].get("consumed_through_seq", 0))
+    if seq < horizon:
+        raise ValueError(
+            f"read_asof: seq {seq} precedes the compaction horizon {horizon} "
+            "(history folded into the base — expired snapshot)"
+        )
+    base = spark.read.parquet(path)
+    d = pending_deltas(spark, path)
+    if d is not None:
+        d = d.where(F.col("__seq__") <= seq)
+        out = _merge_latest(base, d, spec["fid_col"])
+    else:
+        out = base
     return out.drop("__seq__", "__op__", "bucket")
 
 

@@ -355,3 +355,20 @@ class TestGeomGeomRewrite:
             if geom_contains(parse_wkt(ra["wkt"]), parse_wkt(rb["wkt"]))
         }
         assert got == want
+
+
+class TestGeomJoinDedup:
+    def test_no_duplicate_pairs_at_fine_grid(self, spark):
+        """At bits=8 geometries share many cover cells; the
+        reference-point filter must still emit each pair exactly once."""
+        from geomesa_spark.operators.joins import spatial_join_geoms
+        from geomesa_spark.tables import rect_layer
+
+        a = poly_layers(spark, 80).withColumnRenamed("poly_id", "left_id")
+        b = rect_layer(spark, 120).withColumnRenamed("rect_id", "right_id")
+        out = spatial_join_geoms(a, b, bits=8).select("left_id", "right_id").collect()
+        pairs = [(r["left_id"], r["right_id"]) for r in out]
+        assert len(pairs) == len(set(pairs)) and len(pairs) > 0
+        # and bits must not change the result set
+        out5 = spatial_join_geoms(a, b, bits=5).select("left_id", "right_id").collect()
+        assert set(pairs) == {(r["left_id"], r["right_id"]) for r in out5}

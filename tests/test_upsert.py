@@ -117,3 +117,38 @@ class TestUpsert:
         U.append_deletes(df.select("__fid__"), path)  # delete everything
         U.compact(spark, path)
         assert glob.glob(os.path.join(path, "bucket=*")) == []
+
+
+class TestTimeTravel:
+    def test_asof_sequences_and_horizon(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from geomesa_spark.sources import upsert as U
+
+        path = str(tmp_path / "tt")
+        base = spark.range(0, 100).selectExpr(
+            "id AS fid", "CAST(id AS DOUBLE) AS v"
+        )
+        U.init_table(base, path, fid_col="fid", n_buckets=4)
+        s1 = U.append_upserts(
+            base.where(F.col("fid") % 10 == 0).withColumn("v", F.col("v") + 1000.0), path
+        )
+        s2 = U.append_deletes(base.where(F.col("fid") % 3 == 0).select("fid"), path)
+
+        v0 = {r["fid"]: r["v"] for r in U.read_asof(spark, path, 0).collect()}
+        assert len(v0) == 100 and v0[10] == 10.0
+        v1 = {r["fid"]: r["v"] for r in U.read_asof(spark, path, s1).collect()}
+        assert len(v1) == 100 and v1[10] == 1010.0
+        v2 = {r["fid"]: r["v"] for r in U.read_asof(spark, path, s2).collect()}
+        latest = {r["fid"]: r["v"] for r in U.read_latest(spark, path).collect()}
+        assert v2 == latest and 9 not in v2 and len(v2) == 100 - 34
+
+        U.compact(spark, path)
+        # latest snapshot still readable after compaction
+        v2b = {r["fid"]: r["v"] for r in U.read_asof(spark, path, s2).collect()}
+        assert v2b == latest
+        # history below the horizon is expired
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            U.read_asof(spark, path, s1)
