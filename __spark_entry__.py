@@ -784,6 +784,18 @@ def q_tube_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "span_offset", "vertex_id")
 
 
+def q_track_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point2PointProcess analogue: canonical-layer points grouped into
+    per-name tracks, time-ordered, emitted as LINESTRING WKT (%.6f
+    coordinate text — oracle printf parity)."""
+    from geomesa_spark.operators.tracks import track_lines
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    lay = canonical_layer(spark, 2000)
+    return track_lines(lay, track_col="name")
+
+
 def q_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 visibility filtering: deterministic Accumulo-style label per
     event, filtered for auths {user, internal} through the expression
@@ -1066,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_topn": q_sorted_topn,
         "attr_join": q_attr_join,
         "tube_select": q_tube_select,
+        "track_lines": q_track_lines,
         "upsert_latest": q_upsert_latest,
         "upsert_asof": q_upsert_asof,
         "visibility": q_visibility,
@@ -1552,6 +1565,20 @@ def oracle_sql() -> dict[str, str]:
             FROM pts_t p CROSS JOIN tube q
             WHERE {_sql_haversine('p.lon', 'p.lat', 'q.t_lon', 'q.t_lat')} <= 500000.0
               AND abs(p.secs - q.t_secs) <= 14400
+        """,
+        # canonical_layer arithmetic (bin_records oracle) + ordered
+        # string_agg; dtg = 1704067200 + i*3600 is strictly increasing
+        # per track so the order is total
+        "track_lines": """
+            SELECT printf('name%d', t.i % 10) AS track,
+                   CAST(count(*) AS INT) AS n_points,
+                   'LINESTRING (' || string_agg(
+                     printf('%.6f %.6f',
+                       CAST((t.i % 360) - 180 + 0.5 AS DOUBLE),
+                       CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE)),
+                     ', ' ORDER BY t.i) || ')' AS wkt
+            FROM range(0, 2000) t(i)
+            GROUP BY 1
         """,
         "upsert_latest": """
             SELECT event_id, user_id, event_type,

@@ -533,3 +533,38 @@ class TestSmoothDensity:
         rows = {(r["ix"], r["iy"]): r["weight"] for r in out.collect()}
         assert set(rows) == {(0, 0), (0, 1), (1, 0), (1, 1)}
         assert rows[(0, 0)] == 4.0 and rows[(1, 1)] == 1.0
+
+
+class TestTracks:
+    def test_track_segments(self, spark):
+        from geomesa_spark.operators.tracks import track_segments
+
+        df = spark.createDataFrame(
+            [
+                ("t0", 0.0, 0.0, "2024-01-01 00:00:00"),
+                ("t0", 1.0, 0.0, "2024-01-01 00:10:00"),
+                ("t0", 1.0, 1.0, "2024-01-01 00:30:00"),
+                ("t1", 5.0, 5.0, "2024-01-01 00:00:00"),
+            ],
+            "track string, lon double, lat double, dtg string",
+        ).withColumn("dtg", F.to_timestamp("dtg"))
+        segs = track_segments(df).orderBy("track", "seg_idx").collect()
+        # t0 → 2 segments, t1 (single point) → none
+        assert [(r["track"], r["seg_idx"]) for r in segs] == [("t0", 1), ("t0", 2)]
+        assert segs[0]["wkt"] == "LINESTRING (0.000000 0.000000, 1.000000 0.000000)"
+        assert segs[0]["dt_s"] == 600 and segs[1]["dt_s"] == 1200
+        assert abs(segs[0]["length_m"] - 111195.0) / 111195.0 < 0.01
+
+    def test_track_lines_order(self, spark):
+        from geomesa_spark.operators.tracks import track_lines
+
+        df = spark.createDataFrame(
+            [
+                ("t0", 1.0, 0.0, "2024-01-01 01:00:00"),
+                ("t0", 0.0, 0.0, "2024-01-01 00:00:00"),
+            ],
+            "track string, lon double, lat double, dtg string",
+        ).withColumn("dtg", F.to_timestamp("dtg"))
+        out = track_lines(df).collect()
+        assert out[0]["n_points"] == 2
+        assert out[0]["wkt"] == "LINESTRING (0.000000 0.000000, 1.000000 0.000000)"
