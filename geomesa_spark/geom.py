@@ -728,20 +728,28 @@ def _pip_many(
     out = np.zeros(n_right, dtype=bool)
     if len(edges) == 0 or len(pts) == 0 or len(part_counts) == 0:
         return out
-    px, py = pts[:, 0][None, :], pts[:, 1][None, :]
     x0, y0 = edges[:, 0][:, None], edges[:, 1][:, None]
     x1, y1 = edges[:, 2][:, None], edges[:, 3][:, None]
-    cond = (y0 <= py) != (y1 <= py)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (py - y0) / (y1 - y0)
-        xi = x0 + t * (x1 - x0)
-    cross = cond & (px < xi)
     part_offs = np.concatenate([[0], np.cumsum(part_counts)[:-1]])
-    par = np.bitwise_xor.reduceat(cross, part_offs, axis=0)
     nz = parts_per > 0
-    if nz.any():
-        right_offs = np.concatenate([[0], np.cumsum(parts_per)[:-1]])[nz]
-        out[nz] = np.logical_or.reduceat(par, right_offs, axis=0).any(axis=1)
+    right_offs = np.concatenate([[0], np.cumsum(parts_per)[:-1]])[nz]
+    # chunk the POINTS axis so the E×p crossing matrix stays bounded
+    # (a 10^4-vertex left geometry against 10^5 packed right edges must
+    # not materialize a gigacell matrix)
+    step = max(1, 4_000_000 // max(len(edges), 1))
+    for s in range(0, len(pts), step):
+        if out[nz].all():
+            break
+        p = pts[s : s + step]
+        px, py = p[:, 0][None, :], p[:, 1][None, :]
+        cond = (y0 <= py) != (y1 <= py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (py - y0) / (y1 - y0)
+            xi = x0 + t * (x1 - x0)
+        cross = cond & (px < xi)
+        par = np.bitwise_xor.reduceat(cross, part_offs, axis=0)
+        if nz.any():
+            out[nz] |= np.logical_or.reduceat(par, right_offs, axis=0).any(axis=1)
     return out
 
 

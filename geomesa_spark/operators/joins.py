@@ -237,7 +237,7 @@ def spatial_join_geoms(
     bits: int = 6,
     left_id: str = "left_id",
     right_id: str = "right_id",
-    broadcast: bool | None = True,
+    broadcast: bool | None = None,
     predicate: str = "intersects",
 ) -> DataFrame:
     """Geometry×geometry spatial join (layer-to-layer): one row per
@@ -259,7 +259,13 @@ def spatial_join_geoms(
     and evaluated with NumPy reduceat passes — zero per-pair Python.
 
     Both sides need (id, wkt, min_lon/min_lat/max_lon/max_lat).
+    ``broadcast=None`` → stats decider on the right side's exploded
+    cover; an oversized right layer falls back to a shuffle hash join.
     """
+    if broadcast is None:
+        from geomesa_spark.plans.decider import auto_broadcast, cover_explode_factor
+
+        broadcast = auto_broadcast(right, cover_explode_factor(bits))
     n = 1 << bits
     lc = cover_cells_for_polys(
         left.select(
