@@ -534,6 +534,7 @@ st_covers = _rel_grouped(
     if g.geom_type in ("POLYGON", "MULTIPOLYGON")
     else np.zeros(len(px), dtype=bool),
     G.geom_covers,
+    batch_pred="covers",
 )
 @F.pandas_udf(T.BooleanType())
 def st_within(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -828,12 +828,28 @@ def batch_predicate(
         res = np.zeros(len(idx), dtype=bool)
         rkinds = np.array([r["kind"] for r in rs])
 
-        if predicate == "contains":
+        if predicate in ("contains", "covers"):
+            covers = predicate == "covers"
             if gl["kind"] != "poly":
-                continue  # matches geom_contains: non-polygon container → False
+                if covers and gl["kind"] == "point":
+                    # geom_covers point container: every right vertex
+                    # equals some left vertex
+                    lv = gl["verts"]
+                    for j, r in enumerate(rs):
+                        rv = r["verts"]
+                        eq = (
+                            (rv[:, None, 0] == lv[None, :, 0])
+                            & (rv[:, None, 1] == lv[None, :, 1])
+                        ).any(axis=1)
+                        res[j] = bool(eq.all())
+                    out[idx] = res
+                continue  # line containers → False (matches the scalar)
             vcat = np.concatenate([r["verts"] for r in rs])
             vcounts = np.array([len(r["verts"]) for r in rs])
             ins = points_in_polygon(vcat[:, 0], vcat[:, 1], gl["geom"])
+            if covers:
+                # closed region: interior OR exactly on boundary
+                ins = ins | points_on_boundary(vcat[:, 0], vcat[:, 1], gl["geom"])
             allin = _seg_and(ins, vcounts)
             cand = np.flatnonzero(allin)
             if len(cand):
@@ -843,7 +859,9 @@ def batch_predicate(
                 if len(ecand):
                     ecat = np.concatenate([rs[j]["edges"] for j in ecand])
                     ecounts = np.array([len(rs[j]["edges"]) for j in ecand])
-                    crossed = _seg_or(_cross_cols(gl["edges"], ecat), ecounts)
+                    crossed = _seg_or(
+                        _cross_cols(gl["edges"], ecat, proper_only=covers), ecounts
+                    )
                     res[ecand] = ~crossed
             out[idx] = res
             continue

@@ -167,3 +167,29 @@ class TestBatchPredicateParity:
         r2 = batch_predicate(a, b, "intersects", cache)
         assert (r1 == r2).all()
         assert list(r1) == [True, False, True]
+
+
+class TestBatchCovers:
+    def test_covers_matches_scalar(self):
+        from geomesa_spark.geom import geom_covers
+
+        for seed in (0, 5):
+            rng = np.random.RandomState(seed)
+            geoms = _soup(rng)
+            lws, rws = _all_pairs(geoms)
+            got = batch_predicate(lws, rws, "covers")
+            want = np.array(
+                [geom_covers(parse_wkt(a), parse_wkt(b)) for a, b in zip(lws, rws)]
+            )
+            bad = np.flatnonzero(got != want)
+            assert len(bad) == 0, (
+                f"seed={seed}: {len(bad)} mismatches, first: "
+                f"{lws[bad[0]]} covers {rws[bad[0]]} got={got[bad[0]]} want={want[bad[0]]}"
+            )
+
+    def test_covers_boundary_inclusive(self):
+        big = _rect(0, 0, 4, 4)
+        # shares the left edge → covered (boundary allowed), not contained
+        edge = _rect(0, 1, 2, 3)
+        assert batch_predicate([big], [edge], "covers")[0]
+        assert not batch_predicate([big], [edge], "contains")[0]
