@@ -438,6 +438,18 @@ def q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("q_id", "doc_id", "span_offset")
 
 
+def q_dwithin_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 extended-geometry DWITHIN: points within 250 km of each rect
+    layer feature — clamp-to-box + haversine refine (codegen), cover
+    expanded by the radius with farthest-latitude lon scaling."""
+    from geomesa_spark.operators.joins import distance_join_bbox
+    from geomesa_spark.tables import rect_layer
+
+    boxes = rect_layer(spark, N_RECTS).withColumnRenamed("rect_id", "box_id").drop("wkt")
+    j = distance_join_bbox(_points(spark, sf_dir), boxes, radius_m=250_000.0, bits=6)
+    return j.select("box_id", "doc_id", "span_offset")
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 kNN via ring expansion + exact haversine re-rank."""
     from geomesa_spark.operators.knn import knn
@@ -713,6 +725,38 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
     ).limit(10)
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier-volume shape: 6-way join with the
+    dimension chain (region→nation→supplier/customer) broadcast and the
+    fact-fact join (lineitem⋈orders) left to Catalyst/AQE — decimal-
+    exact revenue for bit-equal oracle sums."""
+    _utc(spark)
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "ASIA")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    sn = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .join(c, (o.o_custkey == F.col("c_custkey")) & (F.col("c_nationkey") == sn.s_nationkey))
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(28,6)")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(rev.cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
 
 
 def q_bin_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_contains": q_geom_contains,
         "geom_join_sql": q_geom_join_sql,
         "dwithin_join": q_dwithin_join,
+        "dwithin_geom": q_dwithin_geom,
         "knn": q_knn,
         "density_grid": q_density_grid,
         "smooth_density": q_smooth_density,
@@ -1072,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lambda_merge": q_lambda_merge,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "bin_records": q_bin_records,
         "set_ops": q_set_ops,
@@ -1296,6 +1342,16 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p CROSS JOIN probes q
             WHERE {hav} <= q.radius_m
         """,
+        "dwithin_geom": f"""
+            WITH {SQL_PTS}, {SQL_RECTS}
+            SELECT r.rect_id AS box_id, p.doc_id, p.span_offset
+            FROM pts p CROSS JOIN rects_env r
+            WHERE {_sql_haversine(
+                "p.lon", "p.lat",
+                "least(greatest(p.lon, r.min_lon), r.max_lon)",
+                "least(greatest(p.lat, r.min_lat), r.max_lat)",
+            )} <= 250000.0
+        """,
         "knn": f"""
             WITH {SQL_PTS}, {_sql_probes(N_KNN_PROBES)}
             SELECT q_id, doc_id, span_offset, CAST(rnk AS INT) AS rank FROM (
@@ -1499,6 +1555,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
         """,
         "tpch_q6": """
             SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,

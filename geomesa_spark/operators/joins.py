@@ -35,6 +35,7 @@ __all__ = [
     "spatial_join_points_in_polys",
     "spatial_join_geoms",
     "distance_join",
+    "distance_join_bbox",
     "refine_pip",
     "haversine_m_col",
     "tube_select",
@@ -388,6 +389,64 @@ def distance_join(
         haversine_m_col(F.col("lon"), F.col("lat"), F.col("q_lon"), F.col("q_lat")),
     )
     return cand.where(F.col("dist_m") <= F.col(radius_col))
+
+
+def distance_join_bbox(
+    points: DataFrame,
+    boxes: DataFrame,
+    radius_m: float,
+    bits: int = 6,
+    box_id: str = "box_id",
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """DWITHIN against EXTENDED geometries (envelope layers): points
+    within ``radius_m`` meters of each box (reference
+    ProximitySearchProcess accepts arbitrary input geometries; the
+    envelope is the reference's own coarse shape for extended geoms).
+
+    Distance semantics: haversine from the point to its coordinate-space
+    clamp into the box — the nearest box point in lon/lat space (exact
+    for the closed box; near-polar wide boxes inherit the usual
+    lon/lat-rectangle caveat). Everything is built-ins: the box cover
+    expands by the radius (farthest-latitude lon scaling, like
+    distance_join), equi-join on cell, clamp + haversine refine in
+    codegen — mirrorable term-for-term by an ANSI oracle.
+    """
+    if broadcast is None:
+        from geomesa_spark.plans.decider import auto_broadcast, cover_explode_factor
+
+        broadcast = auto_broadcast(boxes, cover_explode_factor(bits))
+    r_deg_lat = radius_m / METERS_PER_DEG_LAT
+    far_lat = F.least(
+        F.greatest(F.abs(F.col("min_lat")), F.abs(F.col("max_lat"))) + F.lit(r_deg_lat),
+        F.lit(90.0),
+    )
+    coslat = F.greatest(F.cos(F.radians(far_lat)), F.lit(1e-6))
+    r_deg_lon = F.lit(r_deg_lat) / coslat
+    expanded = boxes.select(
+        F.col(box_id),
+        F.col("min_lon").alias("__bx0"), F.col("min_lat").alias("__by0"),
+        F.col("max_lon").alias("__bx1"), F.col("max_lat").alias("__by1"),
+        (F.col("min_lon") - r_deg_lon).alias("min_lon"),
+        (F.col("max_lon") + r_deg_lon).alias("max_lon"),
+        (F.col("min_lat") - F.lit(r_deg_lat)).alias("min_lat"),
+        (F.col("max_lat") + F.lit(r_deg_lat)).alias("max_lat"),
+    )
+    cover = cover_cells_for_polys(expanded, bits).drop(
+        "min_lon", "max_lon", "min_lat", "max_lat"
+    )
+    if broadcast:
+        cover = F.broadcast(cover)
+    pts = points.withColumn("cell", grid_cell(F.col("lon"), F.col("lat"), bits))
+    cand = pts.join(cover, on="cell", how="inner").drop("cell")
+    cx = F.least(F.greatest(F.col("lon"), F.col("__bx0")), F.col("__bx1"))
+    cy = F.least(F.greatest(F.col("lat"), F.col("__by0")), F.col("__by1"))
+    cand = cand.withColumn(
+        "dist_m", haversine_m_col(F.col("lon"), F.col("lat"), cx, cy)
+    )
+    return cand.where(F.col("dist_m") <= radius_m).drop(
+        "__bx0", "__by0", "__bx1", "__by1"
+    )
 
 
 def tube_select(

@@ -568,3 +568,30 @@ class TestTracks:
         out = track_lines(df).collect()
         assert out[0]["n_points"] == 2
         assert out[0]["wkt"] == "LINESTRING (0.000000 0.000000, 1.000000 0.000000)"
+
+
+class TestDistanceJoinBBox:
+    def test_matches_brute_force(self, spark):
+        from geomesa_spark.geom import haversine_m
+        from geomesa_spark.operators.joins import distance_join_bbox
+        from geomesa_spark.tables import rect_layer
+        import numpy as np
+
+        pts = spark.createDataFrame(
+            [(f"p{i}", -170.0 + i * 3.5, -80.0 + i * 2.5) for i in range(20)],
+            "doc_id string, lon double, lat double",
+        )
+        boxes = rect_layer(spark, 60).withColumnRenamed("rect_id", "box_id").drop("wkt")
+        r = 400_000.0
+        got = {
+            (x["doc_id"], x["box_id"])
+            for x in distance_join_bbox(pts, boxes, radius_m=r, bits=5).collect()
+        }
+        want = set()
+        for p in pts.collect():
+            for b in boxes.collect():
+                cx = min(max(p["lon"], b["min_lon"]), b["max_lon"])
+                cy = min(max(p["lat"], b["min_lat"]), b["max_lat"])
+                if float(haversine_m(p["lon"], p["lat"], cx, cy)) <= r:
+                    want.add((p["doc_id"], b["box_id"]))
+        assert got == want and len(want) > 0
