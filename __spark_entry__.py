@@ -450,6 +450,35 @@ def q_dwithin_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("box_id", "doc_id", "span_offset")
 
 
+def q_beyond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 BEYOND (ECQL dwithin complement): points farther than 500 km
+    from EVERY probe — the DWITHIN join's matched keys anti-joined back
+    against the point table (two codegen stages, no new kernel)."""
+    from geomesa_spark.operators.joins import distance_join
+    from geomesa_spark.tables import query_points
+
+    pts = _points(spark, sf_dir)
+    probes = query_points(spark, N_KNN_PROBES).withColumn("radius_m", F.lit(500_000.0))
+    hit = distance_join(pts, probes, bits=6).select("doc_id", "span_offset").distinct()
+    return pts.join(hit, ["doc_id", "span_offset"], "left_anti").select(
+        "doc_id", "span_offset"
+    )
+
+
+def q_multi_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 multi-range scan: an OR of two disjoint bboxes through the Z2
+    range planner (per-box BIGMIN ranges OR'd — the reference's
+    FilterSplitter multi-range path) + exact refine."""
+    from geomesa_spark.operators.extract import with_z2_cell
+    from geomesa_spark.plans.planner import bbox_predicate, z2_range_predicate
+
+    b1 = (-150.0, -40.0, -100.0, 10.0)
+    b2 = (30.0, 20.0, 80.0, 60.0)
+    pts = with_z2_cell(_points(spark, sf_dir))
+    pred = z2_range_predicate([b1, b2]) & (bbox_predicate(b1) | bbox_predicate(b2))
+    return pts.where(pred).select("doc_id", "span_offset", "lon", "lat")
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 kNN via ring expansion + exact haversine re-rank."""
     from geomesa_spark.operators.knn import knn
@@ -1097,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_join_sql": q_geom_join_sql,
         "dwithin_join": q_dwithin_join,
         "dwithin_geom": q_dwithin_geom,
+        "beyond": q_beyond,
+        "multi_bbox": q_multi_bbox,
         "knn": q_knn,
         "density_grid": q_density_grid,
         "smooth_density": q_smooth_density,
@@ -1351,6 +1382,20 @@ def oracle_sql() -> dict[str, str]:
                 "least(greatest(p.lon, r.min_lon), r.max_lon)",
                 "least(greatest(p.lat, r.min_lat), r.max_lat)",
             )} <= 250000.0
+        """,
+        "beyond": f"""
+            WITH {SQL_PTS}, {_sql_probes(N_KNN_PROBES)}
+            SELECT p.doc_id, p.span_offset FROM pts p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM probes q
+              WHERE {hav} <= 500000.0
+            )
+        """,
+        "multi_bbox": f"""
+            WITH {SQL_PTS}
+            SELECT doc_id, span_offset, lon, lat FROM pts
+            WHERE (lon >= -150.0 AND lon <= -100.0 AND lat >= -40.0 AND lat <= 10.0)
+               OR (lon >= 30.0 AND lon <= 80.0 AND lat >= 20.0 AND lat <= 60.0)
         """,
         "knn": f"""
             WITH {SQL_PTS}, {_sql_probes(N_KNN_PROBES)}
