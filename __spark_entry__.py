@@ -489,6 +489,22 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("q_id", "doc_id", "span_offset", F.col("rank").cast("int").alias("rank"))
 
 
+def q_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 on the HEXAGONAL grid (H3-style axial cells, curves/
+    hexgrid.py): per-hex point counts — assignment is pure codegen
+    (fractional axial transform + cube rounding with floor(x+0.5), no
+    banker's ties), mirrored double-for-double by the oracle."""
+    from geomesa_spark.curves.hexgrid import hex_qr
+
+    pts = _points(spark, sf_dir)
+    q, r = hex_qr(F.col("lon"), F.col("lat"), 5.0)
+    return (
+        pts.select(q.alias("hq"), r.alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def q_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 DensityScan: 72×34 heatmap over the full domain."""
     from geomesa_spark.operators.tiles import density_grid
@@ -1130,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_bbox": q_multi_bbox,
         "knn": q_knn,
         "density_grid": q_density_grid,
+        "hex_density": q_hex_density,
         "smooth_density": q_smooth_density,
         "vectorize_density": q_vectorize_density,
         "tile_assign": q_tile_assign,
@@ -1208,6 +1225,35 @@ sims AS (
   FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.q_vec_id
 )
 """
+
+
+def _hex_density_sql() -> str:
+    from geomesa_spark.curves.hexgrid import ONE_3, SQRT3_3, TWO_3
+
+    return f"""
+        WITH {SQL_PTS},
+        frac AS (
+          SELECT ({TWO_3!r} * lon) / 5.0 AS x,
+                 ({-ONE_3!r} * lon + {SQRT3_3!r} * lat) / 5.0 AS z
+          FROM pts
+        ),
+        cube AS (
+          SELECT x, z, -x - z AS y,
+                 floor(x + 0.5) AS rx, floor(-x - z + 0.5) AS ry, floor(z + 0.5) AS rz
+          FROM frac
+        ),
+        fixed AS (
+          SELECT CASE WHEN abs(rx - x) > abs(ry - y) AND abs(rx - x) > abs(rz - z)
+                      THEN -ry - rz ELSE rx END AS hq,
+                 CASE WHEN abs(rx - x) > abs(ry - y) AND abs(rx - x) > abs(rz - z)
+                      THEN rz
+                      WHEN abs(ry - y) > abs(rz - z) THEN rz
+                      ELSE -rx - ry END AS hr
+          FROM cube
+        )
+        SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr, count(*) AS cnt
+        FROM fixed GROUP BY 1, 2
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1418,6 +1464,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
             GROUP BY 1, 2
         """,
+        # axial hex transform + cube rounding replicated with the SAME
+        # double literals (repr of the Python constants) and the same
+        # floor(x+0.5) rounding — no banker's-rounding divergence
+        "hex_density": _hex_density_sql(),
         "smooth_density": f"""
             WITH {SQL_PTS},
             grid AS (

@@ -204,3 +204,60 @@ class TestXZ2:
             cy = np.floor(ny0 / cw) * cw
             assert cx + 2 * cw >= nx1 - 1e-12
             assert cy + 2 * cw >= ny1 - 1e-12
+
+
+class TestHexGrid:
+    def test_nearest_center_property(self, spark):
+        """Cube rounding must assign each point to the hexagon whose
+        center is Euclidean-nearest (hex Voronoi property)."""
+        import math
+
+        import numpy as np
+
+        from geomesa_spark.curves.hexgrid import hex_qr
+
+        s = 5.0
+        rng = np.random.RandomState(3)
+        pts = [(float(x), float(y)) for x, y in zip(
+            rng.uniform(-170, 170, 300), rng.uniform(-80, 80, 300))]
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        q, r = hex_qr(df.lon, df.lat, s)
+        rows = df.select("lon", "lat", q.alias("q"), r.alias("r")).collect()
+
+        def center(qq, rr):
+            return 1.5 * s * qq, math.sqrt(3.0) * (rr + qq / 2.0) * s
+
+        for row in rows:
+            cx, cy = center(row["q"], row["r"])
+            d0 = (row["lon"] - cx) ** 2 + (row["lat"] - cy) ** 2
+            for dq in range(-2, 3):
+                for dr in range(-2, 3):
+                    ox, oy = center(row["q"] + dq, row["r"] + dr)
+                    d = (row["lon"] - ox) ** 2 + (row["lat"] - oy) ** 2
+                    assert d0 <= d + 1e-9, (row, dq, dr, d0, d)
+
+    def test_center_roundtrip_and_neighbors(self, spark):
+        from pyspark.sql import functions as F
+
+        from geomesa_spark.curves.hexgrid import (
+            HEX_MOD, HEX_OFF, hex_cell, hex_center, hex_neighbors, hex_qr,
+        )
+
+        s = 2.0
+        cells = spark.createDataFrame(
+            [(q, r) for q in range(-3, 4) for r in range(-3, 4)], "q long, r long"
+        )
+        lon, lat = hex_center(F.col("q"), F.col("r"), s)
+        back = cells.select("q", "r", lon.alias("lon"), lat.alias("lat"))
+        q2, r2 = hex_qr(F.col("lon"), F.col("lat"), s)
+        chk = back.select("q", "r", q2.alias("q2"), r2.alias("r2")).collect()
+        assert all(c["q"] == c["q2"] and c["r"] == c["r2"] for c in chk)
+
+        one = spark.range(1).select(hex_cell(F.lit(10.0), F.lit(20.0), s).alias("c"))
+        ring1 = one.select(F.size(hex_neighbors(F.col("c"), 1)).alias("n")).collect()[0]["n"]
+        ring2 = one.select(F.size(hex_neighbors(F.col("c"), 2)).alias("n")).collect()[0]["n"]
+        assert ring1 == 7 and ring2 == 19  # 1 + 3k(k+1)
+        # packed id decodes back to axial
+        c = one.collect()[0]["c"]
+        q, r = divmod(c, HEX_MOD)
+        assert abs(q - HEX_OFF) < HEX_OFF and abs(r - HEX_OFF) < HEX_OFF
