@@ -505,6 +505,28 @@ def q_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hex_ring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex ring-expansion join (the H3 kRing neighborhood query): each
+    probe explodes its kRing(2) cell array (codegen array literal) and
+    broadcast-equi-joins the hex-celled point table. Oracle: hex cells
+    recomputed in SQL + the exact axial-distance condition
+    (|dq|+|dr|+|dq+dr|)/2 ≤ k."""
+    from geomesa_spark.curves.hexgrid import hex_cell, hex_neighbors
+    from geomesa_spark.tables import query_points
+
+    pts = _points(spark, sf_dir).withColumn(
+        "hcell", hex_cell(F.col("lon"), F.col("lat"), 5.0)
+    )
+    probes = query_points(spark, N_KNN_PROBES).select(
+        "q_id", hex_cell(F.col("lon"), F.col("lat"), 5.0).alias("hcell")
+    )
+    ring = probes.select(
+        "q_id", F.explode(hex_neighbors(F.col("hcell"), 2)).alias("hcell")
+    )
+    j = pts.join(F.broadcast(ring), on="hcell", how="inner")
+    return j.select("q_id", "doc_id", "span_offset")
+
+
 def q_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 DensityScan: 72×34 heatmap over the full domain."""
     from geomesa_spark.operators.tiles import density_grid
@@ -1147,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "density_grid": q_density_grid,
         "hex_density": q_hex_density,
+        "hex_ring_join": q_hex_ring_join,
         "smooth_density": q_smooth_density,
         "vectorize_density": q_vectorize_density,
         "tile_assign": q_tile_assign,
@@ -1227,32 +1250,49 @@ sims AS (
 """
 
 
-def _hex_density_sql() -> str:
+def _hex_cells_sql(src: str, carry: str) -> str:
+    """Nested-select fragment computing (``carry`` cols, hq, hr) from a
+    source with lon/lat — the axial transform + cube rounding with the
+    exact double literals hexgrid.py uses."""
     from geomesa_spark.curves.hexgrid import ONE_3, SQRT3_3, TWO_3
 
-    return f"""
-        WITH {SQL_PTS},
-        frac AS (
-          SELECT ({TWO_3!r} * lon) / 5.0 AS x,
+    return f"""(
+      SELECT {carry},
+             CASE WHEN abs(rx - x) > abs(ry - y) AND abs(rx - x) > abs(rz - z)
+                  THEN -ry - rz ELSE rx END AS hq,
+             CASE WHEN abs(rx - x) > abs(ry - y) AND abs(rx - x) > abs(rz - z)
+                  THEN rz
+                  WHEN abs(ry - y) > abs(rz - z) THEN rz
+                  ELSE -rx - ry END AS hr
+      FROM (
+        SELECT {carry}, x, z, -x - z AS y,
+               floor(x + 0.5) AS rx, floor(-x - z + 0.5) AS ry, floor(z + 0.5) AS rz
+        FROM (
+          SELECT {carry},
+                 ({TWO_3!r} * lon) / 5.0 AS x,
                  ({-ONE_3!r} * lon + {SQRT3_3!r} * lat) / 5.0 AS z
-          FROM pts
-        ),
-        cube AS (
-          SELECT x, z, -x - z AS y,
-                 floor(x + 0.5) AS rx, floor(-x - z + 0.5) AS ry, floor(z + 0.5) AS rz
-          FROM frac
-        ),
-        fixed AS (
-          SELECT CASE WHEN abs(rx - x) > abs(ry - y) AND abs(rx - x) > abs(rz - z)
-                      THEN -ry - rz ELSE rx END AS hq,
-                 CASE WHEN abs(rx - x) > abs(ry - y) AND abs(rx - x) > abs(rz - z)
-                      THEN rz
-                      WHEN abs(ry - y) > abs(rz - z) THEN rz
-                      ELSE -rx - ry END AS hr
-          FROM cube
+          FROM {src}
         )
+      )
+    )"""
+
+
+def _hex_density_sql() -> str:
+    return f"""
+        WITH {SQL_PTS}
         SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr, count(*) AS cnt
-        FROM fixed GROUP BY 1, 2
+        FROM {_hex_cells_sql('pts', 'doc_id')} GROUP BY 1, 2
+    """
+
+
+def _hex_ring_join_sql() -> str:
+    return f"""
+        WITH {SQL_PTS}, {_sql_probes(N_KNN_PROBES)}
+        SELECT q.q_id, p.doc_id, p.span_offset
+        FROM {_hex_cells_sql('pts', 'doc_id, span_offset')} p
+        JOIN {_hex_cells_sql('probes', 'q_id')} q
+          ON (abs(p.hq - q.hq) + abs(p.hr - q.hr)
+              + abs((p.hq + p.hr) - (q.hq + q.hr))) / 2 <= 2
     """
 
 
@@ -1468,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         # double literals (repr of the Python constants) and the same
         # floor(x+0.5) rounding — no banker's-rounding divergence
         "hex_density": _hex_density_sql(),
+        "hex_ring_join": _hex_ring_join_sql(),
         "smooth_density": f"""
             WITH {SQL_PTS},
             grid AS (
