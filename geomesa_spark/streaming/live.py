@@ -35,6 +35,7 @@ from geomesa_spark.operators.extract import grid_cell
 
 __all__ = [
     "rate_features",
+    "file_features",
     "kafka_features",
     "parse_feature_stream",
     "latest_state",
@@ -91,6 +92,18 @@ def kafka_features(
             "kafka_features needs the spark-sql-kafka connector jar "
             "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
         ) from e
+    return parse_feature_stream(raw)
+
+
+def file_features(spark, path: str) -> DataFrame:
+    """S5 file-backed streaming source: a directory of JSON-lines files
+    consumed INCREMENTALLY (new files become micro-batches) through the
+    exact same value-string → from_json parse path as the Kafka source —
+    `readStream.text` yields the same one-string-column shape as the
+    Kafka value payload, so the ingest path Kafka exercises in
+    production is e2e-tested here without a broker (swap the source
+    line, keep everything downstream)."""
+    raw = spark.readStream.text(path)
     return parse_feature_stream(raw)
 
 

@@ -197,3 +197,56 @@ class TestStreaming:
         # a different epoch appends its own directory
         assert flush_epoch(df, out, 8, bits=4) == 50
         assert spark.read.parquet(out).count() == 100
+
+
+class TestFileSource:
+    def test_file_stream_e2e_latest_state(self, spark, tmp_path):
+        """S5 without a broker: JSON-lines files consumed incrementally
+        through the SAME value→from_json parse path as Kafka; a second
+        file (newer dtg per fid) must win in latest_state."""
+        import json
+        import os
+
+        from geomesa_spark.streaming.live import file_features, latest_state
+
+        src = tmp_path / "feed"
+        src.mkdir()
+
+        def write(name, rows):
+            p = src / f"_{name}.tmp"
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            os.rename(p, src / name)  # atomic appear
+
+        write("b0.json", [
+            {"__fid__": f"f-{i}", "dtg": "2024-01-01 00:00:00",
+             "lon": float(i), "lat": 1.0, "name": "old"} for i in range(5)
+        ])
+        feats = file_features(spark, str(src))
+        q = (
+            latest_state(feats, watermark="10 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("file_latest")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {r["__fid__"]: r["name"] for r in spark.sql(
+                "SELECT * FROM file_latest").collect()}
+            assert len(got) == 5 and set(got.values()) == {"old"}
+            write("b1.json", [
+                {"__fid__": "f-1", "dtg": "2024-01-01 01:00:00",
+                 "lon": 99.0, "lat": 2.0, "name": "new"},
+                {"__fid__": "f-9", "dtg": "2024-01-01 01:00:00",
+                 "lon": 9.0, "lat": 9.0, "name": "new"},
+            ])
+            q.processAllAvailable()
+            rows = {r["__fid__"]: r for r in spark.sql(
+                "SELECT * FROM file_latest").collect()}
+            assert len(rows) == 6
+            assert rows["f-1"]["name"] == "new" and rows["f-1"]["lon"] == 99.0
+            assert rows["f-0"]["name"] == "old"
+        finally:
+            q.stop()
