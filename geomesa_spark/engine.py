@@ -72,6 +72,27 @@ class GeoMesaSpark:
 
         return knn(points, probes, **kw)
 
+    def dwithin_bbox(self, points: DataFrame, boxes: DataFrame, radius_m: float, **kw) -> DataFrame:
+        from geomesa_spark.operators.joins import distance_join_bbox
+
+        return distance_join_bbox(points, boxes, radius_m, **kw)
+
+    def tube_select(self, points: DataFrame, tube: DataFrame, radius_m: float,
+                    time_window_s: int, **kw) -> DataFrame:
+        from geomesa_spark.operators.joins import tube_select
+
+        return tube_select(points, tube, radius_m, time_window_s, **kw)
+
+    def track_lines(self, df: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.tracks import track_lines
+
+        return track_lines(df, **kw)
+
+    def track_segments(self, df: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.tracks import track_segments
+
+        return track_segments(df, **kw)
+
     def density(self, points: DataFrame, bbox, width: int, height: int, **kw) -> DataFrame:
         from geomesa_spark.operators.tiles import density_grid
 
@@ -81,6 +102,11 @@ class GeoMesaSpark:
         from geomesa_spark.operators.tiles import vectorize_density
 
         return vectorize_density(points, bbox, width, height, **kw)
+
+    def smooth(self, points: DataFrame, bbox, width: int, height: int, **kw) -> DataFrame:
+        from geomesa_spark.operators.tiles import smooth_density
+
+        return smooth_density(points, bbox, width, height, **kw)
 
     # --- stats / dedup / similarity --------------------------------------
     def stats(self, df: DataFrame, spec: str) -> dict:
@@ -130,3 +156,8 @@ class GeoMesaSpark:
         from geomesa_spark.sources.upsert import compact
 
         return compact(self.spark, path)
+
+    def read_asof(self, path: str, seq: int) -> DataFrame:
+        from geomesa_spark.sources.upsert import read_asof
+
+        return read_asof(self.spark, path, seq)
