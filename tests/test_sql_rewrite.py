@@ -372,3 +372,35 @@ class TestGeomJoinDedup:
         # and bits must not change the result set
         out5 = spatial_join_geoms(a, b, bits=5).select("left_id", "right_id").collect()
         assert set(pairs) == {(r["left_id"], r["right_id"]) for r in out5}
+
+
+class TestGeomJoinGiantLeft:
+    def test_world_spanning_polygon(self, spark):
+        """Degenerate skew: one left geometry covering most of the grid
+        joins every rect through a single kernel group — exercises the
+        chunked PIP/edge paths and the reference-point dedup under a
+        full-cover explosion."""
+        from geomesa_spark.operators.joins import spatial_join_geoms
+        from geomesa_spark.tables import rect_layer
+
+        big = spark.createDataFrame(
+            [(
+                "world",
+                "POLYGON ((-179 -84, 179 -84, 179 84, -179 84, -179 -84))",
+                -179.0, -84.0, 179.0, 84.0,
+            )],
+            "left_id string, wkt string, min_lon double, min_lat double, "
+            "max_lon double, max_lat double",
+        )
+        rects = rect_layer(spark, 2000).withColumnRenamed("rect_id", "right_id")
+        out = spatial_join_geoms(big, rects, bits=6).collect()
+        pairs = [(r["left_id"], r["right_id"]) for r in out]
+        assert len(pairs) == len(set(pairs))
+        # brute force: every rect whose CLOSED bbox overlaps the polygon's
+        want = {
+            r["right_id"]
+            for r in rects.collect()
+            if r["min_lon"] <= 179 and r["max_lon"] >= -179
+            and r["min_lat"] <= 84 and r["max_lat"] >= -84
+        }
+        assert {p[1] for p in pairs} == want and len(want) > 1500
