@@ -1009,6 +1009,17 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretoken counts (token-budget estimation): JVM
+    regexp_extract_all with a lookahead-free GPT-2-style pattern that
+    Java regex and DuckDB's RE2 tokenize identically."""
+    from geomesa_spark.operators.text import with_bpe_token_count
+
+    return with_bpe_token_count(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "n_bpe_tokens")
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geomesa_spark.operators.text import with_language_id
 
@@ -1089,6 +1100,25 @@ def q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_dup_pairs(emb, threshold=0.3, n_planes=4)
+
+
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus keep/drop decision, composed from
+    the pipeline's own operators: exact-dedup representative (min doc_id
+    per content hash) ∧ language = 'en' ∧ quality ≥ 0.3 — one
+    declarative plan (two scans fused by Catalyst, one aggregation for
+    the dedup winners, broadcast semi-join back)."""
+    from geomesa_spark.operators.dedup import exact_dedup
+    from geomesa_spark.operators.text import with_language_id, with_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = exact_dedup(docs).select(F.col("keep_key").alias("doc_id"))
+    scored = with_quality_score(with_language_id(docs))
+    return (
+        scored.join(F.broadcast(keep), "doc_id", "inner")
+        .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.3))
+        .select("doc_id", "quality")
+    )
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1202,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
         "langid": q_langid,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -1209,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
+        "corpus_select": q_corpus_select,
         "cosine_dup": q_cosine_dup,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
@@ -1818,6 +1850,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS INT) AS n_chars_calc
             FROM documents
         """,
+        "bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS INT)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
         "langid": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
             r AS (
@@ -1928,6 +1967,38 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.source = b.source
             WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
                     / len(list_distinct(a.shs || b.shs)) >= 0.7
+        """,
+        # composition of the dedup-winner, langid and quality fragments
+        "corpus_select": """
+            WITH keep AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            b AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','on'], x))) AS DOUBLE)
+                       / n_tok AS stopword_ratio,
+                     CAST(n_dis AS DOUBLE) / n_tok AS diversity,
+                     CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok AS mean_tok_len,
+                     CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio
+              FROM b
+            ),
+            s AS (
+              SELECT doc_id,
+                     0.5 * diversity + 0.1 * least(mean_tok_len / 10.0, 1.0) - 0.4 * punct_ratio AS quality,
+                     CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
+              FROM r
+            )
+            SELECT s.doc_id, s.quality
+            FROM s JOIN keep k ON s.doc_id = k.doc_id
+            WHERE s.lang_pred = 'en' AND s.quality >= 0.3
         """,
         # near-dup refine decision mirrors the engine's sequential folds
         # (list_reduce from prepended 0.0 ≡ F.aggregate) for dot AND

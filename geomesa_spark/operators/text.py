@@ -36,6 +36,27 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+# GPT-2-style pretokenizer, simplified to the lookahead-free subset so
+# Java regex (Spark) and RE2 (DuckDB) tokenize identically: contraction
+# tails, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, whitespace runs.
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pretokenization (the token-budget estimator a training
+    pipeline bills by): regexp_extract_all with BPE_PATTERN — JVM-side,
+    no Python."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``n_bpe_tokens`` (pretoken count) next to the whitespace
+    token count — real BPE merges only ever SPLIT pretokens further, so
+    this lower-bounds the billed token count with zero vocab state."""
+    return df.withColumn("n_bpe_tokens", F.size(bpe_tokens(F.col(text_col))))
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_tokens / n_distinct_tokens / n_chars_calc."""
     t = tokens(F.col(text_col))
