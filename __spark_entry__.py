@@ -1052,6 +1052,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup JOIN: Hamming ≤ 5 pairs via 6-band blocking —
+    EXACT by pigeonhole (d < bands ⇒ some band slice matches), so the
+    oracle is the brute-force all-pairs Hamming filter, which also
+    certifies the banding loses nothing."""
+    from geomesa_spark.operators.dedup import simhash_pairs, with_simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(with_simhash(docs), max_hamming=5, bands=6).select(
+        "key_a", "key_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (token sets, 16 perms,
     4 bands × 4 rows)."""
@@ -1237,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1903,6 +1917,20 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN list_sum(list_transform(hh, h -> ((h >> j) & 1) * 2 - 1)) > 0
                           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
             FROM h60
+        """,
+        # brute-force all-pairs Hamming (the banding is exact for d<bands,
+        # so engine-vs-brute equality proves zero recall loss)
+        "simhash_pairs": f"""
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            h60 AS (SELECT doc_id, list_transform(toks, t -> {_sql_hexhash('t', 15)}) AS hh FROM tok),
+            sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
+                     CASE WHEN list_sum(list_transform(hh, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                          THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+                   FROM h60)
+            SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                   CAST(bit_count(CAST(xor(a.s, b.s) AS BIT)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(CAST(xor(a.s, b.s) AS BIT)) <= 5
         """,
         # mirrors dedup.lsh_candidate_pairs' hot-bucket cap (buckets over
         # 10k rows are dropped before the self-join on both sides)

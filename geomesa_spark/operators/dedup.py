@@ -239,6 +239,67 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") ->
     return df.withColumn(out, sim)
 
 
+def simhash_pairs(
+    sig_df: DataFrame,
+    key_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(sig_a, sig_b) ≤ ``max_hamming``.
+
+    Banding makes this EXACT, not approximate: with the signature split
+    into ``bands`` equal slices, two signatures within Hamming distance
+    d < bands must share at least one slice untouched (pigeonhole), so
+    the (band, slice) self-equi-join loses no qualifying pair; the
+    refine is a codegen popcount on the XOR. Same bucketed-join /
+    hot-bucket-cap shape as the MinHash-LSH pass.
+
+    Output: (key_a, key_b, hamming) with key_a < key_b, one row/pair.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sig_df.select(
+        F.col(key_col), F.col(sig_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        # shiftrightunsigned's bits arg is int-only in the Python API;
+        # expr() accepts the per-row band column
+        "band_key",
+        F.expr(f"shiftrightunsigned({sig_col}, band * {width}) & {mask}"),
+    )
+    if max_bucket is not None:
+        banded = banded.localCheckpoint(eager=False)
+        hot = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count("*").alias("__bn"))
+            .where(F.col("__bn") > max_bucket)
+            .select("band", "band_key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("key_a"),
+            F.col(f"b.{key_col}").alias("key_b"),
+            F.bit_count(
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return pairs
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     key_col: str = "doc_id",
