@@ -614,6 +614,25 @@ def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational / stats queries (SURVEY §2.4-2.7) over the driver tables
 # ---------------------------------------------------------------------------
 
+def q_media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, driver-checked: media spans (image/audio)
+    extracted from the interleaved documents with their refs — the
+    typed-metadata side of the opaque-binary pipeline (decode itself is
+    the documented codec seam, pytest-gated)."""
+    from geomesa_spark.tables import documents_from_driver_table
+
+    docs = documents_from_driver_table(spark, sf_dir)
+    s = docs.select("doc_id", F.explode("spans").alias("s")).where(
+        F.col("s.kind").isin("image", "audio")
+    )
+    return s.select(
+        "doc_id",
+        F.col("s.offset").alias("span_offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 def q_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 MinMax + count over events."""
     from geomesa_spark.operators.stats import minmax
@@ -1218,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "tile_pyramid": q_tile_pyramid,
         "span_invariant": q_span_invariant,
+        "media_spans": q_media_spans,
         # relational / stats (SURVEY §2.4-2.7)
         "stats_events": q_stats_events,
         "stats_by_type": q_stats_by_type,
@@ -1668,6 +1688,14 @@ def oracle_sql() -> dict[str, str]:
               FROM span_strs GROUP BY i
             )
             SELECT g.doc_id, g.n_spans, g.span_sig FROM sigs g JOIN hit h ON g.doc_id = h.doc_id
+        """,
+        "media_spans": """
+            SELECT printf('doc-%012d', d.doc_id) AS doc_id,
+                   CAST(g.j AS INT) AS span_offset,
+                   CASE g.j WHEN 2 THEN 'image' ELSE 'audio' END AS kind,
+                   printf('s3://m/%d/%d-%d.bin', d.doc_id % 1000, d.doc_id, g.j) AS media_ref
+            FROM documents d CROSS JOIN (VALUES (2), (5)) AS g(j)
+            WHERE g.j < 1 + (d.doc_id * 2654435761) % 7
         """,
         # --- relational / stats ------------------------------------------
         "stats_events": """
