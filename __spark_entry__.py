@@ -177,7 +177,12 @@ def q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geomesa_spark.plans.planner import bbox_predicate, z2_range_predicate
 
     x0, y0, x1, y1 = BBOX
-    pts = with_z2_cell(_points(spark, sf_dir))
+    # materialize the cell column BEFORE the multi-range predicate (the
+    # stored-index-table shape, same as z3_select): filtering the
+    # in-flight Morton expression clones it into every BETWEEN term and
+    # the fused generate+filter method blows the JVM JIT size limit —
+    # Spark then runs the stage INTERPRETED (observed 10-20× slower)
+    pts = with_z2_cell(_points(spark, sf_dir)).localCheckpoint(eager=False)
     pred = z2_range_predicate([(x0, y0, x1, y1)]) & bbox_predicate((x0, y0, x1, y1))
     return pts.where(pred).select("doc_id", "span_offset", "lon", "lat")
 
@@ -474,7 +479,9 @@ def q_multi_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     b1 = (-150.0, -40.0, -100.0, 10.0)
     b2 = (30.0, 20.0, 80.0, 60.0)
-    pts = with_z2_cell(_points(spark, sf_dir))
+    # materialized cell column before the (two-box, even longer) range
+    # list — see q_bbox_filter
+    pts = with_z2_cell(_points(spark, sf_dir)).localCheckpoint(eager=False)
     pred = z2_range_predicate([b1, b2]) & (bbox_predicate(b1) | bbox_predicate(b2))
     return pts.where(pred).select("doc_id", "span_offset", "lon", "lat")
 
