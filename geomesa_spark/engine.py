@@ -40,6 +40,11 @@ class GeoMesaSpark:
 
         return write_tiles(df, path, **kw)
 
+    def read_tiles(self, path: str, bbox=None, **kw) -> DataFrame:
+        from geomesa_spark.operators.tiles import read_tiles
+
+        return read_tiles(self.spark, path, bbox, **kw)
+
     def analyze(self, path: str, cell_col: str | None = None) -> dict:
         from geomesa_spark.sources.catalog import analyze_table
 

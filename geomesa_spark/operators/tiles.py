@@ -25,6 +25,7 @@ __all__ = [
     "smooth_density",
     "tile_pyramid",
     "write_tiles",
+    "read_tiles",
     "vectorize_density",
 ]
 
@@ -151,6 +152,63 @@ def tile_pyramid(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.select(F.col("level").cast("int"), "xi", "yi", "weight", "cnt")
+
+
+def read_tiles(
+    spark,
+    path: str,
+    bbox: tuple[float, float, float, float] | None = None,
+    max_prefixes: int = 4096,
+) -> DataFrame:
+    """Partition-pruned read of a ``write_tiles`` table (the query-side
+    half of the bucketed layout — reference analogue: an index scan
+    hitting only the tablets its key ranges name).
+
+    For a bbox the planner derives the Z2 cell ranges, shifts them to
+    tile prefixes and hashes the candidate prefix set to its bucket
+    dirs in one TINY local job (O(prefixes), no data scan) — only those
+    ``bucket=`` directories are listed/read; within the surviving files
+    the cell BETWEEN predicate prunes row groups (the data is sorted by
+    (tile_prefix, cell) at write). Returns the index-scan candidate
+    superset — rows whose cell falls in the coarse ranges; callers
+    refine with the exact lon/lat predicate as usual. Degenerate cases
+    (huge bbox → too many prefixes or all buckets hit) fall back to the
+    full read with the predicate."""
+    from geomesa_spark.plans.planner import _Z2, z2_range_predicate
+    from geomesa_spark.sources.catalog import latest_manifest
+
+    full = spark.read.parquet(path)
+    if bbox is None:
+        return full
+    m = latest_manifest(path) or {}
+    spec = m.get("partition_spec", {})
+    pb = int(spec.get("prefix_bits", 8))
+    nb = int(spec.get("n_buckets", 16))
+    cell_col = spec.get("cell_col", "cell_z2")
+    pred = z2_range_predicate([bbox], cell_col=cell_col)
+    shift = 2 * (31 - pb)
+    prefs = sorted(
+        {
+            p
+            for lo, hi in _Z2.ranges([bbox], max_ranges=64)
+            for p in range(lo >> shift, (hi >> shift) + 1)
+        }
+    )
+    if not prefs or len(prefs) > max_prefixes:
+        return full.where(pred)
+    buckets = sorted(
+        r["b"]
+        for r in spark.createDataFrame([(p,) for p in prefs], "p long")
+        .select(F.pmod(F.xxhash64("p"), F.lit(nb)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if len(buckets) >= nb:
+        return full.where(pred)
+    sub = spark.read.option("basePath", path).parquet(
+        *[f"{path}/bucket={b}" for b in buckets]
+    )
+    return sub.where(pred)
 
 
 def vectorize_density(

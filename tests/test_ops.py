@@ -595,3 +595,32 @@ class TestDistanceJoinBBox:
                 if float(haversine_m(p["lon"], p["lat"], cx, cy)) <= r:
                     want.add((p["doc_id"], b["box_id"]))
         assert got == want and len(want) > 0
+
+
+class TestReadTilesPruning:
+    def test_pruned_read_matches_full_and_skips_buckets(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+        from geomesa_spark.operators.extract import extract_geo_points, with_z2_cell
+        from geomesa_spark.operators.tiles import read_tiles, write_tiles
+        from geomesa_spark.plans.planner import z2_range_predicate
+        from geomesa_spark.tables import synthesize_documents
+
+        pts = with_z2_cell(extract_geo_points(synthesize_documents(spark, 20000)))
+        path = str(tmp_path / "tiles")
+        write_tiles(pts, path, cell_col="cell_z2", prefix_bits=8, n_buckets=64)
+
+        bbox = (-60.0, -20.0, -54.0, -14.0)  # small window: few prefixes
+        pruned = read_tiles(spark, path, bbox)
+        full = spark.read.parquet(path).where(z2_range_predicate([bbox]))
+        a = sorted(r["doc_id"] + str(r["span_offset"]) for r in pruned.collect())
+        b = sorted(r["doc_id"] + str(r["span_offset"]) for r in full.collect())
+        assert a == b and len(a) > 0
+        # the pruned plan must actually read fewer bucket dirs
+        files = {
+            os.path.basename(os.path.dirname(r["f"]))
+            for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        all_buckets = {d for d in os.listdir(path) if d.startswith("bucket=")}
+        assert files < all_buckets, (len(files), len(all_buckets))
