@@ -187,6 +187,32 @@ def q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.where(pred).select("doc_id", "span_offset", "lon", "lat")
 
 
+def q_tile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 end-to-end with an oracle: points materialized through
+    write_tiles' bucketed layout, read back with the bbox-PRUNED reader
+    (only the prefix-hashed bucket dirs are listed; the cell ranges
+    prune row groups inside) + exact refine — same rows as a plain bbox
+    filter, via the storage-resident index-table path."""
+    import os
+    import shutil
+    import tempfile
+
+    from geomesa_spark.operators.extract import with_z2_cell
+    from geomesa_spark.operators.tiles import read_tiles, write_tiles
+    from geomesa_spark.plans.planner import bbox_predicate
+
+    pts = with_z2_cell(_points(spark, sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), f"geomesa_tile_scan_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_tiles(pts, path, cell_col="cell_z2", prefix_bits=8, n_buckets=16)
+    t = read_tiles(spark, path, BBOX)
+    return t.where(bbox_predicate(BBOX)).select(
+        "doc_id", "span_offset", "lon", "lat"
+    )
+
+
 def q_z2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z2 index-key encoding (reference Z2SFC.index) as a column."""
     from geomesa_spark.operators.extract import with_z2_cell
@@ -1218,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_points": q_extract_points,
         "bbox_filter": q_bbox_filter,
+        "tile_scan": q_tile_scan,
         "z2_cells": q_z2_cells,
         "z3_cells": q_z3_cells,
         "z3_select": q_z3_select,
@@ -1374,6 +1401,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_points": f"WITH {SQL_PTS} SELECT doc_id, span_offset, lon, lat FROM pts",
         "bbox_filter": f"""
+            WITH {SQL_PTS}
+            SELECT doc_id, span_offset, lon, lat FROM pts
+            WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+        """,
+        "tile_scan": f"""
             WITH {SQL_PTS}
             SELECT doc_id, span_offset, lon, lat FROM pts
             WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
