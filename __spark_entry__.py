@@ -736,6 +736,24 @@ def q_descriptive_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (union + ordered-window carry — one shuffle, no range
+    join): each click event attaches the most recent prior-or-equal
+    view event's value for the same user; oracle = correlated
+    latest-row subquery."""
+    from geomesa_spark.operators.temporal import asof_attach
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click")
+    views = ev.where(F.col("event_type") == "view")
+    out = asof_attach(
+        clicks, views, keys=["user_id"], value_cols=("value",),
+        right_tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", F.col("value_asof"))
+
+
 def q_window_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 'latest per key' window (Kafka cache latest-state analogue)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1279,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users": q_topk_users,
         "histogram_value": q_histogram_value,
         "descriptive_decimal": q_descriptive_decimal,
+        "asof_join": q_asof_join,
         "window_latest": q_window_latest,
         "sampling": q_sampling,
         "or_union_dedup": q_or_union_dedup,
@@ -1765,6 +1784,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
             FROM events GROUP BY event_type
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id,
+                   (SELECT r.value FROM events r
+                    WHERE r.user_id = l.user_id AND r.event_type = 'view'
+                      AND (r.ts < l.ts OR (r.ts = l.ts))
+                    ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS value_asof
+            FROM events l WHERE l.event_type = 'click'
         """,
         "window_latest": """
             SELECT user_id, event_id, event_type, value FROM (

@@ -1,0 +1,71 @@
+"""Temporal joins Spark lacks as built-ins: AS-OF attach.
+
+The build brief names as-of joins among the operators to re-express
+Spark-first (no reference analogue — GeoMesa's closest is the Z3 time
+filter). The scalable shape is NOT a range join (which Catalyst plans
+as a nested loop) but the UNION + ordered-window carry:
+
+  union(left rows tagged L, right rows tagged R, keeping only the
+        right's key/time/value columns)
+  window partitionBy(keys) orderBy(time, tag, right_tiebreak)
+        rowsBetween(unbounded preceding, current row)
+  attach last(value, ignorenulls) over that window; keep left rows.
+
+One shuffle on the join keys, state = one running value per key inside
+the window operator — the same cost as a groupBy, at any key count. The
+tag ordering encodes the bound: inclusive (right.time <= left.time)
+sorts rights BEFORE lefts at equal time; strict sorts them after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_attach"]
+
+
+def asof_attach(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_time: str = "ts",
+    right_time: str = "ts",
+    value_cols: tuple = ("value",),
+    strict: bool = False,
+    right_tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row: the most recent right row with equal ``keys``
+    and right_time <= left_time (``strict=True`` → <). Attaches each of
+    ``value_cols`` as ``<col><suffix>`` (NULL when no right row
+    qualifies). Ties among right rows at one timestamp break on
+    ``right_tiebreak`` (take the greatest), making the result
+    deterministic."""
+    tag_left = 1 if not strict else 0
+    tag_right = 1 - tag_left
+    carry = [F.col(c).alias(f"__v_{c}") for c in value_cols]
+    tb = [F.col(right_tiebreak).alias("__ord")] if right_tiebreak else []
+    rpart = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("__t"),
+        *carry,
+        *tb,
+    ).withColumn("__tag", F.lit(tag_right))
+    lpart = left.withColumn("__t", F.col(left_time)).withColumn(
+        "__tag", F.lit(tag_left)
+    )
+    u = lpart.unionByName(rpart, allowMissingColumns=True)
+    order = [F.col("__t").asc(), F.col("__tag").asc()]
+    if right_tiebreak:
+        order.append(F.col("__ord").asc_nulls_first())
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = u
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.last(f"__v_{c}", ignorenulls=True).over(w))
+    drop = ["__t", "__tag"] + [f"__v_{c}" for c in value_cols] + (
+        ["__ord"] if right_tiebreak else []
+    )
+    return out.where(F.col("__tag") == tag_left).drop(*drop)

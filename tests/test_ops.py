@@ -624,3 +624,34 @@ class TestReadTilesPruning:
         }
         all_buckets = {d for d in os.listdir(path) if d.startswith("bucket=")}
         assert files < all_buckets, (len(files), len(all_buckets))
+
+
+class TestAsofAttach:
+    def test_inclusive_strict_and_ties(self, spark):
+        from geomesa_spark.operators.temporal import asof_attach
+
+        left = spark.createDataFrame(
+            [("u1", 10, "L1"), ("u1", 20, "L2"), ("u2", 5, "L3")],
+            "user string, ts long, lid string",
+        )
+        right = spark.createDataFrame(
+            [("u1", 10, 1, 100.0), ("u1", 10, 2, 200.0), ("u1", 15, 3, 300.0)],
+            "user string, ts long, rid int, value double",
+        )
+        inc = {
+            r["lid"]: r["value_asof"]
+            for r in asof_attach(
+                left, right, ["user"], "ts", "ts", ("value",), right_tiebreak="rid"
+            ).collect()
+        }
+        # L1 at ts=10 inclusive → tie between rid 1/2 resolves to rid 2
+        assert inc == {"L1": 200.0, "L2": 300.0, "L3": None}
+        st = {
+            r["lid"]: r["value_asof"]
+            for r in asof_attach(
+                left, right, ["user"], "ts", "ts", ("value",),
+                strict=True, right_tiebreak="rid",
+            ).collect()
+        }
+        # strict: ts=10 rights invisible to L1
+        assert st == {"L1": None, "L2": 300.0, "L3": None}
