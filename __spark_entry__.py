@@ -754,6 +754,37 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.col("value_asof"))
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join via time-bin cover equi-join (the
+    temporal analogue of the cell-cover spatial join — no nested-loop
+    range join): 50 deterministic intervals against the event stream."""
+    from geomesa_spark.operators.temporal import interval_join
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = spark.range(0, 50).select(
+        F.format_string("iv-%03d", F.col("id")).alias("interval_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 50400).alias("start"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("id") * 50400 + (F.col("id") % 5 + 1) * 3600
+        ).alias("end"),
+    )
+    return interval_join(ev, iv, bin_s=3600).select("interval_id", "event_id")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min-gap analogue at 1h): per-user
+    session index from one window pass — the batch form of streaming
+    session windows."""
+    from geomesa_spark.operators.temporal import sessionize
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, ["user_id"], "ts", gap_s=3600, tiebreak="event_id").select(
+        "event_id", "user_id", F.col("session_idx").cast("int").alias("session_idx")
+    )
+
+
 def q_window_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 'latest per key' window (Kafka cache latest-state analogue)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1298,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_value": q_histogram_value,
         "descriptive_decimal": q_descriptive_decimal,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "sessionize": q_sessionize,
         "window_latest": q_window_latest,
         "sampling": q_sampling,
         "or_union_dedup": q_or_union_dedup,
@@ -1792,6 +1825,33 @@ def oracle_sql() -> dict[str, str]:
                       AND (r.ts < l.ts OR (r.ts = l.ts))
                     ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS value_asof
             FROM events l WHERE l.event_type = 'click'
+        """,
+        "interval_join": """
+            WITH iv AS (
+              SELECT printf('iv-%03d', t.m) AS interval_id,
+                     TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (t.m * 50400) SECOND AS s,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL (t.m * 50400 + (t.m % 5 + 1) * 3600) SECOND AS e
+              FROM range(0, 50) t(m)
+            )
+            SELECT iv.interval_id, ev.event_id
+            FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts <= iv.e
+        """,
+        # gap flag + running sum, ordered (ts, event_id); gaps compare
+        # SECOND-truncated epochs (Spark unix_timestamp truncates micros)
+        "sessionize": """
+            SELECT event_id, user_id,
+                   CAST(sum(new_s) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+            FROM (
+              SELECT event_id, user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))) > 3600
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+            )
         """,
         "window_latest": """
             SELECT user_id, event_id, event_type, value FROM (

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_attach"]
+__all__ = ["asof_attach", "interval_join", "sessionize"]
 
 
 def asof_attach(
@@ -69,3 +69,69 @@ def asof_attach(
         ["__ord"] if right_tiebreak else []
     )
     return out.where(F.col("__tag") == tag_left).drop(*drop)
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    time_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_s: int = 3600,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Containment interval join (events whose time falls inside an
+    interval) WITHOUT a nested-loop range join: intervals explode their
+    time-bin cover, equi-join on the event's single bin, exact BETWEEN
+    refine — the temporal analogue of the cell-cover spatial join. An
+    event has ONE bin and an interval's cover bins are distinct, so no
+    pair duplicates. ``broadcast=None`` → stats decider on the exploded
+    interval side."""
+    if broadcast is None:
+        from geomesa_spark.plans.decider import auto_broadcast
+
+        broadcast = auto_broadcast(intervals, 4.0)
+    ev = events.withColumn(
+        "__bin", F.floor(F.unix_timestamp(F.col(time_col)) / bin_s).cast("long")
+    )
+    cover = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bin_s).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bin_s).cast("long"),
+            )
+        ),
+    )
+    if broadcast:
+        cover = F.broadcast(cover)
+    j = ev.join(cover, on="__bin", how="inner").drop("__bin")
+    return j.where(
+        (F.col(time_col) >= F.col(start_col)) & (F.col(time_col) <= F.col(end_col))
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str = "ts",
+    gap_s: int = 1800,
+    tiebreak: str | None = None,
+    out: str = "session_idx",
+) -> DataFrame:
+    """Gap-based sessionization: events of one key belong to the same
+    session while consecutive gaps stay ≤ ``gap_s``. One window pass:
+    a new-session flag (gap > gap_s, first row inclusive) cumulative-
+    summed into a per-key 1-based session index — the batch form of the
+    streaming session window, mirrorable in ANSI SQL."""
+    order = [F.col(time_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    secs = F.unix_timestamp(F.col(time_col))
+    new_s = F.when(
+        (secs - F.lag(secs).over(w)).isNull() | ((secs - F.lag(secs).over(w)) > gap_s),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        out,
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
