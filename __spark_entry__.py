@@ -236,6 +236,29 @@ def q_z3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_z3_cell(pts).select("doc_id", "span_offset", "epoch_bin", "cell_z3")
 
 
+def q_z3_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Z3Histogram (geomesa-utils stats): counts per
+    (epoch_bin, coarse z3 prefix) — the spatio-temporal heatmap the
+    reference maintains as a mergeable stat; here one partial/final
+    hash aggregation over the encoded keys."""
+    from geomesa_spark.operators.extract import with_z3_cell
+
+    _utc(spark)
+    pts = _points(spark, sf_dir)
+    i = F.substring("doc_id", 5, 12).cast("long")
+    pts = pts.withColumn(
+        "dtg", F.timestamp_seconds(F.lit(1704067200) + i * 37 + F.col("span_offset") * 13)
+    )
+    pts = with_z3_cell(pts)
+    return (
+        pts.groupBy(
+            "epoch_bin",
+            F.shiftrightunsigned(F.col("cell_z3"), 48).alias("z3_prefix"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def q_z3_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/P6 end-to-end spatio-temporal indexed scan: Z3 coarse range
     predicate (per-epoch-bin BIGMIN ranges → parquet pushdown) + exact
@@ -1296,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_scan": q_tile_scan,
         "z2_cells": q_z2_cells,
         "z3_cells": q_z3_cells,
+        "z3_histogram": q_z3_histogram,
         "z3_select": q_z3_select,
         "xz2_select": q_xz2_select,
         "xz3_select": q_xz3_select,
@@ -1493,6 +1517,34 @@ def oracle_sql() -> dict[str, str]:
                      b -> (((xi >> b) & 1) << (3 * b)) + (((yi >> b) & 1) << (3 * b + 1))
                           + (((ti >> b) & 1) << (3 * b + 2)))) AS BIGINT) AS cell_z3
             FROM n
+        """,
+        "z3_histogram": f"""
+            WITH {SQL_PTS},
+            t AS (
+              SELECT doc_id, span_offset, lon, lat,
+                     (1704067200 + CAST(substr(doc_id, 5, 12) AS BIGINT) * 37
+                        + span_offset * 13) * 1000 AS millis
+              FROM pts
+            ),
+            binned AS (
+              SELECT CAST(floor(millis / 604800000) AS INT) AS epoch_bin,
+                     millis - CAST(floor(millis / 604800000) AS BIGINT) * 604800000 AS off,
+                     lon, lat
+              FROM t
+            ),
+            n AS (
+              SELECT epoch_bin,
+                CAST(least(CAST(floor((lon - (-180.0)) * (2097152.0 / 360.0)) AS BIGINT), 2097151) AS BIGINT) AS xi,
+                CAST(least(CAST(floor((lat - (-90.0)) * (2097152.0 / 180.0)) AS BIGINT), 2097151) AS BIGINT) AS yi,
+                CAST(least(CAST(floor((CAST(off AS DOUBLE) - 0.0) * (2097152.0 / 604800000.0)) AS BIGINT), 2097151) AS BIGINT) AS ti
+              FROM binned
+            )
+            SELECT epoch_bin,
+                   CAST(list_sum(list_transform(generate_series(0, 20),
+                     b -> (((xi >> b) & 1) << (3 * b)) + (((yi >> b) & 1) << (3 * b + 1))
+                          + (((ti >> b) & 1) << (3 * b + 2)))) AS BIGINT) >> 48 AS z3_prefix,
+                   count(*) AS cnt
+            FROM n GROUP BY 1, 2
         """,
         "z3_select": f"""
             WITH {SQL_PTS}

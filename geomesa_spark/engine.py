@@ -98,6 +98,22 @@ class GeoMesaSpark:
 
         return track_segments(df, **kw)
 
+    # --- temporal ---------------------------------------------------------
+    def asof(self, left: DataFrame, right: DataFrame, keys: list[str], **kw) -> DataFrame:
+        from geomesa_spark.operators.temporal import asof_attach
+
+        return asof_attach(left, right, keys, **kw)
+
+    def interval_join(self, events: DataFrame, intervals: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.temporal import interval_join
+
+        return interval_join(events, intervals, **kw)
+
+    def sessionize(self, df: DataFrame, keys: list[str], **kw) -> DataFrame:
+        from geomesa_spark.operators.temporal import sessionize
+
+        return sessionize(df, keys, **kw)
+
     def density(self, points: DataFrame, bbox, width: int, height: int, **kw) -> DataFrame:
         from geomesa_spark.operators.tiles import density_grid
 
