@@ -1031,6 +1031,83 @@ def q_track_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_lines(lay, track_col="name")
 
 
+def q_track_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrackLabelProcess analogue: one labeling feature per track — the
+    most recent point (reference geomesa-process-vector
+    TrackLabelProcess). Single window pass over the canonical layer;
+    dtg is strictly increasing per track so the winner is unique."""
+    from geomesa_spark.operators.tracks import track_label
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    lay = canonical_layer(spark, 2000)
+    out = track_label(lay, track_col="name")
+    return out.select(
+        F.col("name").alias("track"), "age", "dtg", "lon", "lat"
+    )
+
+
+def q_route_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RouteSearchProcess analogue: geo points (with a deterministic
+    synthetic heading) matched to a 24-segment route when within 600 km
+    of a segment AND heading within 45° of the segment course
+    (bidirectional); nearest segment wins per point. Cell-cover
+    broadcast join + codegen clamp/haversine/bearing refine + one
+    window argmin — mirrored term-for-term by the oracle."""
+    from geomesa_spark.operators.tracks import route_search
+
+    pts = _points(spark, sf_dir)
+    i = F.substring("doc_id", 5, 12).cast("long")
+    pts = pts.withColumn(
+        "heading", ((i * 7 + F.col("span_offset") * 11) % 360).cast("double")
+    )
+    route = spark.range(0, 25).select(
+        F.lit("r0").alias("route_id"),
+        F.col("id").cast("int").alias("vertex_id"),
+        (F.lit(-160.0) + F.col("id") * 7.0).alias("lon"),
+        (F.lit(-50.0) + F.col("id") * 3.5).alias("lat"),
+    )
+    out = route_search(
+        pts, route, radius_m=600_000.0, tolerance_deg=45.0, bidirectional=True, bits=6
+    )
+    return out.select(
+        "doc_id", "span_offset", F.col("seg_idx").cast("int").alias("seg_idx"),
+        "dist_m", "course_deg",
+    )
+
+
+def q_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enumeration stat / UniqueProcess analogue (geomesa-utils stats
+    EnumerationStat; geomesa-process-vector UniqueProcess): exact
+    value→count map for an attribute plus first/last timestamps —
+    one partial/final hash aggregation."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(F.col("event_type").alias("value")).agg(
+        F.count("*").alias("cnt"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def q_hash_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashAttributeProcess analogue: deterministic hash of an
+    attribute mod n_bins (the reference adds hash%bins for viz
+    bucketing/coloring). Hash contract = the engine-wide polynomial
+    rolling hash (text.with_fingerprint); per-bin counts certify the
+    full per-row hash assignment."""
+    from geomesa_spark.operators.text import with_fingerprint
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn(
+        "__k", F.format_string("u-%d|%s", F.col("user_id"), F.col("event_type"))
+    )
+    hashed = with_fingerprint(ev, text_col="__k", out="__h")
+    return hashed.groupBy(
+        F.pmod(F.col("__h"), F.lit(16)).cast("int").alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+
+
 def q_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 visibility filtering: deterministic Accumulo-style label per
     event, filtered for auths {user, internal} through the expression
@@ -1369,6 +1446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_join": q_attr_join,
         "tube_select": q_tube_select,
         "track_lines": q_track_lines,
+        "track_label": q_track_label,
+        "route_search": q_route_search,
+        "enumeration": q_enumeration,
+        "hash_attribute": q_hash_attribute,
         "upsert_latest": q_upsert_latest,
         "upsert_asof": q_upsert_asof,
         "visibility": q_visibility,
@@ -2039,6 +2120,86 @@ def oracle_sql() -> dict[str, str]:
                      ', ' ORDER BY t.i) || ')' AS wkt
             FROM range(0, 2000) t(i)
             GROUP BY 1
+        """,
+        # canonical-layer arithmetic; dtg strictly increasing with i so
+        # the per-track argmax is i ∈ 1990..1999
+        "track_label": """
+            SELECT printf('name%d', t.i % 10) AS track,
+                   CAST(t.i % 100 AS INT) AS age,
+                   TIMESTAMP '2024-01-01 00:00:00' + t.i * INTERVAL 1 HOUR AS dtg,
+                   CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                   CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+            FROM range(0, 2000) t(i)
+            QUALIFY row_number() OVER (PARTITION BY t.i % 10 ORDER BY t.i DESC) = 1
+        """,
+        # route/segment arithmetic mirrored op-for-op: clamped
+        # projection in coordinate space, haversine to the nearest
+        # segment point, course = atan2(dx*cos(mid_lat), dy); heading
+        # deviation folded mod 360 then mod 180 (bidirectional)
+        "route_search": f"""
+            WITH {SQL_PTS},
+            hp AS (
+              SELECT doc_id, span_offset, lon, lat,
+                     CAST((CAST(substr(doc_id, 5, 12) AS BIGINT) * 7
+                           + span_offset * 11) % 360 AS DOUBLE) AS heading
+              FROM pts
+            ),
+            route AS (
+              SELECT CAST(t.v AS INT) AS vertex_id,
+                     -160.0 + CAST(t.v AS DOUBLE) * 7.0 AS lon,
+                     -50.0 + CAST(t.v AS DOUBLE) * 3.5 AS lat
+              FROM range(0, 25) t(v)
+            ),
+            segs AS (
+              SELECT a.vertex_id + 1 AS seg_idx,
+                     a.lon AS ax, a.lat AS ay, b.lon AS bx, b.lat AS by_
+              FROM route a JOIN route b ON b.vertex_id = a.vertex_id + 1
+            ),
+            cand AS (
+              SELECT h.doc_id, h.span_offset, h.lon, h.lat, h.heading,
+                     s.seg_idx, s.ax, s.ay,
+                     (s.bx - s.ax) AS dx, (s.by_ - s.ay) AS dy,
+                     degrees(atan2((s.bx - s.ax)
+                       * cos(radians((s.ay + s.by_) / 2.0)), (s.by_ - s.ay))) AS course_deg
+              FROM hp h CROSS JOIN segs s
+            ),
+            proj AS (
+              SELECT *, least(greatest(((lon - ax) * dx + (lat - ay) * dy)
+                       / (dx * dx + dy * dy), 0.0), 1.0) AS t
+              FROM cand
+            ),
+            refine AS (
+              SELECT doc_id, span_offset, seg_idx, course_deg, heading,
+                     {_sql_haversine('lon', 'lat', 'ax + t * dx', 'ay + t * dy')} AS dist_m
+              FROM proj
+            ),
+            matched AS (
+              SELECT doc_id, span_offset, CAST(seg_idx AS INT) AS seg_idx,
+                     dist_m, course_deg
+              FROM refine
+              WHERE dist_m <= 600000.0
+                AND least(abs(fmod(heading - course_deg + 540.0, 360.0) - 180.0),
+                          180.0 - abs(fmod(heading - course_deg + 540.0, 360.0) - 180.0))
+                    <= 45.0
+            )
+            SELECT doc_id, span_offset, seg_idx, dist_m, course_deg FROM matched
+            QUALIFY row_number() OVER (PARTITION BY doc_id, span_offset
+                                       ORDER BY dist_m, seg_idx) = 1
+        """,
+        "enumeration": """
+            SELECT event_type AS value, count(*) AS cnt,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events GROUP BY 1
+        """,
+        "hash_attribute": """
+            WITH h AS (
+              SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, length(k)),
+                                      i -> ord(substr(k, i, 1)))),
+                       (a, c) -> (a * 31 + c) % 1000000007) AS hv
+              FROM (SELECT printf('u-%d|%s', user_id, event_type) AS k FROM events)
+            )
+            SELECT CAST(hv % 16 AS INT) AS bin, count(*) AS cnt FROM h GROUP BY 1
         """,
         "upsert_latest": """
             SELECT event_id, user_id, event_type,

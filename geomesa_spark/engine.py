@@ -98,6 +98,16 @@ class GeoMesaSpark:
 
         return track_segments(df, **kw)
 
+    def track_label(self, df: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.tracks import track_label
+
+        return track_label(df, **kw)
+
+    def route_search(self, points: DataFrame, route: DataFrame, radius_m: float, **kw) -> DataFrame:
+        from geomesa_spark.operators.tracks import route_search
+
+        return route_search(points, route, radius_m, **kw)
+
     # --- temporal ---------------------------------------------------------
     def asof(self, left: DataFrame, right: DataFrame, keys: list[str], **kw) -> DataFrame:
         from geomesa_spark.operators.temporal import asof_attach

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.operators.joins import haversine_m_col
 
-__all__ = ["track_segments", "track_lines"]
+__all__ = ["track_segments", "track_lines", "track_label", "route_search"]
 
 
 def track_segments(
@@ -89,4 +89,137 @@ def track_lines(
             F.array_join(F.transform(pts, lambda s: s["p"]), ", "),
             F.lit(")"),
         ).alias("wkt"),
+    )
+
+def track_label(
+    df: DataFrame,
+    track_col: str = "track",
+    dtg: str = "dtg",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Latest feature per track (reference: geomesa-process-vector
+    TrackLabelProcess — one labeling feature per track, the most recent
+    point). One window pass: row_number over (track, dtg desc
+    [, tiebreak desc]) = 1 — the same latest-wins shape as the Kafka
+    feature cache, partial-aggregated per shuffle partition by Spark's
+    window TopK pushdown."""
+    order = [F.col(dtg).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(track_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def route_search(
+    points: DataFrame,
+    route: DataFrame,
+    radius_m: float,
+    heading_col: str = "heading",
+    tolerance_deg: float = 45.0,
+    bidirectional: bool = True,
+    bits: int = 6,
+    point_keys: tuple[str, ...] = ("doc_id", "span_offset"),
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Match moving points to a route by proximity AND heading
+    (reference: geomesa-process-vector RouteSearchProcess — features
+    within a buffer of a route LineString whose course matches the
+    nearest route segment's bearing within a tolerance; bidirectional
+    treats the route as undirected).
+
+    Spark-first shape, all built-ins:
+
+    1. route vertices → segments (lead window over ``vertex_id``);
+    2. each segment's bbox expands by the radius (farthest-latitude
+       longitude scaling, same safety argument as distance_join_bbox)
+       and explodes into its grid-cell cover — broadcast unless the
+       stats decider says otherwise;
+    3. points equi-join the cover on cell; the refine computes the
+       nearest point of the segment in coordinate space (clamped
+       projection t ∈ [0,1]) and the exact haversine to it, plus the
+       segment course = atan2(dx·cos(mid_lat), dy) from north;
+    4. keep dist ≤ radius and heading-vs-course deviation ≤ tolerance
+       (mod 180 when bidirectional);
+    5. one winner per point: row_number over (point, dist asc, seg asc).
+
+    Everything through step 5 is whole-stage codegen; the only shuffle
+    is the window partition on the point key (the candidate join is
+    broadcast for any sane route size).
+    """
+    w = Window.partitionBy("route_id").orderBy(F.col("vertex_id").asc())
+    segs = (
+        route.withColumn("__blon", F.lead("lon").over(w))
+        .withColumn("__blat", F.lead("lat").over(w))
+        .withColumn("seg_idx", F.row_number().over(w))
+        .where(F.col("__blon").isNotNull())
+        .select(
+            "route_id",
+            "seg_idx",
+            F.col("lon").alias("__ax"),
+            F.col("lat").alias("__ay"),
+            F.col("__blon").alias("__bx"),
+            F.col("__blat").alias("__by"),
+        )
+    )
+    r_deg_lat = radius_m / 111_195.0
+    far_lat = F.least(
+        F.greatest(F.abs(F.col("__ay")), F.abs(F.col("__by"))) + F.lit(r_deg_lat),
+        F.lit(90.0),
+    )
+    coslat = F.greatest(F.cos(F.radians(far_lat)), F.lit(1e-6))
+    r_deg_lon = F.lit(r_deg_lat) / coslat
+    boxes = segs.select(
+        "*",
+        (F.least("__ax", "__bx") - r_deg_lon).alias("min_lon"),
+        (F.greatest("__ax", "__bx") + r_deg_lon).alias("max_lon"),
+        (F.least("__ay", "__by") - F.lit(r_deg_lat)).alias("min_lat"),
+        (F.greatest("__ay", "__by") + F.lit(r_deg_lat)).alias("max_lat"),
+    )
+    from geomesa_spark.operators.joins import cover_cells_for_polys
+    from geomesa_spark.operators.extract import grid_cell
+
+    if broadcast is None:
+        from geomesa_spark.plans.decider import auto_broadcast, cover_explode_factor
+
+        broadcast = auto_broadcast(route, cover_explode_factor(bits))
+    cover = cover_cells_for_polys(boxes, bits).drop(
+        "min_lon", "max_lon", "min_lat", "max_lat"
+    )
+    if broadcast:
+        cover = F.broadcast(cover)
+
+    pts = points.withColumn("cell", grid_cell(F.col("lon"), F.col("lat"), bits))
+    cand = pts.join(cover, on="cell", how="inner").drop("cell")
+
+    dx = F.col("__bx") - F.col("__ax")
+    dy = F.col("__by") - F.col("__ay")
+    dot = (F.col("lon") - F.col("__ax")) * dx + (F.col("lat") - F.col("__ay")) * dy
+    len2 = dx * dx + dy * dy
+    t = F.least(F.greatest(dot / len2, F.lit(0.0)), F.lit(1.0))
+    nx = F.col("__ax") + t * dx
+    ny = F.col("__ay") + t * dy
+    course = F.degrees(
+        F.atan2(dx * F.cos(F.radians((F.col("__ay") + F.col("__by")) / 2.0)), dy)
+    )
+    cand = cand.withColumn(
+        "dist_m", haversine_m_col(F.col("lon"), F.col("lat"), nx, ny)
+    ).withColumn("course_deg", course)
+    # deviation in [0,180]; route segments are undirected when bidirectional
+    dev = F.abs(F.pmod(F.col(heading_col) - F.col("course_deg") + 540.0, F.lit(360.0)) - 180.0)
+    if bidirectional:
+        dev = F.least(dev, 180.0 - dev)
+    cand = cand.where(
+        (F.col("dist_m") <= radius_m) & (dev <= F.lit(float(tolerance_deg)))
+    )
+    pw = Window.partitionBy(*point_keys).orderBy(
+        F.col("dist_m").asc(), F.col("route_id").asc(), F.col("seg_idx").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(pw))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__ax", "__ay", "__bx", "__by")
     )

@@ -569,6 +569,68 @@ class TestTracks:
         assert out[0]["n_points"] == 2
         assert out[0]["wkt"] == "LINESTRING (0.000000 0.000000, 1.000000 0.000000)"
 
+    def test_track_label_latest_wins(self, spark):
+        from geomesa_spark.operators.tracks import track_label
+
+        df = spark.createDataFrame(
+            [
+                ("t0", 0.0, 0.0, "2024-01-01 00:00:00"),
+                ("t0", 1.0, 0.0, "2024-01-01 00:10:00"),
+                ("t1", 5.0, 5.0, "2024-01-02 00:00:00"),
+                ("t1", 6.0, 6.0, "2024-01-01 00:00:00"),
+            ],
+            "track string, lon double, lat double, dtg string",
+        ).withColumn("dtg", F.to_timestamp("dtg"))
+        out = {r["track"]: (r["lon"], r["lat"]) for r in track_label(df).collect()}
+        assert out == {"t0": (1.0, 0.0), "t1": (5.0, 5.0)}
+
+    def test_route_search_nearest_and_heading(self, spark):
+        from geomesa_spark.operators.tracks import route_search
+
+        # route: two segments — east along the equator (course 90°),
+        # then due north up the meridian at lon=2 (course 0°)
+        route = spark.createDataFrame(
+            [("r0", 0, 0.0, 0.0), ("r0", 1, 2.0, 0.0), ("r0", 2, 2.0, 2.0)],
+            "route_id string, vertex_id int, lon double, lat double",
+        )
+        pts = spark.createDataFrame(
+            [
+                ("a", 1, 1.0, 0.1, 92.0),    # near seg 1, heading ≈ east → match
+                ("b", 1, 1.0, 0.1, 275.0),   # reverse east — bidirectional → match
+                ("c", 1, 1.0, 0.1, 10.0),    # heading off by ~80° → no match
+                ("d", 1, 2.1, 1.0, 181.0),   # near seg 2, reverse north → match seg 2
+                ("e", 1, 50.0, 50.0, 90.0),  # far away → no match
+            ],
+            "doc_id string, span_offset int, lon double, lat double, heading double",
+        )
+        out = {
+            r["doc_id"]: r["seg_idx"]
+            for r in route_search(
+                pts, route, radius_m=50_000.0, tolerance_deg=30.0, bits=6
+            ).collect()
+        }
+        assert out == {"a": 1, "b": 1, "d": 2}
+
+    def test_route_search_directional(self, spark):
+        from geomesa_spark.operators.tracks import route_search
+
+        route = spark.createDataFrame(
+            [("r0", 0, 0.0, 0.0), ("r0", 1, 2.0, 0.0)],
+            "route_id string, vertex_id int, lon double, lat double",
+        )
+        pts = spark.createDataFrame(
+            [("a", 1, 1.0, 0.1, 92.0), ("b", 1, 1.0, 0.1, 275.0)],
+            "doc_id string, span_offset int, lon double, lat double, heading double",
+        )
+        out = {
+            r["doc_id"]
+            for r in route_search(
+                pts, route, radius_m=50_000.0, tolerance_deg=30.0,
+                bidirectional=False, bits=6,
+            ).collect()
+        }
+        assert out == {"a"}  # reverse-heading point rejected when directed
+
 
 class TestDistanceJoinBBox:
     def test_matches_brute_force(self, spark):
