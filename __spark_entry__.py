@@ -1031,6 +1031,21 @@ def q_track_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_lines(lay, track_col="name")
 
 
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F4 geohash surface as a HOT-PATH codegen expression
+    (st_geoHash / st_geomFromGeoHash back the scalar catalog; this is
+    the column form — curves/geohash.py): precision-8 base-32 geohash
+    per point plus the precision-4 prefix counts the reference's
+    GeoHash-gridded aggregations use, one projection + one hash agg."""
+    from geomesa_spark.curves.geohash import geohash_col
+
+    pts = _points(spark, sf_dir)
+    gh = pts.withColumn("gh8", geohash_col(F.col("lon"), F.col("lat"), 8))
+    return gh.select(
+        "doc_id", "span_offset", "gh8", F.substring("gh8", 1, 4).alias("gh4")
+    )
+
+
 def q_track_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrackLabelProcess analogue: one labeling feature per track — the
     most recent point (reference geomesa-process-vector
@@ -1446,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_join": q_attr_join,
         "tube_select": q_tube_select,
         "track_lines": q_track_lines,
+        "geohash_cells": q_geohash_cells,
         "track_label": q_track_label,
         "route_search": q_route_search,
         "enumeration": q_enumeration,
@@ -1554,7 +1570,11 @@ def _hex_ring_join_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from geomesa_spark.curves.geohash import sql_geohash_chars, sql_geohash_xy
+
     hav = _sql_haversine("p.lon", "p.lat", "q.lon", "q.lat")
+    gh_xi, gh_yi = sql_geohash_xy("lon", "lat", 8)
+    gh_chars = sql_geohash_chars(8)
     return {
         "extract_points": f"WITH {SQL_PTS} SELECT doc_id, span_offset, lon, lat FROM pts",
         "bbox_filter": f"""
@@ -2120,6 +2140,20 @@ def oracle_sql() -> dict[str, str]:
                      ', ' ORDER BY t.i) || ')' AS wkt
             FROM range(0, 2000) t(i)
             GROUP BY 1
+        """,
+        # geohash bit assembly mirrored from curves/geohash.py (floor
+        # normalization, lon-first interleave, base-32 alphabet)
+        "geohash_cells": f"""
+            WITH {SQL_PTS},
+            n AS (
+              SELECT doc_id, span_offset,
+                     {gh_xi} AS xi, {gh_yi} AS yi
+              FROM pts
+            ),
+            g AS (
+              SELECT doc_id, span_offset, {gh_chars} AS gh8 FROM n
+            )
+            SELECT doc_id, span_offset, gh8, substr(gh8, 1, 4) AS gh4 FROM g
         """,
         # canonical-layer arithmetic; dtg strictly increasing with i so
         # the per-track argmax is i ∈ 1990..1999

@@ -7,6 +7,7 @@ identity, and cover-containment of ``ranges``.
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from geomesa_spark.curves import (
     BinnedTime,
@@ -261,3 +262,52 @@ class TestHexGrid:
         c = one.collect()[0]["c"]
         q, r = divmod(c, HEX_MOD)
         assert abs(q - HEX_OFF) < HEX_OFF and abs(r - HEX_OFF) < HEX_OFF
+
+
+class TestGeohash:
+    def test_codegen_matches_scalar_kernel(self, spark):
+        """geohash_col (pure column expressions) agrees with the scalar
+        bisection kernel geom.geohash_encode away from cell edges —
+        random points, several precisions."""
+        import random
+
+        from geomesa_spark.curves.geohash import geohash_col
+        from geomesa_spark.geom import geohash_encode
+
+        rng = random.Random(42)
+        pts = [
+            (rng.uniform(-179.99, 179.99), rng.uniform(-89.99, 89.99))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        for prec in (1, 4, 8, 12):
+            got = (
+                df.select("lon", "lat", geohash_col(F.col("lon"), F.col("lat"), prec).alias("gh"))
+                .collect()
+            )
+            for r in got:
+                assert r["gh"] == geohash_encode(r["lon"], r["lat"], prec), (
+                    r["lon"], r["lat"], prec,
+                )
+
+    def test_decode_roundtrip(self, spark):
+        """decode(encode(p)) cell center re-encodes to the same hash."""
+        import random
+
+        from geomesa_spark.curves.geohash import geohash_col
+        from geomesa_spark.geom import geohash_decode, geohash_encode
+
+        rng = random.Random(7)
+        for _ in range(100):
+            lon, lat = rng.uniform(-180, 180), rng.uniform(-90, 90)
+            gh = geohash_encode(lon, lat, 8)
+            clon, clat = geohash_decode(gh)
+            assert geohash_encode(clon, clat, 8) == gh
+
+    def test_known_values(self, spark):
+        from geomesa_spark.curves.geohash import geohash_col
+
+        # canonical test vector: ezs42 ≈ (-5.6, 42.6)
+        df = spark.createDataFrame([(-5.60302734375, 42.60498046875)], "lon double, lat double")
+        got = df.select(geohash_col(F.col("lon"), F.col("lat"), 5).alias("gh")).collect()
+        assert got[0]["gh"] == "ezs42"
