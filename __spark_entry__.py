@@ -1046,6 +1046,87 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ecql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECQL filter-language front-end end-to-end through the
+    QueryPlanner analogue: parse text → FilterSplitter primary (bbox +
+    DURING interval) → coarse Z3 range predicate on the materialized
+    index columns → exact compiled residual (reference: every GeoMesa
+    entry point accepts ECQL — CLI -q/--cql, GeoMesaRelation CQL;
+    planning per FilterSplitter.scala). DURING is exclusive (OGC
+    temporal During), mirrored in the oracle."""
+    from geomesa_spark.operators.extract import with_z3_cell
+    from geomesa_spark.plans.ecql import plan_ecql
+
+    _utc(spark)
+    pts = _points(spark, sf_dir)
+    i = F.substring("doc_id", 5, 12).cast("long")
+    pts = pts.withColumn(
+        "dtg", F.timestamp_seconds(F.lit(1704067200) + i * 37 + F.col("span_offset") * 13)
+    )
+    idx = with_z3_cell(pts).localCheckpoint(eager=False)
+    x0, y0, x1, y1 = BBOX
+    text = (
+        f"BBOX(geom, {x0}, {y0}, {x1}, {y1}) "
+        "AND dtg DURING 2024-01-01T00:00:00Z/2024-01-03T21:26:40Z "
+        "AND doc_id LIKE 'doc-%' AND span_offset BETWEEN 0 AND 3"
+    )
+    return plan_ecql(idx, text, z3_cols=("epoch_bin", "cell_z3")).select(
+        "doc_id", "span_offset", "lon", "lat"
+    )
+
+
+# ECQL polygon literal: an L1 diamond centered off the 0.01 coordinate
+# grid (center .005, radius 40.0033) so no synthesized point lies on the
+# boundary — the kernel's crossing-parity decision and the oracle's
+# closed-form |dx|+|dy| < r test then agree everywhere with a >=1.7e-3
+# margin (grid sums are exact multiples of 0.01)
+_ECQL_DIAMOND = (
+    "POLYGON((-39.9983 0.005, 0.005 40.0083, 40.0083 0.005, "
+    "0.005 -39.9983, -39.9983 0.005))"
+)
+
+
+def q_ecql_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECQL INTERSECTS against a constant (non-rectangular) polygon
+    literal: compiles to ONE Arrow-vectorized PIP kernel closed over the
+    driver-parsed geometry — no join, no per-row Python — plus a negated
+    attribute conjunct exercising NOT/AND compilation."""
+    from geomesa_spark.plans.ecql import compile_ecql
+
+    pts = _points(spark, sf_dir)
+    text = f"INTERSECTS(geom, {_ECQL_DIAMOND}) AND NOT (span_offset = 4 AND lat < 0)"
+    return pts.where(compile_ecql(text)).select("doc_id", "span_offset", "lon", "lat")
+
+
+def q_ecql_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECQL DWITHIN with unit conversion (kilometers), compiled to the
+    pure-codegen haversine — term-for-term the oracle's SQL expression."""
+    from geomesa_spark.plans.ecql import compile_ecql
+
+    pts = _points(spark, sf_dir)
+    text = "DWITHIN(geom, POINT(-100.005 20.005), 2500, kilometers)"
+    return pts.where(compile_ecql(text)).select("doc_id", "span_offset", "lon", "lat")
+
+
+def q_ecql_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECQL attribute-only filter (the attribute-index/full-scan path):
+    IN / BETWEEN / NOT LIKE / IS NOT NULL / AFTER / nested NOT-AND over
+    the events table — everything stays in whole-stage codegen."""
+    from geomesa_spark.plans.ecql import compile_ecql
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    text = (
+        "event_type IN ('click','view') AND value BETWEEN 10 AND 200 "
+        "AND props NOT LIKE '%7%' AND user_id IS NOT NULL "
+        "AND ts AFTER 2024-01-05T00:00:00Z "
+        "AND NOT (event_type = 'view' AND value > 150)"
+    )
+    return ev.where(compile_ecql(text)).select(
+        "event_id", "event_type", "value", "user_id"
+    )
+
+
 def q_track_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrackLabelProcess analogue: one labeling feature per track — the
     most recent point (reference geomesa-process-vector
@@ -1462,6 +1543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tube_select": q_tube_select,
         "track_lines": q_track_lines,
         "geohash_cells": q_geohash_cells,
+        "ecql_select": q_ecql_select,
+        "ecql_polygon": q_ecql_polygon,
+        "ecql_dwithin": q_ecql_dwithin,
+        "ecql_events": q_ecql_events,
         "track_label": q_track_label,
         "route_search": q_route_search,
         "enumeration": q_enumeration,
@@ -2154,6 +2239,43 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, span_offset, {gh_chars} AS gh8 FROM n
             )
             SELECT doc_id, span_offset, gh8, substr(gh8, 1, 4) AS gh4 FROM g
+        """,
+        # ECQL semantics mirrored exactly: BBOX closed envelope, DURING
+        # exclusive endpoints, BETWEEN inclusive, LIKE ANSI wildcards
+        "ecql_select": f"""
+            WITH {SQL_PTS},
+            t AS (
+              SELECT doc_id, span_offset, lon, lat,
+                     (1704067200 + CAST(substr(doc_id, 5, 12) AS BIGINT) * 37
+                        + span_offset * 13) AS secs
+              FROM pts
+            )
+            SELECT doc_id, span_offset, lon, lat FROM t
+            WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
+              AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+              AND secs > 1704067200 AND secs < 1704317200
+              AND doc_id LIKE 'doc-%' AND span_offset BETWEEN 0 AND 3
+        """,
+        # the diamond's closed region == the L1 ball |dx|+|dy| <= r;
+        # no grid point sits on the boundary (see _ECQL_DIAMOND note) so
+        # < r is equivalent and threshold-tie-free
+        "ecql_polygon": f"""
+            WITH {SQL_PTS}
+            SELECT doc_id, span_offset, lon, lat FROM pts
+            WHERE ABS(lon - 0.005) + ABS(lat - 0.005) < 40.0033
+              AND NOT (span_offset = 4 AND lat < 0)
+        """,
+        "ecql_dwithin": f"""
+            WITH {SQL_PTS}
+            SELECT doc_id, span_offset, lon, lat FROM pts
+            WHERE {_sql_haversine("lon", "lat", "(-100.005)", "20.005")} <= 2500000.0
+        """,
+        "ecql_events": """
+            SELECT event_id, event_type, value, user_id FROM events
+            WHERE event_type IN ('click','view') AND value BETWEEN 10 AND 200
+              AND props NOT LIKE '%7%' AND user_id IS NOT NULL
+              AND ts > TIMESTAMP '2024-01-05 00:00:00'
+              AND NOT (event_type = 'view' AND value > 150)
         """,
         # canonical-layer arithmetic; dtg strictly increasing with i so
         # the per-track argmax is i ∈ 1990..1999

@@ -56,6 +56,15 @@ class GeoMesaSpark:
 
         return spatial_sql(self.spark, query, **kw)
 
+    def ecql(self, df: DataFrame, filter_text: str, **kw) -> DataFrame:
+        """Filter ``df`` with an ECQL filter string (the reference's
+        -q/--cql surface): parse → index split → coarse cell ranges (if
+        z2_col/z3_cols point at materialized index columns) → exact
+        residual."""
+        from geomesa_spark.plans.ecql import plan_ecql
+
+        return plan_ecql(df, filter_text, **kw)
+
     # --- spatial operators ------------------------------------------------
     def join_points_in_polys(self, points: DataFrame, polys: DataFrame, **kw) -> DataFrame:
         from geomesa_spark.operators.joins import spatial_join_points_in_polys

@@ -1,3 +1,12 @@
 from .planner import z2_range_predicate, z3_range_predicate, bbox_predicate
+from .ecql import parse_ecql, compile_ecql, split_primary, plan_ecql
 
-__all__ = ["z2_range_predicate", "z3_range_predicate", "bbox_predicate"]
+__all__ = [
+    "z2_range_predicate",
+    "z3_range_predicate",
+    "bbox_predicate",
+    "parse_ecql",
+    "compile_ecql",
+    "split_primary",
+    "plan_ecql",
+]

@@ -61,6 +61,20 @@ class TestCli:
                          "--output", base]) == 0
         assert os.path.exists(base + ".shp") and os.path.exists(base + ".dbf")
 
+    def test_export_with_cql_filter(self, spark, cli, tmp_path, capsys):
+        src = str(tmp_path / "tbl3")
+        spark.createDataFrame(
+            [("a", 1.0, 2.0, 5), ("b", 50.0, 60.0, 9), ("c", 2.0, 1.0, 9)],
+            "name string, lon double, lat double, v int",
+        ).write.parquet(src)
+        out = str(tmp_path / "filtered")
+        assert cli.main([
+            "export", "--input", src, "--format", "parquet", "--output", out,
+            "-q", "BBOX(geom, 0, 0, 10, 10) AND v = 9",
+        ]) == 0
+        got = spark.read.parquet(out).collect()
+        assert [r.name for r in got] == ["c"]
+
 
 class TestFacade:
     def test_engine_facade_surfaces(self, spark, tmp_path):

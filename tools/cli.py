@@ -62,10 +62,21 @@ def cmd_ingest(args) -> int:
 
 
 def cmd_export(args) -> int:
-    from geomesa_spark.sources import export as E
+    # NOTE: the sources package re-exports the export() FUNCTION, which
+    # shadows the submodule attribute (`import ... as` resolves the
+    # attribute, so importlib is the unambiguous spelling)
+    import importlib
+
+    E = importlib.import_module("geomesa_spark.sources.export")
 
     spark = _session(args.cores)
     df = spark.read.parquet(args.input)
+    if getattr(args, "cql", None):
+        # reference CLI parity: every export/query command takes -q/--cql
+        # (geomesa-tools ExportCommand); compiled to one Catalyst filter
+        from geomesa_spark.plans.ecql import compile_ecql
+
+        df = df.where(compile_ecql(args.cql, lon=args.lon, lat=args.lat, dtg=args.dtg))
     fmt = args.format
     if fmt == "geojson":
         E.to_geojson_lines(df, geom_col=args.geom_col).write.mode("overwrite").text(args.output)
@@ -163,6 +174,10 @@ def main(argv=None) -> int:
                             "geojson", "arrow", "bin", "shapefile"])
     p.add_argument("--output", required=True)
     p.add_argument("--geom-col", default="wkt")
+    p.add_argument("-q", "--cql", help="ECQL filter applied before export")
+    p.add_argument("--lon", default="lon")
+    p.add_argument("--lat", default="lat")
+    p.add_argument("--dtg", default="dtg")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("stats")
