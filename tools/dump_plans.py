@@ -59,6 +59,23 @@ def main() -> int:
             plan_str(pruned),
         ))
 
+        from geomesa_spark.plans.ecql import plan_ecql
+
+        ecql_df = plan_ecql(
+            pts_tbl,
+            f"BBOX(geom, {bbox[0]}, {bbox[1]}, {bbox[2]}, {bbox[3]}) "
+            "AND doc_id LIKE 'doc-%' AND span_offset BETWEEN 0 AND 3",
+            z2_col="cell_z2",
+        ).select("doc_id", "lon", "lat")
+        sections.append((
+            "ECQL filter through the planner",
+            "parse → FilterSplitter primary → coarse Z2 ranges + compiled "
+            "residual, all in ONE codegen filter stage pushed to the scan; "
+            "LIKE 'doc-%' folds to StartsWith. The text surface costs "
+            "nothing at runtime.",
+            plan_str(ecql_df),
+        ))
+
         j = spatial_join_points_in_polys(extract_geo_points(docs), polys, bits=6, broadcast=True)
         sections.append((
             "Broadcast two-phase spatial join (J2)",
