@@ -1127,6 +1127,28 @@ def q_ecql_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ecql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query TRANSFORMS: GeoMesa's relational projection with derived
+    attributes in the GeoTools expression language (reference:
+    QueryPlanner transform handling / TransformProcess) — filter + the
+    derived-column projection compile to one select over one scan,
+    Catalyst prunes to exactly the referenced columns."""
+    from geomesa_spark.plans.ecql import plan_ecql
+
+    x0, y0, x1, y1 = BBOX
+    return plan_ecql(
+        _points(spark, sf_dir),
+        f"BBOX(geom, {x0}, {y0}, {x1}, {y1}) AND span_offset <= 4",
+        transforms=[
+            "doc_id",
+            "span_offset",
+            "label=strConcat(strToUpperCase(strSubstring(doc_id, 0, 3)), '-X')",
+            "x2=getX(geom) * 2 + 1",
+            "dy=abs(floor(getY(geom)))",
+        ],
+    )
+
+
 def q_track_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrackLabelProcess analogue: one labeling feature per track — the
     most recent point (reference geomesa-process-vector
@@ -1547,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecql_polygon": q_ecql_polygon,
         "ecql_dwithin": q_ecql_dwithin,
         "ecql_events": q_ecql_events,
+        "ecql_transform": q_ecql_transform,
         "track_label": q_track_label,
         "route_search": q_route_search,
         "enumeration": q_enumeration,
@@ -2276,6 +2299,20 @@ def oracle_sql() -> dict[str, str]:
               AND props NOT LIKE '%7%' AND user_id IS NOT NULL
               AND ts > TIMESTAMP '2024-01-05 00:00:00'
               AND NOT (event_type = 'view' AND value > 150)
+        """,
+        # transform expressions mirrored op-for-op (floor cast to BIGINT
+        # to match Spark's LongType floor; x2 uses the same op order so
+        # doubles stay bit-identical)
+        "ecql_transform": f"""
+            WITH {SQL_PTS}
+            SELECT doc_id, span_offset,
+                   upper(substr(doc_id, 1, 3)) || '-X' AS label,
+                   lon * 2 + 1 AS x2,
+                   abs(CAST(floor(lat) AS BIGINT)) AS dy
+            FROM pts
+            WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
+              AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+              AND span_offset <= 4
         """,
         # canonical-layer arithmetic; dtg strictly increasing with i so
         # the per-track argmax is i ∈ 1990..1999

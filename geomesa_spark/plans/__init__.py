@@ -1,5 +1,13 @@
 from .planner import z2_range_predicate, z3_range_predicate, bbox_predicate
-from .ecql import parse_ecql, compile_ecql, split_primary, plan_ecql
+from .ecql import (
+    parse_ecql,
+    compile_ecql,
+    split_primary,
+    plan_ecql,
+    parse_expression,
+    compile_expression,
+    apply_transforms,
+)
 
 __all__ = [
     "z2_range_predicate",
@@ -9,4 +17,7 @@ __all__ = [
     "compile_ecql",
     "split_primary",
     "plan_ecql",
+    "parse_expression",
+    "compile_expression",
+    "apply_transforms",
 ]

@@ -124,6 +124,10 @@ class _Lexer:
             return _Tok("comma", c, i, i + 1)
         if c == "/":
             return _Tok("slash", c, i, i + 1)
+        if c in "+-*":
+            # arithmetic (and numeric sign — handled as unary by the
+            # parsers, so "BBOX(geom, -10, ...)" still works)
+            return _Tok("arith", c, i, i + 1)
         if c == "'":
             j = i + 1
             out = []
@@ -140,8 +144,8 @@ class _Lexer:
         for op in ("<>", "!=", "<=", ">=", "<", ">", "="):
             if s.startswith(op, i):
                 return _Tok("op", "<>" if op == "!=" else op, i, i + len(op))
-        m = _NUM_RE.match(s, i)
-        if m and not (c in "+-" and not (i + 1 < n and s[i + 1].isdigit())):
+        if c.isdigit():
+            m = _NUM_RE.match(s, i)
             txt = m.group(0)
             v = float(txt) if ("." in txt or "e" in txt or "E" in txt) else int(txt)
             return _Tok("num", v, i, m.end())
@@ -329,9 +333,13 @@ class _Parser:
 
     def _number(self):
         t = self.lx.next()
+        sign = 1
+        if t.kind == "arith" and t.val in "+-":
+            sign = -1 if t.val == "-" else 1
+            t = self.lx.next()
         if t.kind != "num":
             raise EcqlError(f"expected number at {t.start}, got {t.val!r}")
-        return t.val
+        return sign * t.val
 
     def _spatial(self, op: str):
         self.lx.next()
@@ -365,6 +373,10 @@ class _Parser:
 
     def _literal(self):
         t = self.lx.next()
+        if t.kind == "arith" and t.val in "+-":
+            sign = -1 if t.val == "-" else 1
+            t = self.lx.expect("num")
+            return sign * t.val
         if t.kind == "num" or t.kind == "str":
             return t.val
         if t.kind == "dt":
@@ -739,6 +751,7 @@ def plan_ecql(
     geom_attr: str = "geom",
     z2_col: str | None = None,
     z3_cols: tuple[str, str] | None = None,
+    transforms: list[str] | None = None,
 ) -> DataFrame:
     """QueryPlanner analogue: parse → split → coarse cell-range
     predicate (Z3 if both space+time primaries exist and the table has
@@ -773,4 +786,171 @@ def plan_ecql(
         coarse = z2_range_predicate(bboxes, cell_col=z2_col)
 
     pred = exact if coarse is None else (coarse & exact)
-    return df.where(pred)
+    out = df.where(pred)
+    if transforms:
+        out = apply_transforms(out, transforms, lon=lon, lat=lat, geom_attr=geom_attr)
+    return out
+
+
+# ------------------------------------------------- query transforms
+#
+# GeoMesa Query "transforms" are relational projections with derived
+# attributes in the GeoTools expression language, e.g.
+#   Query(sft, ecql, Array("name", "derived=strConcat(foo,bar)"))
+# (reference: geomesa-index-api/.../planning QueryPlanner transform
+# handling; geomesa-process TransformProcess definitions). Here the
+# expression grammar (property names, literals, + - * /, function
+# calls) compiles to Catalyst Columns — pure built-ins, codegen.
+
+_EXPR_FUNCS = {
+    # GeoTools filter-function names → Spark builders.
+    # (columns, raw_arg_nodes) -> Column
+    "strConcat": lambda c, a: F.concat(*c),
+    "strToUpperCase": lambda c, a: F.upper(c[0]),
+    "strToLowerCase": lambda c, a: F.lower(c[0]),
+    "strTrim": lambda c, a: F.trim(c[0]),
+    "strLength": lambda c, a: F.length(c[0]),
+    "strCapitalize": lambda c, a: F.initcap(c[0]),
+    # strSubstring uses Java begin/end indexes (end exclusive)
+    "strSubstring": lambda c, a: F.substring(
+        c[0], int(a[1][1]) + 1, int(a[2][1]) - int(a[1][1])
+    ),
+    "strReplace": lambda c, a: F.regexp_replace(c[0], str(a[1][1]), str(a[2][1])),
+    "abs": lambda c, a: F.abs(c[0]),
+    "ceil": lambda c, a: F.ceil(c[0]),
+    "floor": lambda c, a: F.floor(c[0]),
+    "round": lambda c, a: F.round(c[0], 0),
+    "sqrt": lambda c, a: F.sqrt(c[0]),
+    "pow": lambda c, a: F.pow(c[0], c[1]),
+    "min": lambda c, a: F.least(*c),
+    "max": lambda c, a: F.greatest(*c),
+    "dateFormat": lambda c, a: F.date_format(c[1], str(a[0][1])),
+}
+
+
+class _ExprParser(_Parser):
+    """Expression-only entry point sharing the filter lexer."""
+
+    def parse_expr(self):
+        node = self._additive()
+        t = self.lx.peek()
+        if t.kind != "eof":
+            raise EcqlError(f"trailing input at {t.start}: {t.val!r}")
+        return node
+
+    def _additive(self):
+        node = self._mult()
+        while True:
+            t = self.lx.peek()
+            if t.kind == "arith" and t.val in "+-":
+                self.lx.next()
+                node = ("bin", t.val, node, self._mult())
+            else:
+                return node
+
+    def _mult(self):
+        node = self._factor()
+        while True:
+            t = self.lx.peek()
+            if (t.kind == "arith" and t.val == "*") or t.kind == "slash":
+                self.lx.next()
+                node = ("bin", "*" if t.kind == "arith" else "/", node, self._factor())
+            else:
+                return node
+
+    def _factor(self):
+        t = self.lx.peek()
+        if t.kind == "arith" and t.val in "+-":
+            self.lx.next()
+            f = self._factor()
+            return f if t.val == "+" else ("neg", f)
+        if t.kind == "lparen":
+            self.lx.next()
+            node = self._additive()
+            self.lx.expect("rparen")
+            return node
+        if t.kind in ("num", "str"):
+            self.lx.next()
+            return ("lit", t.val)
+        if t.kind == "ident" or t.kind == "dur":
+            # 'dur' can swallow idents like PT1 — treat as a name here
+            self.lx.next()
+            if self.lx.peek().kind == "lparen":
+                self.lx.next()
+                args = []
+                if self.lx.peek().kind != "rparen":
+                    args.append(self._additive())
+                    while self.lx.peek().kind == "comma":
+                        self.lx.next()
+                        args.append(self._additive())
+                self.lx.expect("rparen")
+                return ("call", str(t.val), args)
+            return ("attr", str(t.val))
+        raise EcqlError(f"unexpected token {t.val!r} at {t.start} in expression")
+
+
+def parse_expression(text: str):
+    """Parse one GeoTools-style transform expression into an AST."""
+    return _ExprParser(text).parse_expr()
+
+
+def compile_expression(
+    node_or_text,
+    lon: str = "lon",
+    lat: str = "lat",
+    geom_attr: str = "geom",
+) -> Column:
+    """Compile a transform expression to one Catalyst Column.
+    ``getX(geom)`` / ``getY(geom)`` resolve to the point columns."""
+    node = parse_expression(node_or_text) if isinstance(node_or_text, str) else node_or_text
+
+    def walk(n) -> Column:
+        tag = n[0]
+        if tag == "lit":
+            return F.lit(n[1])
+        if tag == "attr":
+            return F.col(n[1])
+        if tag == "neg":
+            return -walk(n[1])
+        if tag == "bin":
+            a, b = walk(n[2]), walk(n[3])
+            return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[n[1]]
+        if tag == "call":
+            fn, args = n[1], n[2]
+            if fn in ("getX", "getY"):
+                if args and args[0] == ("attr", geom_attr):
+                    return F.col(lon if fn == "getX" else lat)
+                raise EcqlError(f"{fn} expects the geometry attribute")
+            if fn not in _EXPR_FUNCS:
+                raise EcqlError(f"unknown transform function {fn!r}")
+            return _EXPR_FUNCS[fn]([walk(a) for a in args], args)
+        raise EcqlError(f"cannot compile expression node {tag}")
+
+    return walk(node)
+
+
+def apply_transforms(
+    df: DataFrame,
+    transforms: list[str],
+    lon: str = "lon",
+    lat: str = "lat",
+    geom_attr: str = "geom",
+) -> DataFrame:
+    """Apply a Query-transform projection: each entry is either a plain
+    attribute name (``geom`` expands to the point columns) or
+    ``name=expression``. One ``select`` — Catalyst prunes the scan to
+    exactly the referenced columns."""
+    cols = []
+    for t in transforms:
+        name, eq, expr = t.partition("=")
+        name = name.strip()
+        if not eq:
+            if name == geom_attr:
+                cols.extend([F.col(lon), F.col(lat)])
+            else:
+                cols.append(F.col(name))
+        else:
+            cols.append(
+                compile_expression(expr.strip(), lon=lon, lat=lat, geom_attr=geom_attr).alias(name)
+            )
+    return df.select(*cols)

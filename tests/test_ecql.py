@@ -14,8 +14,11 @@ from pyspark.sql import functions as F
 from geomesa_spark import geom as G
 from geomesa_spark.plans.ecql import (
     EcqlError,
+    apply_transforms,
     compile_ecql,
+    compile_expression,
     parse_ecql,
+    parse_expression,
     plan_ecql,
     split_primary,
 )
@@ -260,6 +263,57 @@ class TestSplit:
     def test_not_contributes_nothing(self):
         bb, iv = split_primary("NOT BBOX(geom, 0, 0, 1, 1)")
         assert bb is None and iv is None
+
+
+class TestTransforms:
+    def test_expression_parse_precedence(self):
+        ast = parse_expression("a + b * 2 - c / 4")
+        # ((a + (b*2)) - (c/4))
+        assert ast[0] == "bin" and ast[1] == "-"
+        assert ast[2][1] == "+" and ast[2][3][1] == "*"
+        assert ast[3][1] == "/"
+
+    def test_expression_unary_and_parens(self):
+        ast = parse_expression("-(a + 1) * 3")
+        assert ast == ("bin", "*", ("neg", ("bin", "+", ("attr", "a"), ("lit", 1))), ("lit", 3))
+
+    def test_expression_functions(self, pts_df):
+        got = pts_df.select(
+            compile_expression("strConcat(strToUpperCase(name), '-X')").alias("s"),
+            compile_expression("abs(floor(lat)) + 1").alias("d"),
+            compile_expression("strSubstring(name, 0, 2)").alias("p"),
+            compile_expression("min(score, 10)").alias("m"),
+            compile_expression("getX(geom)").alias("x"),
+            "id",
+        ).orderBy("id").limit(3).collect()
+        p = pts_df.toPandas().sort_values("id").reset_index(drop=True)
+        for k, r in enumerate(got):
+            assert r.s == p.name[k].upper() + "-X"
+            assert r.d == abs(np.floor(p.lat[k])) + 1
+            assert r.p == p.name[k][:2]
+            assert r.m == min(p.score[k], 10)
+            assert r.x == p.lon[k]
+
+    def test_apply_transforms_projection(self, pts_df):
+        out = apply_transforms(
+            pts_df, ["id", "geom", "label=strConcat(cat, '!')"]
+        )
+        assert out.columns == ["id", "lon", "lat", "label"]
+        row = out.orderBy("id").first()
+        assert row.label in ("a!", "b!", "c!")
+
+    def test_plan_ecql_with_transforms(self, pts_df):
+        out = plan_ecql(
+            pts_df,
+            "BBOX(geom, -5, -5, 5, 5)",
+            transforms=["id", "u=strToUpperCase(cat)"],
+        )
+        assert out.columns == ["id", "u"]
+        assert out.count() == pts_df.where(compile_ecql("BBOX(geom, -5, -5, 5, 5)")).count()
+
+    def test_unknown_function_raises(self):
+        with pytest.raises(EcqlError):
+            compile_expression("frobnicate(a)")
 
 
 class TestPlan:
