@@ -39,6 +39,7 @@ __all__ = [
     "read_delimited",
     "read_json",
     "read_geojson",
+    "read_geojson_collection",
     "geojson_geometry_to_wkt",
     "read_xml",
     "read_fixed_width",
@@ -321,6 +322,69 @@ def read_geojson(
                 c = c.try_cast(a["dtype"])
         cols.append(c.alias(a["name"]))
     out = raw.select(*cols)
+    if geom_attr and any(a["name"] == geom_attr and a["type"] == "point" for a in attrs):
+        pt = r"POINT \(([-+0-9.eE]+) ([-+0-9.eE]+)\)"
+        out = out.withColumn(
+            "lon", F.regexp_extract(F.col(geom_attr), pt, 1).try_cast("double")
+        ).withColumn(
+            "lat", F.regexp_extract(F.col(geom_attr), pt, 2).try_cast("double")
+        )
+    return out
+
+
+def read_geojson_collection(
+    spark: SparkSession,
+    path: str,
+    sft_spec: str,
+    geom_attr: str | None = None,
+) -> DataFrame:
+    """Whole-document GeoJSON ``FeatureCollection`` converter (reference
+    geomesa-convert-json with a feature-path over a collection document,
+    JsonConverter.scala) — the complement of :func:`read_geojson`'s
+    one-feature-per-line mode.
+
+    Spark-first: multiLine JSON read with an EXPLICIT schema that types
+    ``geometry``/``properties`` as strings — Spark's Jackson parser
+    re-emits object tokens as raw JSON text for StringType fields, so no
+    schema inference pass and no dependence on the collection being
+    homogeneous. Features explode JVM-side; per-attribute extraction is
+    the same get_json_object/codegen path as the lines reader."""
+    attrs = parse_sft(sft_spec)
+    if geom_attr is None:
+        geom_attr = next(
+            (a["name"] for a in attrs if a["is_default_geom"] or a["type"] in _GEOM_TYPES),
+            None,
+        )
+    schema = T.StructType(
+        [
+            T.StructField(
+                "features",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("geometry", T.StringType()),
+                            T.StructField("properties", T.StringType()),
+                            T.StructField("id", T.StringType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    doc = spark.read.schema(schema).option("multiLine", True).json(path)
+    feats = doc.select(F.explode("features").alias("f"))
+    cols = []
+    for a in attrs:
+        if a["name"] == geom_attr:
+            c = geojson_geometry_to_wkt(F.col("f.geometry"))
+        else:
+            c = F.get_json_object(F.col("f.properties"), f"$.{a['name']}")
+            if a["type"] == "date":
+                c = F.to_timestamp(c)
+            elif not isinstance(a["dtype"], (T.ArrayType, T.MapType)):
+                c = c.try_cast(a["dtype"])
+        cols.append(c.alias(a["name"]))
+    out = feats.select(*cols)
     if geom_attr and any(a["name"] == geom_attr and a["type"] == "point" for a in attrs):
         pt = r"POINT \(([-+0-9.eE]+) ([-+0-9.eE]+)\)"
         out = out.withColumn(
