@@ -56,6 +56,18 @@ class GeoMesaSpark:
 
         return spatial_sql(self.spark, query, **kw)
 
+    def enable_audit(self, path: str | None = None) -> None:
+        """Turn on query-audit logging (reference AuditProvider): one
+        JSON line per planned query, to ``path`` or in memory."""
+        from geomesa_spark.plans.audit import enable_audit
+
+        enable_audit(path)
+
+    def audit_events(self, path: str | None = None) -> list[dict]:
+        from geomesa_spark.plans.audit import read_audit
+
+        return read_audit(path)
+
     def ecql(self, df: DataFrame, filter_text: str, **kw) -> DataFrame:
         """Filter ``df`` with an ECQL filter string (the reference's
         -q/--cql surface): parse → index split → coarse cell ranges (if

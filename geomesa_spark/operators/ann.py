@@ -27,6 +27,7 @@ __all__ = [
     "lsh_cosine_topk",
     "ivf_assign",
     "ivf_topk",
+    "train_ivf_centroids",
     "cosine_dup_pairs",
 ]
 
@@ -119,6 +120,75 @@ def ivf_assign(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Offline spherical k-means coarse quantizer for IVF (Dhillon &
+    Modha 2001) — the training job :func:`ivf_topk`'s docstring defers
+    to; assignment metric is the SAME max-inner-product as
+    ``ivf_assign``, so trained centroids drop in without touching the
+    query shape.
+
+    Scale shape: a bounded driver loop of Lloyd rounds, each round two
+    Spark jobs — (1) assignment via the broadcast-centroid codegen dot,
+    (2) mean update via posexplode → groupBy(cluster, dim) sum/count
+    (map-side partial agg; k×dim rows collected, driver-bounded by
+    construction). Seeds are the k corpus vectors with the smallest
+    xxhash64(id): deterministic, data-order-independent, no RNG.
+    Empty clusters keep their previous centroid; centroids are unit-
+    normalized each round (spherical update) so max-dot == max-cosine.
+
+    Returns a DataFrame (``id_col``, ``vec_col``) of k centroids,
+    directly usable as ``ivf_topk(centroids=...)``.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    base = corpus.select(id_col, vec_col)
+    seeds = (
+        base.withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h", F.col(id_col))
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [np.asarray(r[0], dtype=np.float64) for r in seeds]
+    cents = [c / (np.linalg.norm(c) or 1.0) for c in cents]
+    dim = len(cents[0])
+
+    def _cdf(cs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cs)],
+            f"{id_col} long, {vec_col} array<double>",
+        )
+
+    for _ in range(max(0, iters)):
+        assigned = ivf_assign(base, _cdf(cents), id_col, vec_col, nprobe=1)
+        rows = (
+            assigned.select("k_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("k_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums = {}
+        for r in rows:
+            sums.setdefault(int(r["k_id"]), np.zeros(dim))[int(r["pos"])] = r["s"] / r["n"]
+        new = []
+        for i, old in enumerate(cents):
+            m = sums.get(i)
+            if m is None:
+                new.append(old)  # empty cluster: keep previous centroid
+                continue
+            nrm = np.linalg.norm(m)
+            new.append(m / nrm if nrm > 0 else old)
+        cents = new
+    return _cdf(cents)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -128,6 +198,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors (the inverted-file scale path
     next to hyperplane LSH): corpus vectors are listed under their
@@ -136,14 +207,19 @@ def ivf_topk(
 
     Centroids here are the first ``n_centroids`` corpus vectors — a
     deterministic, training-free coarse quantizer the DuckDB oracle can
-    re-derive bit-for-bit; production would swap in offline k-means
-    (an iterative Spark job) without touching this query shape. At
+    re-derive bit-for-bit; pass ``centroids=train_ivf_centroids(...)``
+    to use the offline spherical-k-means quantizer instead — the query
+    shape is unchanged. At
     100 TB the corpus's ``cluster`` column is the table's partition
     key, so a query prunes to nprobe partitions.
 
     Output shape matches cosine_topk: (q_vec_id, vec_id, sim_r, rank).
     """
-    cents = corpus.where(F.col(id_col) < n_centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.where(F.col(id_col) < n_centroids)
+    )
     listed = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
         F.col(id_col),
         F.col(vec_col).alias("c_vec2"),

@@ -763,13 +763,17 @@ def plan_ecql(
     still runs as a full-scan residual — same degradation the reference
     has when no index matches (FilterSplitter's full-table fallback).
     """
+    import time
+
     from geomesa_spark.plans.planner import z2_range_predicate, z3_range_predicate
 
+    t_start = time.perf_counter()
     ast = parse_ecql(text)
     bboxes, interval = split_primary(ast, geom_attr=geom_attr, dtg_attr=dtg)
     exact = compile_ecql(ast, lon=lon, lat=lat, dtg=dtg, geom_attr=geom_attr)
 
     coarse = None
+    index_used = "none"
     if (
         bboxes
         and interval
@@ -782,10 +786,24 @@ def plan_ecql(
         coarse = z3_range_predicate(
             bboxes, t_lo, t_hi, bin_col=z3_cols[0], cell_col=z3_cols[1]
         )
+        index_used = "z3"
     elif bboxes and z2_col is not None:
         coarse = z2_range_predicate(bboxes, cell_col=z2_col)
+        index_used = "z2"
 
     pred = exact if coarse is None else (coarse & exact)
+
+    from geomesa_spark.plans.audit import audit_event
+
+    audit_event(
+        event="query.plan",
+        filter=text,
+        index=index_used,
+        n_envelopes=len(bboxes) if bboxes else 0,
+        interval=[t.isoformat() if t else None for t in interval] if interval else None,
+        transforms=transforms,
+        plan_millis=int((time.perf_counter() - t_start) * 1000),
+    )
     out = df.where(pred)
     if transforms:
         out = apply_transforms(out, transforms, lon=lon, lat=lat, geom_attr=geom_attr)

@@ -75,6 +75,16 @@ class TestCli:
         got = spark.read.parquet(out).collect()
         assert [r.name for r in got] == ["c"]
 
+    def test_describe(self, spark, cli, tmp_path, capsys):
+        src = str(tmp_path / "tbl4")
+        spark.createDataFrame(
+            [("a", 1.0, 2.0)], "name string, lon double, lat double"
+        ).write.parquet(src)
+        assert cli.main(["describe", "--input", src]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert {f["name"] for f in out["attributes"]} == {"name", "lon", "lat"}
+        assert out["geometry"] == "lon/lat point columns"
+
 
 class TestFacade:
     def test_engine_facade_surfaces(self, spark, tmp_path):

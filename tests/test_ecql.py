@@ -350,3 +350,28 @@ class TestPlan:
         planned = plan_ecql(pts_df, text)
         naive = pts_df.where(compile_ecql(text))
         assert planned.count() == naive.count()
+
+    def test_audit_log_records_plan(self, pts_df, tmp_path):
+        from geomesa_spark.operators.extract import with_z2_cell
+        from geomesa_spark.plans.audit import disable_audit, enable_audit, read_audit
+
+        log = str(tmp_path / "audit.jsonl")
+        enable_audit(log)
+        try:
+            idx = with_z2_cell(pts_df)
+            plan_ecql(idx, "BBOX(geom, -5, -5, 5, 5) AND cat = 'a'", z2_col="cell_z2")
+            plan_ecql(pts_df, "cat = 'b'")
+            events = read_audit(log)
+        finally:
+            disable_audit()
+        assert len(events) == 2
+        assert events[0]["index"] == "z2" and events[0]["n_envelopes"] == 1
+        assert "BBOX" in events[0]["filter"]
+        assert events[1]["index"] == "none"
+        assert events[0]["plan_millis"] >= 0
+
+    def test_audit_disabled_is_noop(self, pts_df):
+        from geomesa_spark.plans.audit import audit_event, read_audit
+
+        audit_event(event="x")  # must not raise nor record
+        assert read_audit() == []

@@ -415,6 +415,44 @@ class TestAnn:
         part = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2).collect()
         assert self._recall(part, exact) >= 0.4
 
+    def test_kmeans_centroids_deterministic_and_better(self, spark, emb):
+        from geomesa_spark.operators.ann import (
+            dot,
+            ivf_assign,
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        c1 = train_ivf_centroids(emb, k=8, iters=3)
+        c2 = train_ivf_centroids(emb, k=8, iters=3)
+        # deterministic: same seeds, same Lloyd rounds, same centroids
+        assert sorted(map(tuple, (r.embedding for r in c1.collect()))) == sorted(
+            map(tuple, (r.embedding for r in c2.collect()))
+        )
+        # unit-normalized (spherical update)
+        for r in c1.collect():
+            assert abs(np.linalg.norm(np.array(r.embedding)) - 1.0) < 1e-9
+
+        def objective(cents):
+            a = ivf_assign(
+                emb.withColumn("embedding", F.transform("embedding", lambda x: x / (
+                    F.aggregate(F.transform(F.col("embedding"), lambda y: y * y),
+                                F.lit(0.0), lambda acc, y: acc + y) ** 0.5))),
+                cents, nprobe=1,
+            )
+            return a.agg(F.avg("score")).first()[0]
+
+        seeds = train_ivf_centroids(emb, k=8, iters=0)
+        # Lloyd rounds must not degrade the spherical k-means objective
+        # (avg cosine of each vector to its centroid)
+        assert objective(c1) >= objective(seeds) - 1e-9
+
+        # trained centroids drop into the query path unchanged
+        q = emb.where(F.col("vec_id") < 5)
+        exact = cosine_topk(emb, q, k=5).collect()
+        full = ivf_topk(emb, q, k=5, nprobe=8, centroids=c1).collect()
+        assert self._recall(full, exact) == 1.0
+
     def test_lsh_multi_table_recall_monotone(self, spark, emb):
         from geomesa_spark.operators.ann import lsh_cosine_topk
 

@@ -139,6 +139,32 @@ def cmd_stats_analyze(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    """describe-schema analogue (reference geomesa-tools
+    DescribeSchemaCommand): attribute names/types, the geometry
+    convention detected on the table, and manifest lineage if present."""
+    from geomesa_spark.sources.catalog import latest_manifest
+
+    spark = _session(args.cores)
+    df = spark.read.parquet(args.input)
+    fields = [{"name": f.name, "type": f.dataType.simpleString()} for f in df.schema.fields]
+    names = {f.name for f in df.schema.fields}
+    geom = (
+        "lon/lat point columns" if {"lon", "lat"} <= names
+        else "wkt geometry column" if "wkt" in names
+        else "none detected"
+    )
+    out = {"table": args.input, "attributes": fields, "geometry": geom}
+    try:
+        m = latest_manifest(args.input)
+        if m:
+            out["manifest"] = {k: m[k] for k in ("epoch", "lineage") if k in m}
+    except Exception:
+        pass
+    print(json.dumps(out, default=str, indent=1))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from geomesa_spark.sources.upsert import compact
 
@@ -198,6 +224,10 @@ def main(argv=None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--cell-col")
     p.set_defaults(fn=cmd_stats_analyze)
+
+    p = sub.add_parser("describe")
+    p.add_argument("--input", required=True)
+    p.set_defaults(fn=cmd_describe)
 
     p = sub.add_parser("compact")
     p.add_argument("--table", required=True)
