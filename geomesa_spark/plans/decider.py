@@ -142,7 +142,18 @@ def auto_broadcast(
     distance_join / tube_select / knn when the caller doesn't force a
     side — mirroring the reference's StrategyDecider cost check rather
     than a hardcoded hint."""
-    return estimated_size_bytes(df) * explode_factor <= threshold
+    from geomesa_spark.plans.audit import audit_event
+
+    est = estimated_size_bytes(df)
+    decision = est * explode_factor <= threshold
+    audit_event(
+        event="join.broadcast_decide",
+        est_bytes=est,
+        explode_factor=explode_factor,
+        threshold=threshold,
+        broadcast=decision,
+    )
+    return decision
 
 
 def auto_join_kwargs(
@@ -167,4 +178,14 @@ def auto_join_kwargs(
     skew = stats_skew_ratio(table_stats)
     if skew is None:
         skew = manifest_skew_ratio(manifest)
-    return choose_join(cover_bytes, skew, broadcast_threshold)
+    decision = choose_join(cover_bytes, skew, broadcast_threshold)
+
+    from geomesa_spark.plans.audit import audit_event
+
+    audit_event(
+        event="join.decide",
+        cover_bytes=cover_bytes,
+        skew_ratio=skew,
+        **decision,
+    )
+    return decision

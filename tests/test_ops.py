@@ -475,6 +475,22 @@ class TestAutoBroadcastDecider:
         # a tiny threshold forces the shuffle path regardless of size
         assert auto_broadcast(small, 1.0, threshold=1) is False
 
+    def test_decider_audit_events(self, spark):
+        from geomesa_spark.plans.audit import disable_audit, enable_audit, read_audit
+        from geomesa_spark.plans.decider import auto_broadcast, auto_join_kwargs
+
+        small = spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS lon")
+        enable_audit()
+        try:
+            auto_broadcast(small, 4.0)
+            auto_join_kwargs(small, bits=6)
+            events = read_audit()
+        finally:
+            disable_audit()
+        assert [e["event"] for e in events] == ["join.broadcast_decide", "join.decide"]
+        assert events[0]["broadcast"] is True and events[0]["est_bytes"] > 0
+        assert events[1]["broadcast"] is True and events[1]["cover_bytes"] > 0
+
     def test_distance_join_auto_plans_broadcast_for_small_probes(self, spark, tmp_path):
         from geomesa_spark.operators.joins import distance_join
         from geomesa_spark.tables import query_points
