@@ -35,6 +35,29 @@ def _err(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _cpu_times() -> dict | None:
+    """Aggregate jiffies from /proc/stat — steal time is the hard
+    evidence of noisy-neighbor interference that loadavg only hints at."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        keys = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+        return dict(zip(keys, (int(x) for x in parts[1:9])))
+    except Exception:
+        return None
+
+
+def _cpu_delta_pct(before: dict | None, after: dict | None) -> dict | None:
+    """Percent of wall-CPU spent busy / stolen between two snapshots."""
+    if not before or not after:
+        return None
+    d = {k: after[k] - before[k] for k in before}
+    total = sum(d.values()) or 1
+    busy = total - d["idle"] - d["iowait"]
+    return {"busy_pct": round(100.0 * busy / total, 1),
+            "steal_pct": round(100.0 * d["steal"] / total, 2)}
+
+
 def pipeline_queries(spark, sf_dir: str, n_docs: int, cores: int, tmpdir: str, n_polys: int = 2000):
     """Named stages; each returns a callable that forces full execution.
 
@@ -169,6 +192,7 @@ def run_once(cores: int, sf_dir: str, n_docs: int, n_polys: int = 2000, stages=N
     # captured at load > 5 on this VM reads 2-4x slow and must not be
     # judged as a regression (round-2 driver artifact did exactly that)
     load_before = [round(x, 2) for x in os.getloadavg()]
+    cpu_before = _cpu_times()
     with tempfile.TemporaryDirectory() as tmpdir:
         qs = pipeline_queries(spark, sf_dir, n_docs, cores, tmpdir, n_polys=n_polys)
         if stages:
@@ -191,8 +215,10 @@ def run_once(cores: int, sf_dir: str, n_docs: int, n_polys: int = 2000, stages=N
             _err(f"  {name}: {results[name]}s ({counts[name]} rows) reps={times}")
     spark.stop()
     load_after = [round(x, 2) for x in os.getloadavg()]
+    cpu = _cpu_delta_pct(cpu_before, _cpu_times())
     pipeline_s = results["pipeline"]
     return {
+        "cpu": cpu,
         "cores": cores,
         "n_docs": n_docs,
         "queries": results,
@@ -252,6 +278,7 @@ def main() -> int:
                 f"n{c}": {
                     "before": runs[c].get("load_before"),
                     "after": runs[c].get("load_after"),
+                    "cpu": runs[c].get("cpu"),
                 }
                 for c in (n, n4)
             },
@@ -273,6 +300,7 @@ def main() -> int:
         "reps": r["reps"],
         "rep_times": r["rep_times"],
         "load_before": r["load_before"],
+        "cpu": r["cpu"],
         "load_after": r["load_after"],
     }
     print(json.dumps(result), flush=True)
