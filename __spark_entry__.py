@@ -1607,6 +1607,50 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: at most 5 docs per (lang, source) stratum, picked
+    by md5-of-id order — deterministic, partition-layout-independent."""
+    from geomesa_spark.operators.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, ["lang", "source"], quota=5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer sharding: deterministic global shuffle into 8 shards
+    (rolling-hash of the id) with a stable in-shard position."""
+    from geomesa_spark.operators.corpus import shard_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_assign(docs, 8).select(
+        "doc_id", "shard", F.col("shard_pos").cast("int").alias("shard_pos")
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram overlap of every training
+    doc against the held-out eval slice (doc_id % 97 == 0)."""
+    from geomesa_spark.operators.corpus import contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination(train, bench, n=3)
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-document repetition removal: 8-token chunks, first occurrence
+    wins, survivors rejoin in original order."""
+    from geomesa_spark.operators.corpus import chunk_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_dedup(docs, chunk_tokens=8).select(
+        "doc_id", "dedup_text", "n_kept_chunks", "n_dropped_chunks"
+    )
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 5 probe vectors."""
     from geomesa_spark.operators.ann import cosine_topk
@@ -1750,6 +1794,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
         "corpus_select": q_corpus_select,
+        "stratified_sample": q_stratified_sample,
+        "shard_assign": q_shard_assign,
+        "contamination": q_contamination,
+        "chunk_dedup": q_chunk_dedup,
         "cosine_dup": q_cosine_dup,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
@@ -2708,6 +2756,64 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))),
                      (a, c) -> (a * 31 + c) % 1000000007) AS fp
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 5
+        """,
+        "shard_assign": """
+            WITH fp AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+                         i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1)))),
+                       (a, c) -> (a * 31 + c) % 1000000007) AS f
+              FROM documents
+            )
+            SELECT doc_id, CAST(f % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY f % 8 ORDER BY f, doc_id) AS INT) AS shard_pos
+            FROM fp
+        """,
+        "contamination": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) >= 3
+                       THEN list_transform(generate_series(1, len(t) - 2),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                       ELSE [] END) AS gs
+              FROM toks
+            ),
+            bench AS (SELECT DISTINCT unnest(gs) AS __g FROM g WHERE doc_id % 97 = 0),
+            dg AS (SELECT doc_id, unnest(gs) AS __g FROM g WHERE doc_id % 97 <> 0)
+            SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(sum(CASE WHEN b.__g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                   CAST(sum(CASE WHEN b.__g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS contamination
+            FROM dg LEFT JOIN bench b ON dg.__g = b.__g
+            GROUP BY dg.doc_id
+        """,
+        "chunk_dedup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, greatest(CAST(ceil(len(t) / 8.0) AS INT), 1)),
+                       i -> {'pos': i - 1,
+                             'chunk': array_to_string(list_slice(t, (i-1)*8 + 1, (i-1)*8 + 8), ' ')}) AS cs
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, unnest(cs, recursive := true) FROM ch),
+            firsts AS (SELECT doc_id, chunk, min(pos) AS pos FROM ex GROUP BY doc_id, chunk)
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS dedup_text,
+                   CAST(count(*) AS BIGINT) AS n_kept_chunks,
+                   CAST(max(pos) + 1 - count(*) AS BIGINT) AS n_dropped_chunks
+            FROM firsts GROUP BY doc_id
         """,
         "simhash": f"""
             WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

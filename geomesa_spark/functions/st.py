@@ -752,6 +752,9 @@ ST_FUNCTIONS: dict = {
     "st_translate": st_translate,
     "st_bufferPoint": st_bufferPoint,
     "st_antimeridianSafeGeom": st_antimeridianSafeGeom,
+    # upstream catalog ships both names for the same function
+    # (GeometricProcessingFunctions: st_idlSafeGeom alias)
+    "st_idlSafeGeom": st_antimeridianSafeGeom,
     "st_intersection": st_intersection,
     "st_difference": st_difference,
     "st_convexHull": st_convexHull,

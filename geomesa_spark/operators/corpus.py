@@ -1,0 +1,204 @@
+"""Corpus-construction operators for training-data pipelines:
+stratified sampling, deterministic shard assignment, benchmark
+contamination checks, and in-document chunk dedup.
+
+These sit between the text-analysis layer (operators/text.py) and the
+cross-document dedup layer (operators/dedup.py) in a pretraining data
+pipeline: score → filter → decontaminate → sample per stratum → shard
+for the trainer. Everything is built-in Column expressions (window
+ranks, higher-order array functions, integer folds) — JVM-side,
+whole-stage codegen, mirrored in ANSI SQL for the DuckDB oracle. No
+reference analogue (GeoMesa is geospatial); these extend the engine per
+the build brief's training-data requirements.
+
+Determinism contract: every ordering / hash here is derived from data
+values (md5 of the id string, or the same rolling fingerprint as
+operators/text.py) — never from partition layout, RNG, or timestamps —
+so a re-run over re-partitioned input produces byte-identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.text import FP_MOD, FP_MUL, tokens
+
+__all__ = [
+    "stratified_sample",
+    "shard_assign",
+    "ngrams",
+    "contamination",
+    "chunk_dedup",
+]
+
+
+def _id_hash(id_col: str) -> Column:
+    """Deterministic pseudo-random sort key: md5 hex of the id string.
+    Identical in Spark and DuckDB, so the oracle ranks the same rows."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    quota: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``quota`` rows per stratum, picked by hash order — the
+    corpus-mixing step that caps any one (language, source, …) bucket.
+
+    Scale shape: one shuffle on the strata key (the window), map-side
+    nothing else; the hash order means the sample is stable under
+    re-partitioning and incremental re-runs (a doc in the sample stays
+    in the sample unless the stratum grows past the quota with
+    smaller-hash newcomers).
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _id_hash(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def _fp_of(col: Column) -> Column:
+    """Rolling polynomial hash of a string column (same constants as
+    operators/text.py fingerprints) — pure integer fold, exact in both
+    engines."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_MUL + F.ascii(ch)) % FP_MOD,
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for trainer sharding: every row gets
+    a ``shard`` (rolling-hash of the id, mod n) and a ``shard_pos``
+    (its rank inside the shard by the same hash) — the
+    write-once-read-sequentially layout a data loader consumes.
+
+    Scale shape: one shuffle on ``shard`` (the window). At 100 TB this
+    is exactly the job that materializes training shards:
+    ``.repartition(n, "shard")`` + ``sortWithinPartitions("shard_pos")``
+    + a partitioned write, all downstream of this plan with no extra
+    exchange (the window already clustered by shard).
+    """
+    fp = _fp_of(F.col(id_col).cast("string"))
+    out = df.withColumn("__fp", fp).withColumn(
+        "shard", F.pmod(F.col("__fp"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__fp").asc(), F.col(id_col).asc())
+    return out.withColumn("shard_pos", F.row_number().over(w)).drop("__fp")
+
+
+def ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-grams as an array of space-joined strings; empty array
+    when the document has fewer than n tokens (guarded — Spark's
+    sequence(1, 0) would yield a DESCENDING range, not an empty one)."""
+    t = tokens(text)
+    k = F.size(t) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(t, i, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: for each training document, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    benchmark (eval) corpus. The decontamination step every serious
+    pretraining pipeline runs before training.
+
+    Output: (id_col, n_ngrams, n_hit, contamination) — one row per
+    input doc with at least one n-gram; ratio = n_hit / n_ngrams in one
+    double division (bit-stable).
+
+    Scale shape: benchmark n-grams are distinct-ed then broadcast (eval
+    suites are tiny next to a 100 TB corpus — if not, the same plan
+    works as a shuffle equi-join on the n-gram string); the corpus side
+    explodes distinct n-grams per doc, left-joins, and re-aggregates by
+    doc — one shuffle on doc id.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(ngrams(F.col(text_col), n)).alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("__g"),
+    )
+    joined = doc_grams.join(F.broadcast(bench_grams), "__g", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_hit").cast("double") / F.col("n_ngrams").cast("double"),
+        )
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "dedup_text",
+) -> DataFrame:
+    """In-document repetition removal: the text is cut into fixed
+    ``chunk_tokens``-token windows; repeated chunks keep only their
+    first occurrence; the survivors re-join in original order. The
+    intra-doc analogue of exact dedup — catches boilerplate / crawler
+    loops inside one document without touching cross-doc state.
+
+    Scale shape: explode → two keyed aggregations (chunk first-pos per
+    doc, then doc re-assembly). Both group on the doc id, so AQE plans
+    them as one shuffle; chunk arrays never exceed the document size.
+    """
+    t = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(t) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.slice(t, (i - F.lit(1)) * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("__pos", "__chunk")
+    )
+    firsts = exploded.groupBy(id_col, "__chunk").agg(F.min("__pos").alias("__pos"))
+    rebuilt = firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__chunk"))),
+                lambda s: s["__chunk"],
+            ),
+            " ",
+        ).alias(out),
+        F.count("*").alias("n_kept_chunks"),
+        F.max("__pos").alias("__maxpos"),
+    )
+    return rebuilt.withColumn(
+        "n_dropped_chunks", F.col("__maxpos") + 1 - F.col("n_kept_chunks")
+    ).drop("__maxpos")

@@ -1,0 +1,122 @@
+"""Corpus-construction operator tests (operators/corpus.py):
+stratified sampling, shard assignment, contamination, chunk dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "en", "a", "the cat sat on the mat and then the cat sat again"),
+        (1, "en", "a", "a completely different sentence with no repeats at all"),
+        (2, "en", "b", "short text"),
+        (3, "de", "a", "der hund lief durch den park und der hund bellte laut"),
+        (4, "de", "b", "x"),
+        (5, "en", "a", "the cat sat on the mat and then the cat sat again"),
+        (6, "en", "a", "more english words that fill one more stratum slot"),
+        (7, "en", "a", "yet another english document in the same stratum"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+
+
+class TestStratifiedSample:
+    def test_quota_respected(self, docs):
+        from geomesa_spark.operators.corpus import stratified_sample
+
+        out = stratified_sample(docs, ["lang", "source"], quota=2)
+        counts = out.groupBy("lang", "source").count().collect()
+        assert all(r["count"] <= 2 for r in counts)
+        # small strata survive whole
+        assert out.where((F.col("lang") == "de") & (F.col("source") == "b")).count() == 1
+
+    def test_stable_under_repartition(self, docs):
+        from geomesa_spark.operators.corpus import stratified_sample
+
+        a = {r.doc_id for r in stratified_sample(docs, ["lang"], 3).collect()}
+        b = {
+            r.doc_id
+            for r in stratified_sample(docs.repartition(7), ["lang"], 3).collect()
+        }
+        assert a == b
+
+
+class TestShardAssign:
+    def test_deterministic_and_dense(self, docs):
+        from geomesa_spark.operators.corpus import shard_assign
+
+        a = sorted(
+            (r.doc_id, r.shard, r.shard_pos) for r in shard_assign(docs, 4).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.shard, r.shard_pos)
+            for r in shard_assign(docs.repartition(5), 4).collect()
+        )
+        assert a == b
+        out = shard_assign(docs, 4)
+        assert out.where((F.col("shard") < 0) | (F.col("shard") >= 4)).count() == 0
+        # positions are 1..count within each shard
+        agg = out.groupBy("shard").agg(
+            F.count("*").alias("n"), F.max("shard_pos").alias("mx"), F.min("shard_pos").alias("mn")
+        )
+        assert all(r.mx == r.n and r.mn == 1 for r in agg.collect())
+
+
+class TestContamination:
+    def test_identical_doc_fully_contaminated(self, spark, docs):
+        from geomesa_spark.operators.corpus import contamination
+
+        bench = docs.where(F.col("doc_id") == 0)
+        train = docs.where(F.col("doc_id").isin([5, 1]))
+        got = {r.doc_id: r for r in contamination(train, bench, n=3).collect()}
+        assert got[5].contamination == 1.0  # doc 5 == doc 0 verbatim
+        assert got[1].contamination == 0.0  # disjoint vocabulary
+
+    def test_short_docs_drop_out(self, spark, docs):
+        from geomesa_spark.operators.corpus import contamination
+
+        bench = docs.where(F.col("doc_id") == 0)
+        out = contamination(docs.where(F.col("doc_id") == 4), bench, n=3)
+        assert out.count() == 0  # one token → no 3-grams → no row
+
+    def test_ngram_guard(self, spark):
+        from geomesa_spark.operators.corpus import ngrams
+
+        df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+        got = df.select(ngrams(F.col("text"), 3).alias("g")).collect()
+        assert got[0].g == []
+        assert got[1].g == ["a b c", "b c d"]
+
+
+class TestChunkDedup:
+    def test_repeated_chunk_removed(self, spark):
+        from geomesa_spark.operators.corpus import chunk_dedup
+
+        # two identical 4-token chunks then a distinct one
+        text = "w x y z w x y z p q r s"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = chunk_dedup(df, chunk_tokens=4).collect()[0]
+        assert r.dedup_text == "w x y z p q r s"
+        assert r.n_kept_chunks == 2 and r.n_dropped_chunks == 1
+
+    def test_no_repeats_identity(self, spark):
+        from geomesa_spark.operators.corpus import chunk_dedup
+
+        text = "a b c d e f g h i"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = chunk_dedup(df, chunk_tokens=4).collect()[0]
+        assert r.dedup_text == text
+        assert r.n_dropped_chunks == 0
+
+    def test_order_preserved(self, spark):
+        from geomesa_spark.operators.corpus import chunk_dedup
+
+        # duplicate of chunk0 appears at positions 0, 2; chunk at 1 stays between
+        text = "a a b b a a c c"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = chunk_dedup(df, chunk_tokens=2).collect()[0]
+        assert r.dedup_text == "a a b b c c"

@@ -155,6 +155,8 @@ class TestProcessing:
 
     def test_antimeridian(self, sql):
         assert sql("st_antimeridianSafeGeom(p)", p="POINT (190 10)") == "POINT (-170 10)"
+        # upstream catalog alias
+        assert sql("st_idlSafeGeom(p)", p="POINT (190 10)") == "POINT (-170 10)"
 
     def test_intersection_concave(self, sql):
         # L-shape ∩ square exercises the Greiner–Hormann path (the old
