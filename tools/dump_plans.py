@@ -179,6 +179,39 @@ def main() -> int:
             plan_str(ggs),
         ))
 
+        # round 3 continuation: corpus-construction layer
+        from geomesa_spark.operators.corpus import contamination, shard_assign
+
+        docs_tbl_path = os.path.join(td, "docs_tbl")
+        docs.selectExpr(
+            "doc_id",
+            "concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'), s -> s.text)) AS text",
+        ).write.parquet(docs_tbl_path)
+        docs_tbl = spark.read.parquet(docs_tbl_path)
+        sh = shard_assign(docs_tbl.select("doc_id", "text"), 8)
+        sections.append((
+            "Trainer shard assignment (corpus layer, round 3)",
+            "rolling-hash shard + in-shard rank: ONE Exchange (the window's "
+            "hashpartitioning on shard) and a codegen'd integer fold — the "
+            "plan a partitioned training-shard write consumes with no "
+            "further shuffle.",
+            plan_str(sh),
+        ))
+
+        cont = contamination(
+            docs_tbl.where(F.col("doc_id") % 97 != 0),
+            docs_tbl.where(F.col("doc_id") % 97 == 0),
+            n=3,
+        )
+        sections.append((
+            "Benchmark contamination check (corpus layer, round 3)",
+            "benchmark n-grams distinct then BroadcastHashJoin against the "
+            "exploded corpus n-grams (codegen transform/slice, no Python); "
+            "re-aggregation groups on the doc id — one shuffle total on the "
+            "corpus side.",
+            plan_str(cont),
+        ))
+
     out = ["# PLANS — physical-plan evidence\n",
            "Generated by tools/dump_plans.py; re-run after operator changes.\n"]
     for title, why, plan in sections:
