@@ -44,6 +44,7 @@ __all__ = [
     "read_xml",
     "read_fixed_width",
     "compile_transform",
+    "with_error_mode",
 ]
 
 _SFT_TYPES = {
@@ -244,6 +245,63 @@ def read_delimited(
             c = c.try_cast(a["dtype"]) if not isinstance(a["dtype"], (T.ArrayType, T.MapType)) else c
         cols.append(c.alias(a["name"]))
     return raw.select(*cols)
+
+
+def with_error_mode(
+    df: DataFrame,
+    required: list[str],
+    mode: str = "skip",
+    observation_name: str = "convert_errors",
+):
+    """Converter ErrorMode + ingest counters (reference geomesa-convert
+    EvaluationContext: success/failure counters, ErrorMode.SkipBadRecords
+    vs RaiseErrors — convert2/EvaluationContext.scala, ErrorMode.scala).
+
+    A record FAILS when any required SFT attribute is null after
+    conversion — the converters cast with ``try_cast``, so a parse
+    failure surfaces as a null, exactly like the reference's per-field
+    try/catch. Modes:
+
+    - ``'skip'``  (SkipBadRecords): drop failures; returns
+      ``(clean_df, observation)`` where the Observation rides the NEXT
+      action on ``clean_df`` and then carries ``{"records", "failed"}``
+      metrics — counters with ZERO extra pass, the Spark analogue of the
+      reference's streaming counters (same trick the tile writer uses
+      for its manifest stats).
+    - ``'raise'`` (RaiseErrors): returns a DataFrame that fails the job
+      on the first bad record (codegen'd raise_error, no Python).
+    - ``'keep'``: returns the DataFrame with a ``__failed`` boolean
+      column for caller-side routing (dead-letter queues).
+    """
+    from pyspark.sql import Observation
+
+    failed = F.lit(False)
+    for r in required:
+        failed = failed | F.col(r).isNull()
+    if mode == "keep":
+        return df.withColumn("__failed", failed)
+    if mode == "raise":
+        return df.where(
+            F.when(
+                failed,
+                F.raise_error(
+                    F.concat(
+                        F.lit("malformed record: null in required attribute of ("),
+                        *[F.concat(F.coalesce(F.col(r).cast("string"), F.lit("∅")), F.lit(" ")) for r in required],
+                        F.lit(")"),
+                    )
+                ),
+            ).otherwise(F.lit(True))
+        )
+    if mode != "skip":
+        raise ValueError(f"unknown error mode {mode!r} (skip | raise | keep)")
+    obs = Observation(observation_name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("records"),
+        F.sum(failed.cast("long")).alias("failed"),
+    )
+    return observed.where(~failed), obs
 
 
 def geojson_geometry_to_wkt(col: Column) -> Column:

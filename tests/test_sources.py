@@ -84,6 +84,46 @@ class TestDelimitedConverter:
         assert got.n == 2
 
 
+class TestErrorMode:
+    def _bad_csv(self, spark, tmp_path):
+        p = tmp_path / "bad.csv"
+        # row 2: age not an int (try_cast → null); row 3: missing name
+        p.write_text("alice,30\nbob,notanum\n,50\n")
+        return read_delimited(spark, str(p), "name:String,age:Int")
+
+    def test_skip_counts_failures(self, spark, tmp_path):
+        from geomesa_spark.sources.convert import with_error_mode
+
+        clean, obs = with_error_mode(
+            self._bad_csv(spark, tmp_path), required=["name", "age"], mode="skip"
+        )
+        assert [r.name for r in clean.collect()] == ["alice"]
+        assert obs.get == {"records": 3, "failed": 2}
+
+    def test_raise_fails_job(self, spark, tmp_path):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        from geomesa_spark.sources.convert import with_error_mode
+
+        strict = with_error_mode(
+            self._bad_csv(spark, tmp_path), required=["age"], mode="raise"
+        )
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+            strict.collect()
+
+    def test_keep_flags(self, spark, tmp_path):
+        from geomesa_spark.sources.convert import with_error_mode
+
+        flagged = with_error_mode(
+            self._bad_csv(spark, tmp_path), required=["name", "age"], mode="keep"
+        )
+        got = {r.name: r["__failed"] for r in flagged.collect()}
+        assert got["alice"] is False
+        assert got["bob"] is True
+        assert got[None] is True
+
+
 class TestExport:
     def test_roundtrip_formats(self, spark, tmp_path):
         df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
