@@ -183,6 +183,27 @@ class GeoMesaSpark:
         fn = {"brute": A.cosine_topk, "lsh": A.lsh_cosine_topk, "ivf": A.ivf_topk}[method]
         return fn(corpus, queries, **kw)
 
+    # --- corpus construction ---------------------------------------------
+    def stratified_sample(self, df: DataFrame, strata_cols: list[str], quota: int, **kw) -> DataFrame:
+        from geomesa_spark.operators.corpus import stratified_sample
+
+        return stratified_sample(df, strata_cols, quota, **kw)
+
+    def shard(self, df: DataFrame, n_shards: int, **kw) -> DataFrame:
+        from geomesa_spark.operators.corpus import shard_assign
+
+        return shard_assign(df, n_shards, **kw)
+
+    def contamination(self, docs: DataFrame, benchmark: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.corpus import contamination
+
+        return contamination(docs, benchmark, **kw)
+
+    def chunk_dedup(self, df: DataFrame, **kw) -> DataFrame:
+        from geomesa_spark.operators.corpus import chunk_dedup
+
+        return chunk_dedup(df, **kw)
+
     # --- writer semantics -------------------------------------------------
     def upsert_init(self, df: DataFrame, path: str, **kw) -> None:
         from geomesa_spark.sources.upsert import init_table

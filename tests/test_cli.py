@@ -117,3 +117,22 @@ class TestFacade:
         gm.compact(path)
         got = {(r["__fid__"], r["v"]) for r in gm.read_latest(path).collect()}
         assert got == {("a", 10)}
+
+    def test_engine_facade_corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        from geomesa_spark import GeoMesaSpark
+
+        gm = GeoMesaSpark(spark)
+        docs = spark.createDataFrame(
+            [(i, "en" if i % 2 else "de", f"tok{i} tok{i+1} tok{i+2} tok{i+3}")
+             for i in range(20)],
+            "doc_id long, lang string, text string",
+        )
+        assert gm.stratified_sample(docs, ["lang"], 3).count() == 6
+        sh = gm.shard(docs, 4)
+        assert sh.select("shard").distinct().count() <= 4
+        cont = gm.contamination(docs, docs.limit(2), n=3)
+        assert cont.where(F.col("contamination") > 0).count() >= 2
+        cd = gm.chunk_dedup(docs, chunk_tokens=2)
+        assert cd.count() == 20
