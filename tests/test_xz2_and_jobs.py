@@ -106,6 +106,54 @@ class TestHotSkew:
         assert s.select(*key).exceptAll(b.select(*key)).count() == 0
 
 
+class TestResumableCorpus:
+    def _run(self, out, force=False, n_docs=1500):
+        from jobs.run_corpus import main
+
+        argv = ["prog", "--out", out, "--n-docs", str(n_docs), "--quota", "200",
+                "--n-shards", "4"]
+        if force:
+            argv.append("--force")
+        old = sys.argv
+        sys.argv = argv
+        try:
+            return main()
+        finally:
+            sys.argv = old
+
+    def test_stages_resume_and_shard_manifest(self, spark, tmp_path):
+        from geomesa_spark.sources.catalog import is_complete, latest_manifest
+
+        out = str(tmp_path / "c1")
+        assert self._run(out) == 0
+        for stage in ("documents", "scored", "dedup", "clean", "sample", "shards"):
+            assert is_complete(os.path.join(out, stage)), stage
+
+        sample1 = spark.read.parquet(os.path.join(out, "sample")).toPandas()
+        # quota respected per language
+        assert sample1.groupby("lang").size().max() <= 200
+        # shards manifest: per-shard metrics sum to the sample rows
+        m = latest_manifest(os.path.join(out, "shards"))
+        assert m["partition_spec"]["n_shards"] == 4
+        assert sum(p["rows"] for p in m["partitions"]) == len(sample1)
+        assert m["lineage"]["input"].endswith("sample")
+        # shard layout: partition dirs exist, positions dense within shard
+        sh = spark.read.parquet(os.path.join(out, "shards"))
+        agg = sh.groupBy("shard").agg(
+            F.count("*").alias("n"), F.max("shard_pos").alias("mx")
+        )
+        assert all(r.mx == r.n for r in agg.collect())
+
+        # simulate a crash after stage 4: drop sample+shards manifests
+        for stage in ("sample", "shards"):
+            mdir = os.path.join(out, stage, "_manifest")
+            for f in os.listdir(mdir):
+                os.remove(os.path.join(mdir, f))
+        assert self._run(out) == 0  # resumes: 1-4 skipped, 5-6 rerun
+        sample2 = spark.read.parquet(os.path.join(out, "sample")).toPandas()
+        assert sorted(sample1["doc_id"]) == sorted(sample2["doc_id"])
+
+
 class TestResumablePipeline:
     def _run(self, out, force=False, n_docs=2000):
         from jobs.run_pipeline import main
