@@ -68,6 +68,13 @@ class GeoMesaSpark:
 
         return read_audit(path)
 
+    def query(self, df: DataFrame, **kw):
+        """Reference Query-object surface: ECQL filter + transforms +
+        QueryHints dispatch (density / BIN / stats / sampling)."""
+        from geomesa_spark.plans.query import run_query
+
+        return run_query(df, **kw)
+
     def ecql(self, df: DataFrame, filter_text: str, **kw) -> DataFrame:
         """Filter ``df`` with an ECQL filter string (the reference's
         -q/--cql surface): parse → index split → coarse cell ranges (if

@@ -375,3 +375,79 @@ class TestPlan:
 
         audit_event(event="x")  # must not raise nor record
         assert read_audit() == []
+
+
+class TestRunQuery:
+    """Unified Query surface (reference QueryHints dispatch)."""
+
+    def test_plain_filter_and_transforms(self, pts_df):
+        from geomesa_spark.plans.query import run_query
+
+        out = run_query(
+            pts_df,
+            filter="BBOX(geom, -5, -5, 5, 5) AND cat = 'a'",
+            transforms=["name", "d=score * 2"],
+        )
+        assert out.columns == ["name", "d"]
+        naive = pts_df.where(
+            (F.col("lon") >= -5) & (F.col("lon") <= 5)
+            & (F.col("lat") >= -5) & (F.col("lat") <= 5)
+            & (F.col("cat") == "a")
+        )
+        assert out.count() == naive.count()
+
+    def test_density_hints_match_operator(self, pts_df):
+        from geomesa_spark.operators.tiles import density_grid
+        from geomesa_spark.plans.query import run_query
+
+        bbox = (-20.0, -10.0, 20.0, 10.0)
+        got = run_query(
+            pts_df,
+            hints={"density_bbox": bbox, "density_width": 8, "density_height": 4},
+        )
+        want = density_grid(pts_df, bbox, 8, 4)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_bin_hints(self, pts_df):
+        from geomesa_spark.plans.query import run_query
+
+        out = run_query(pts_df, hints={"bin_track": "cat", "bin_dtg": "dtg"})
+        assert out.columns == ["track_hash", "secs", "lat", "lon"]
+        assert out.count() == 400
+
+    def test_stats_hints_return_dict(self, pts_df):
+        from geomesa_spark.plans.query import run_query
+
+        out = run_query(pts_df, filter="cat = 'a'", hints={"stats_string": "MinMax(score)"})
+        assert isinstance(out, dict)
+
+    def test_sampling_per_key(self, pts_df):
+        from geomesa_spark.plans.query import run_query
+
+        out = run_query(pts_df, hints={"sampling": 0.1, "sample_by": "cat"})
+        # 1-in-10 per category: 400 rows / 3 cats -> 14 each (ceil 134/10 etc.)
+        n = out.count()
+        assert 39 <= n <= 42
+        # deterministic
+        assert out.count() == run_query(pts_df, hints={"sampling": 0.1, "sample_by": "cat"}).count()
+
+    def test_sampling_hash_deterministic(self, pts_df):
+        from geomesa_spark.plans.query import run_query
+
+        a = {r.id for r in run_query(pts_df, hints={"sampling": 0.25}).select("id").collect()}
+        b = {
+            r.id
+            for r in run_query(pts_df.repartition(7), hints={"sampling": 0.25})
+            .select("id").collect()
+        }
+        assert a == b and 0 < len(a) < 400
+
+    def test_hint_validation(self, pts_df):
+        import pytest as _pytest
+
+        from geomesa_spark.plans.query import run_query
+
+        with _pytest.raises(ValueError, match="unknown"):
+            run_query(pts_df, hints={"densty_bbox": (0, 0, 1, 1)})
+        with _pytest.raises(ValueError, match="conflicting"):
+            run_query(pts_df, hints={"sampling": 0.5, "bin_track": "cat"})
