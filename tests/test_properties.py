@@ -1,0 +1,201 @@
+"""Hypothesis property tests for the curve kernels and the ECQL front
+door — randomized invariants on top of the existing golden/parity
+suites (the discipline that caught the Greiner–Hormann orientation bug
+in round 2, now mechanized).
+
+Curve properties are pure NumPy (no Spark per example — hundreds of
+examples run in milliseconds); the ECQL property executes bounded
+examples against one cached DataFrame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from geomesa_spark.curves.xz import XZ2SFC
+from geomesa_spark.curves.zorder import Z2SFC, Z3SFC
+
+lons = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+lats = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+
+
+@st.composite
+def bboxes(draw, min_span=1e-6):
+    x0 = draw(st.floats(min_value=-180.0, max_value=179.0))
+    y0 = draw(st.floats(min_value=-90.0, max_value=89.0))
+    w = draw(st.floats(min_value=min_span, max_value=180.0 - max(x0, 0)))
+    h = draw(st.floats(min_value=min_span, max_value=90.0 - max(y0, 0)))
+    return (x0, y0, min(x0 + w, 180.0), min(y0 + h, 90.0))
+
+
+class TestZ2Properties:
+    @given(lons, lats)
+    @settings(max_examples=300, deadline=None)
+    def test_round_trip_within_half_cell(self, lon, lat):
+        sfc = Z2SFC()
+        z = sfc.index(lon, lat)
+        lon2, lat2 = sfc.invert(z)
+        cell_w = 360.0 / (1 << 31)
+        cell_h = 180.0 / (1 << 31)
+        assert abs(float(lon2) - min(max(lon, -180.0), 180.0)) <= cell_w
+        assert abs(float(lat2) - min(max(lat, -90.0), 90.0)) <= cell_h
+
+    @given(bboxes(), st.lists(st.tuples(st.floats(0, 1), st.floats(0, 1)), min_size=1, max_size=8),
+           st.sampled_from([4, 16, 64, 1000]))
+    @settings(max_examples=200, deadline=None)
+    def test_ranges_cover_every_inside_point(self, bbox, uv, max_ranges):
+        """Soundness under ANY max_ranges coarsening: a point inside the
+        bbox always lands inside some returned z-range (coarsening may
+        over-cover, never under-cover)."""
+        sfc = Z2SFC()
+        x0, y0, x1, y1 = bbox
+        rngs = sfc.ranges([bbox], max_ranges=max_ranges)
+        for u, v in uv:
+            lon = x0 + u * (x1 - x0)
+            lat = y0 + v * (y1 - y0)
+            z = int(sfc.index(lon, lat))
+            assert any(lo <= z <= hi for lo, hi in rngs), (lon, lat, max_ranges)
+
+    @given(bboxes())
+    @settings(max_examples=100, deadline=None)
+    def test_coarsening_only_grows_cover(self, bbox):
+        """Fewer allowed ranges ⇒ covered z-length only grows (the
+        maxRanges guard trades scan width for planning cost, never
+        correctness)."""
+        sfc = Z2SFC()
+        size = lambda rs: sum(hi - lo + 1 for lo, hi in rs)  # noqa: E731
+        fine = size(sfc.ranges([bbox], max_ranges=1000))
+        coarse = size(sfc.ranges([bbox], max_ranges=4))
+        assert coarse >= fine
+
+
+class TestZ3Properties:
+    @given(lons, lats, st.floats(min_value=0, max_value=Z3SFC.WEEK_MILLIS))
+    @settings(max_examples=200, deadline=None)
+    def test_round_trip(self, lon, lat, t):
+        sfc = Z3SFC()
+        z = sfc.index(lon, lat, t)
+        lon2, lat2, t2 = sfc.invert(z)
+        assert abs(float(lon2) - lon) <= 360.0 / (1 << 21)
+        assert abs(float(lat2) - lat) <= 180.0 / (1 << 21)
+        assert abs(float(t2) - t) <= Z3SFC.WEEK_MILLIS / (1 << 21)
+
+    @given(bboxes(), st.floats(0, Z3SFC.WEEK_MILLIS - 1), st.floats(0, 1),
+           st.lists(st.tuples(st.floats(0, 1), st.floats(0, 1), st.floats(0, 1)),
+                    min_size=1, max_size=5))
+    @settings(max_examples=100, deadline=None)
+    def test_ranges_cover_cube(self, bbox, t_lo, tf, uvw):
+        sfc = Z3SFC()
+        t_hi = t_lo + tf * (Z3SFC.WEEK_MILLIS - t_lo)
+        x0, y0, x1, y1 = bbox
+        rngs = sfc.ranges([bbox], [(t_lo, t_hi)], max_ranges=32)
+        for u, v, w in uvw:
+            z = int(sfc.index(x0 + u * (x1 - x0), y0 + v * (y1 - y0),
+                              t_lo + w * (t_hi - t_lo)))
+            assert any(lo <= z <= hi for lo, hi in rngs)
+
+
+class TestXZ2Properties:
+    @given(bboxes(min_span=1e-4), st.lists(st.tuples(st.floats(0, 1), st.floats(0, 1)),
+                                           min_size=1, max_size=4))
+    @settings(max_examples=100, deadline=None)
+    def test_query_ranges_cover_contained_geometries(self, query, uv):
+        """Any geometry envelope fully inside the query bbox must have
+        its XZ2 index inside some query range (the extended-geometry
+        guarantee: one key per geometry, query covers containment)."""
+        sfc = XZ2SFC()
+        qx0, qy0, qx1, qy1 = query
+        rngs = sfc.ranges([query], max_ranges=1000)
+        for u, v in uv:
+            # a degenerate (point-sized) envelope inside the query
+            gx = qx0 + u * (qx1 - qx0)
+            gy = qy0 + v * (qy1 - qy0)
+            z = int(np.asarray(sfc.index(gx, gy, gx, gy)).ravel()[0])
+            assert any(lo <= z <= hi for lo, hi in rngs)
+
+
+ATTR_FILTERS = [
+    "cat = 'a'",
+    "score > 25",
+    "score BETWEEN 5 AND 45",
+    "name LIKE 'f0%'",
+    "cat IN ('a', 'c')",
+    "score IS NULL",
+    "NOT cat = 'b'",
+]
+SPATIAL_FILTERS = [
+    "BBOX(geom, -10, -5, 10, 5)",
+    "BBOX(geom, -19, -9, 0, 0)",
+    "DWITHIN(geom, POINT (0 0), 500000, meters)",
+    "INTERSECTS(geom, POLYGON ((-5 -5, 5 -5, 5 5, -5 5, -5 -5)))",
+]
+TEMPORAL_FILTERS = [
+    "dtg DURING 2024-01-01T00:00:00Z/2024-01-02T00:00:00Z",
+    "dtg AFTER 2024-01-01T12:00:00Z",
+]
+
+
+@st.composite
+def ecql_filters(draw):
+    """Random AND/OR/NOT trees over the attribute/spatial/temporal
+    predicate pool (depth ≤ 2)."""
+    pool = ATTR_FILTERS + SPATIAL_FILTERS + TEMPORAL_FILTERS
+
+    def leaf():
+        return draw(st.sampled_from(pool))
+
+    depth = draw(st.integers(0, 2))
+    expr = leaf()
+    for _ in range(depth):
+        op = draw(st.sampled_from(["AND", "OR"]))
+        rhs = leaf()
+        if draw(st.booleans()):
+            rhs = f"NOT ({rhs})"
+        expr = f"({expr}) {op} ({rhs})"
+    return expr
+
+
+class TestEcqlProperty:
+    @given(ecql_filters())
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_planned_equals_naive(self, spark_module_df, text):
+        """For ANY generated filter: the index-planned scan (coarse Z2
+        ranges + residual) returns exactly the rows of the naive
+        compiled filter — over-cover in the coarse phase is always
+        corrected by the residual."""
+        from geomesa_spark.plans.ecql import compile_ecql, plan_ecql
+
+        idx_df, raw_df = spark_module_df
+        planned = plan_ecql(idx_df, text, z2_col="cell_z2")
+        naive = raw_df.where(compile_ecql(text))
+        assert planned.count() == naive.count(), text
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_module_df(spark):
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from geomesa_spark.operators.extract import with_z2_cell
+
+    rows = []
+    for i in range(300):
+        rows.append((
+            i, f"f{i:03d}",
+            -20.0 + (i * 31 % 400) / 10.0,
+            -10.0 + (i * 17 % 200) / 10.0,
+            datetime(2024, 1, 1, tzinfo=timezone.utc) + pd.Timedelta(minutes=11 * i).to_pytimedelta(),
+            ["a", "b", "c"][i % 3],
+            float(i % 50) if i % 7 else None,
+        ))
+    df = spark.createDataFrame(
+        rows, "id long, name string, lon double, lat double, dtg timestamp, cat string, score double"
+    ).cache()
+    return with_z2_cell(df).cache(), df
