@@ -1059,8 +1059,11 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # no broadcast hint on the HAVING key list: its size is data-dependent
+    # (could be huge at scale), so AQE's runtime size check picks the
+    # semi-join strategy
     j = (
-        l.join(F.broadcast(big), "l_orderkey", "left_semi")
+        l.join(big, "l_orderkey", "left_semi")
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
     )

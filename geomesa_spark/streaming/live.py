@@ -39,6 +39,7 @@ __all__ = [
     "kafka_features",
     "parse_feature_stream",
     "latest_state",
+    "stream_dedup",
     "with_cell_key",
     "continuous_query",
     "windowed_density",
@@ -133,6 +134,34 @@ def latest_state(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
         )
         .select("__fid__", "dtg", "f.lon", "f.lat", "f.name")
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    text_col: str | None = None,
+    dtg_col: str = "dtg",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the live leg of operators/dedup.py's
+    exact_dedup for an ingest stream: drop records whose key (explicit
+    columns, or the md5 content hash of ``text_col``) was already seen
+    within the watermark horizon.
+
+    State shape at scale: dropDuplicatesWithinWatermark keeps one state
+    row per distinct key, evicted at the watermark — bounded state, no
+    full-history growth; the same content-hash key the batch dedup
+    groups on, so batch and stream agree on what "duplicate" means.
+    """
+    if (key_cols is None) == (text_col is None):
+        raise ValueError("exactly one of key_cols / text_col")
+    w = stream.withWatermark(dtg_col, watermark)
+    if text_col is not None:
+        w = w.withColumn("__content_hash", F.md5(F.col(text_col)))
+        keys = ["__content_hash"]
+    else:
+        keys = list(key_cols)
+    return w.dropDuplicatesWithinWatermark(keys)
 
 
 def with_cell_key(stream: DataFrame, bits: int = 8) -> DataFrame:

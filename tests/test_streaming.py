@@ -61,6 +61,37 @@ class TestStreaming:
         finally:
             q.stop()
 
+    def test_stream_dedup_content_hash(self, spark, stream):
+        from geomesa_spark.streaming.live import stream_dedup
+
+        q = (
+            stream_dedup(stream, text_col="name", watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sdedup_t")
+            .start()
+        )
+        try:
+            ok = _wait_rows(
+                q, lambda: spark.sql("SELECT count(*) c FROM sdedup_t").collect()[0].c > 0
+            )
+            assert ok
+            rows, distinct = spark.sql(
+                "SELECT count(*) c, count(DISTINCT name) d FROM sdedup_t"
+            ).collect()[0]
+            # every surviving record is the first arrival of its content
+            assert rows == distinct
+        finally:
+            q.stop()
+
+    def test_stream_dedup_arg_validation(self, stream):
+        from geomesa_spark.streaming.live import stream_dedup
+
+        with pytest.raises(ValueError):
+            stream_dedup(stream)
+        with pytest.raises(ValueError):
+            stream_dedup(stream, key_cols=["name"], text_col="name")
+
     def test_windowed_density_cells(self, spark, stream):
         q = (
             windowed_density(stream, bits=4, window="5 seconds", watermark="5 seconds")
