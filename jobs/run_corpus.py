@@ -72,7 +72,13 @@ def main() -> int:
     spark = SparkSession.builder.appName("geomesa_spark-corpus").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    t_stage = [time.monotonic()]
+
     def stage(name: str):
+        now = time.monotonic()
+        if t_stage:
+            print(f"  (prev stage wall: {now - t_stage[0]:.1f}s)")
+        t_stage[0] = now
         path = os.path.join(args.out, name)
         done = (not args.force) and is_complete(path)
         print(f"[stage {name}] {'SKIP (manifest committed)' if done else 'RUN'} -> {path}")
