@@ -212,6 +212,33 @@ def main() -> int:
             plan_str(cont),
         ))
 
+        # relational plan features (TPC-H shapes over the sf0.001 tables)
+        sf = "/root/testdata/sf0.001"
+        if os.path.isdir(sf):
+            import __spark_entry__ as entry
+
+            sections.append((
+                "EXISTS as left-semi hash join (tpch_q4)",
+                "the correlated EXISTS probe plans as a left-semi join on "
+                "the order key with the date conjunct in the condition — "
+                "no subquery re-execution per row.",
+                plan_str(entry.q_tpch_q4(spark, sf)),
+            ))
+            sections.append((
+                "Scalar-subquery threshold + anti join (tpch_q22)",
+                "the average-balance threshold evaluates once (scalar "
+                "aggregate, broadcast), the NOT EXISTS plans as a left-anti "
+                "join — lapsed-customer shape with two scans total.",
+                plan_str(entry.q_tpch_q22(spark, sf)),
+            ))
+            sections.append((
+                "OR-of-conjuncts predicate pushdown (tpch_q19)",
+                "the three-branch brand/size/quantity disjunction reaches "
+                "BOTH parquet scans as PushedFilters (Or(And(...))) — the "
+                "scan prunes row groups before the join.",
+                plan_str(entry.q_tpch_q19(spark, sf)),
+            ))
+
     out = ["# PLANS — physical-plan evidence\n",
            "Generated by tools/dump_plans.py; re-run after operator changes.\n"]
     for title, why, plan in sections:
