@@ -601,6 +601,21 @@ def q_smooth_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_query_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 unified Query surface end-to-end: ECQL filter + DENSITY_*
+    hints through plans/query.py::run_query — certifies the reference's
+    single-query-object front door at the driver level (filter wider
+    than the density bbox so each conjunct is exercised separately)."""
+    from geomesa_spark.plans.query import run_query
+
+    return run_query(
+        _points(spark, sf_dir),
+        filter="BBOX(geom, -120, -60, 120, 60)",
+        hints={"density_bbox": (-90.0, -45.0, 90.0, 45.0),
+               "density_width": 36, "density_height": 18},
+    )
+
+
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster pyramid rollup: density tiles at zoom levels 6→3, each
     parent aggregating its four children."""
@@ -1733,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_bbox": q_multi_bbox,
         "knn": q_knn,
         "density_grid": q_density_grid,
+        "query_density": q_query_density,
         "hex_density": q_hex_density,
         "hex_ring_join": q_hex_ring_join,
         "smooth_density": q_smooth_density,
@@ -2131,6 +2147,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM pts
             WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+            GROUP BY 1, 2
+        """,
+        "query_density": f"""
+            WITH {SQL_PTS}
+            SELECT CAST(floor((lon - (-90.0)) / 5.0) AS INT) AS ix,
+                   CAST(floor((lat - (-45.0)) / 5.0) AS INT) AS iy,
+                   CAST(sum(1.0) AS DOUBLE) AS weight,
+                   count(*) AS cnt
+            FROM pts
+            WHERE lon >= -120.0 AND lon <= 120.0 AND lat >= -60.0 AND lat <= 60.0
+              AND lon >= -90.0 AND lon < 90.0 AND lat >= -45.0 AND lat < 45.0
             GROUP BY 1, 2
         """,
         # axial hex transform + cube rounding replicated with the SAME
