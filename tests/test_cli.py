@@ -75,6 +75,19 @@ class TestCli:
         got = spark.read.parquet(out).collect()
         assert [r.name for r in got] == ["c"]
 
+    def test_explain(self, spark, cli, tmp_path, capsys):
+        src = str(tmp_path / "tbl5")
+        spark.createDataFrame(
+            [("a", 1.0, 2.0)], "name string, lon double, lat double"
+        ).write.parquet(src)
+        assert cli.main(["explain", "--input", src, "-q",
+                         "BBOX(geom, -10, -10, 10, 10) AND name = 'a'"]) == 0
+        out = capsys.readouterr().out
+        head = json.loads(out[: out.index("== Physical Plan ==")].rsplit("}", 1)[0] + "}")
+        assert head["plan_events"][0]["index"] == "none"  # no z2 col given
+        assert head["plan_events"][0]["n_envelopes"] == 1
+        assert "PushedFilters" in out
+
     def test_describe(self, spark, cli, tmp_path, capsys):
         src = str(tmp_path / "tbl4")
         spark.createDataFrame(

@@ -134,6 +134,13 @@ SPATIAL_FILTERS = [
 TEMPORAL_FILTERS = [
     "dtg DURING 2024-01-01T00:00:00Z/2024-01-02T00:00:00Z",
     "dtg AFTER 2024-01-01T12:00:00Z",
+    "dtg BEFORE 2024-01-01T06:00:00Z",
+    "dtg TEQUALS 2024-01-01T00:11:00Z",
+]
+EXTRA_FILTERS = [
+    "BEYOND(geom, POINT (10 5), 1000000, meters)",
+    "BBOX(geom, -19, -9, -10, -2) OR BBOX(geom, 5, 2, 19, 9)",
+    "name ILIKE 'F1%'",
 ]
 
 
@@ -141,7 +148,7 @@ TEMPORAL_FILTERS = [
 def ecql_filters(draw):
     """Random AND/OR/NOT trees over the attribute/spatial/temporal
     predicate pool (depth ≤ 2)."""
-    pool = ATTR_FILTERS + SPATIAL_FILTERS + TEMPORAL_FILTERS
+    pool = ATTR_FILTERS + SPATIAL_FILTERS + TEMPORAL_FILTERS + EXTRA_FILTERS
 
     def leaf():
         return draw(st.sampled_from(pool))

@@ -165,6 +165,30 @@ def cmd_describe(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """explain analogue (reference geomesa-tools ExplainCommand): print
+    the planner's decisions for an ECQL query over a table — the
+    audit events (index chosen, envelope count, plan time) and the
+    physical plan, without executing the scan."""
+    from geomesa_spark.plans.audit import disable_audit, enable_audit, read_audit
+    from geomesa_spark.plans.ecql import plan_ecql
+
+    spark = _session(args.cores)
+    df = spark.read.parquet(args.input)
+    kw = {}
+    if args.z2_col:
+        kw["z2_col"] = args.z2_col
+    enable_audit()
+    try:
+        planned = plan_ecql(df, args.cql, lon=args.lon, lat=args.lat, dtg=args.dtg, **kw)
+        events = read_audit()
+    finally:
+        disable_audit()
+    print(json.dumps({"filter": args.cql, "plan_events": events}, default=str, indent=1))
+    planned.explain("formatted")
+    return 0
+
+
 def cmd_compact(args) -> int:
     from geomesa_spark.sources.upsert import compact
 
@@ -228,6 +252,15 @@ def main(argv=None) -> int:
     p = sub.add_parser("describe")
     p.add_argument("--input", required=True)
     p.set_defaults(fn=cmd_describe)
+
+    p = sub.add_parser("explain")
+    p.add_argument("--input", required=True)
+    p.add_argument("-q", "--cql", required=True)
+    p.add_argument("--z2-col")
+    p.add_argument("--lon", default="lon")
+    p.add_argument("--lat", default="lat")
+    p.add_argument("--dtg", default="dtg")
+    p.set_defaults(fn=cmd_explain)
 
     p = sub.add_parser("compact")
     p.add_argument("--table", required=True)
