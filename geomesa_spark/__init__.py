@@ -19,7 +19,7 @@ Everything is DataFrame/Catalyst-first; Python appears only in
 vectorized pandas/Arrow UDF kernels (no per-row Python).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from geomesa_spark.engine import GeoMesaSpark  # noqa: E402
 
