@@ -601,6 +601,40 @@ def q_smooth_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 converter ingest certified end-to-end: the customer table is
+    written to CSV, re-ingested through the SFT-typed converter
+    (read_delimited with an SFT spec), and must reproduce the original
+    rows bit-for-bit (doubles round-trip through Spark's full-precision
+    CSV writer)."""
+    import tempfile
+
+    from geomesa_spark.sources.convert import read_delimited
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tmp = tempfile.mkdtemp(prefix="csv_ingest_")
+    c.coalesce(4).write.mode("overwrite").option("header", "true").csv(tmp)
+    return read_delimited(
+        spark,
+        tmp,
+        "c_custkey:Long,c_name:String,c_nationkey:Long,c_acctbal:Double,c_mktsegment:String",
+        header=True,
+    )
+
+
+def q_orc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 export sink certified end-to-end: nation exported to ORC via
+    the export layer, read back, joined shape preserved."""
+    import tempfile
+
+    from geomesa_spark.sources.export import export
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    tmp = tempfile.mkdtemp(prefix="orc_export_") + "/t"
+    export(n, tmp, "orc")
+    return spark.read.orc(tmp)
+
+
 def q_query_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 unified Query surface end-to-end: ECQL filter + DENSITY_*
     hints through plans/query.py::run_query — certifies the reference's
@@ -1749,6 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "density_grid": q_density_grid,
         "query_density": q_query_density,
+        "csv_ingest": q_csv_ingest,
+        "orc_export": q_orc_export,
         "hex_density": q_hex_density,
         "hex_ring_join": q_hex_ring_join,
         "smooth_density": q_smooth_density,
@@ -2148,6 +2184,12 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
             WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
             GROUP BY 1, 2
+        """,
+        "csv_ingest": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+        """,
+        "orc_export": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "query_density": f"""
             WITH {SQL_PTS}
