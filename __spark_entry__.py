@@ -738,6 +738,24 @@ def q_media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing, driver-checked end-to-end: media
+    refs → Arrow-batched load (deterministic md5-keyed fake payload) →
+    decode dims (first two payload bytes). Certifies the full
+    mapInPandas chain — schema evolution, batch shape, null handling —
+    with the codec itself remaining the documented strict-mode seam."""
+    from geomesa_spark.operators.multimodal import (
+        decode_image, extract_media_refs, load_media,
+    )
+    from geomesa_spark.tables import documents_from_driver_table
+
+    docs = documents_from_driver_table(spark, sf_dir)
+    m = decode_image(load_media(extract_media_refs(docs)))
+    return m.select(
+        "doc_id", "span_offset", "media_ref", "width", "height", "channels"
+    )
+
+
 def q_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 MinMax + count over events."""
     from geomesa_spark.operators.stats import minmax
@@ -1793,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "span_invariant": q_span_invariant,
         "media_spans": q_media_spans,
+        "media_decode": q_media_decode,
         # relational / stats (SURVEY §2.4-2.7)
         "stats_events": q_stats_events,
         "stats_by_type": q_stats_by_type,
@@ -2328,6 +2347,30 @@ def oracle_sql() -> dict[str, str]:
                    printf('s3://m/%d/%d-%d.bin', d.doc_id % 1000, d.doc_id, g.j) AS media_ref
             FROM documents d CROSS JOIN (VALUES (2), (5)) AS g(j)
             WHERE g.j < 1 + (d.doc_id * 2654435761) % 7
+        """,
+        # fake-codec dims replicated: payload = md5(ref) digest tiled,
+        # width/height from its first two bytes (hex-pair arithmetic)
+        "media_decode": """
+            WITH m AS (
+              SELECT printf('doc-%012d', d.doc_id) AS doc_id,
+                     CAST(g.j AS INT) AS span_offset,
+                     printf('s3://m/%d/%d-%d.bin', d.doc_id % 1000, d.doc_id, g.j) AS media_ref
+              FROM documents d CROSS JOIN (VALUES (2), (5)) AS g(j)
+              WHERE g.j < 1 + (d.doc_id * 2654435761) % 7
+            ),
+            b AS (
+              SELECT *,
+                     16 * (strpos('0123456789abcdef', substr(md5(media_ref), 1, 1)) - 1)
+                        + (strpos('0123456789abcdef', substr(md5(media_ref), 2, 1)) - 1) AS b0,
+                     16 * (strpos('0123456789abcdef', substr(md5(media_ref), 3, 1)) - 1)
+                        + (strpos('0123456789abcdef', substr(md5(media_ref), 4, 1)) - 1) AS b1
+              FROM m
+            )
+            SELECT doc_id, span_offset, media_ref,
+                   CAST(8 + b0 % 24 AS INT) AS width,
+                   CAST(8 + b1 % 24 AS INT) AS height,
+                   CAST(3 AS INT) AS channels
+            FROM b
         """,
         # --- relational / stats ------------------------------------------
         "stats_events": """
