@@ -738,6 +738,17 @@ def q_media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 Stat DSL certified end-to-end: the reference's nested spec
+    string (GroupBy(attr, TopK(...))) parsed and evaluated by
+    run_stats_dsl — the text surface over the aggregation layer."""
+    from geomesa_spark.operators.stats import run_stats_dsl
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spec = "GroupBy(event_type,TopK(user_id,3))"
+    return run_stats_dsl(ev, spec)[spec]
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing, driver-checked end-to-end: media
     refs → Arrow-batched load (deterministic md5-keyed fake payload) →
@@ -1812,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_invariant": q_span_invariant,
         "media_spans": q_media_spans,
         "media_decode": q_media_decode,
+        "stats_dsl": q_stats_dsl,
         # relational / stats (SURVEY §2.4-2.7)
         "stats_events": q_stats_events,
         "stats_by_type": q_stats_by_type,
@@ -2347,6 +2359,15 @@ def oracle_sql() -> dict[str, str]:
                    printf('s3://m/%d/%d-%d.bin', d.doc_id % 1000, d.doc_id, g.j) AS media_ref
             FROM documents d CROSS JOIN (VALUES (2), (5)) AS g(j)
             WHERE g.j < 1 + (d.doc_id * 2654435761) % 7
+        """,
+        "stats_dsl": """
+            SELECT event_type, user_id, cnt FROM (
+              SELECT event_type, user_id, count(*) AS cnt,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC
+                     ) AS rk
+              FROM events GROUP BY event_type, user_id
+            ) WHERE rk <= 3
         """,
         # fake-codec dims replicated: payload = md5(ref) digest tiled,
         # width/height from its first two bytes (hex-pair arithmetic)
