@@ -1185,6 +1185,102 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer-distribution shape: left outer join + count,
+    then the distribution of counts — two aggregations with the outer
+    join preserving zero-order customers."""
+    _utc(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top-supplier shape: revenue aggregate reused twice —
+    once per supplier, once for the global max — joined on equality
+    (aggregate-over-aggregate, the classic CTE reuse)."""
+    _utc(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(28,6)")
+        ).alias("__r")
+    )
+    mx = rev.agg(F.max("__r").alias("__m"))
+    top = rev.join(mx, rev.__r == mx.__m).select("l_suppkey", "__r")
+    return (
+        s.join(top, s.s_suppkey == top.l_suppkey)
+        .select("s_suppkey", "s_name", F.col("__r").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order shape: correlated scalar
+    aggregate subquery (per-part average quantity) de-correlated into
+    an aggregate + join; threshold compare in double from decimal-exact
+    operands on both sides."""
+    _utc(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)
+    )
+    avg_q = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("__avg")
+    )
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_q, l.l_partkey == F.col("__pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("__avg"))
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window analytics: per-user 4-row moving average of
+    event values (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) — the
+    sliding-frame analogue next to the latest-per-key window; sum/count
+    computed exactly, one double division."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("mavg"),
+    )
+
+
 def q_bin_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 BIN record packing: (track, secs, lon, lat) over the canonical
     fixture layer (reference BinAggregatingScan 16-byte records)."""
@@ -1844,10 +1940,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "moving_avg": q_moving_avg,
         "bin_records": q_bin_records,
         "set_ops": q_set_ops,
         "sorted_topn": q_sorted_topn,
@@ -2596,6 +2696,51 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS r
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE r = (SELECT max(r) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q17": """
+            WITH avg_q AS (
+              SELECT l_partkey AS pk,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS a
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part  ON l_partkey = p_partkey
+            JOIN avg_q ON l_partkey = pk
+            WHERE p_brand = 'Brand#13' AND p_size <= 10
+              AND l_quantity < 0.2 * a
+        """,
+        "moving_avg": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                     / count(*) OVER w AS mavg
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "tpch_q22": """
             WITH thr AS (
