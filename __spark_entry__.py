@@ -1281,6 +1281,21 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window analytics: per-user value delta vs the previous
+    event (lag) and next event id (lead) — the offset-window primitives
+    next to the sliding frame; subtraction of identical doubles is
+    bit-exact across engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta"),
+        F.lead("event_id", 1).over(w).alias("next_event"),
+    )
+
+
 def q_bin_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 BIN record packing: (track, secs, lon, lat) over the canonical
     fixture layer (reference BinAggregatingScan 16-byte records)."""
@@ -1948,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "moving_avg": q_moving_avg,
+        "lag_delta": q_lag_delta,
         "bin_records": q_bin_records,
         "set_ops": q_set_ops,
         "sorted_topn": q_sorted_topn,
@@ -2733,6 +2749,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN avg_q ON l_partkey = pk
             WHERE p_brand = 'Brand#13' AND p_size <= 10
               AND l_quantity < 0.2 * a
+        """,
+        "lag_delta": """
+            SELECT event_id, user_id,
+                   value - lag(value, 1) OVER w AS delta,
+                   lead(event_id, 1) OVER w AS next_event
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         "moving_avg": """
             SELECT event_id, user_id,
