@@ -1924,6 +1924,16 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: deterministic top-20 tokens by
+    occurrence count with document frequency — the vocab-coverage table
+    a tokenizer build reads first."""
+    from geomesa_spark.operators.corpus import vocab_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_stats(docs, top_k=20)
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 5 probe vectors."""
     from geomesa_spark.operators.ann import cosine_topk
@@ -2083,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "contamination": q_contamination,
         "chunk_dedup": q_chunk_dedup,
+        "vocab_topk": q_vocab_topk,
         "cosine_dup": q_cosine_dup,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
@@ -3185,6 +3196,17 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))),
                      (a, c) -> (a * 31 + c) % 1000000007) AS fp
             FROM documents
+        """,
+        "vocab_topk": """
+            SELECT token, n_occurrences, n_docs,
+                   CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS INT) AS rank
+            FROM (
+              SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+              GROUP BY token
+            )
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 20
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source FROM (

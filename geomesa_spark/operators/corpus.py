@@ -30,7 +30,45 @@ __all__ = [
     "ngrams",
     "contamination",
     "chunk_dedup",
+    "vocab_stats",
 ]
+
+
+def vocab_stats(
+    df: DataFrame,
+    top_k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide vocabulary statistics: per token, total occurrence
+    count and document frequency — the vocab-coverage table a tokenizer
+    build or data-mix audit reads first.
+
+    Output: (token, n_occurrences, n_docs[, rank]); with ``top_k`` the
+    result is the deterministic top-k by count (ties broken by token).
+
+    Scale shape: explode → one map-side-combined groupBy on the token
+    string; doc frequency rides the same aggregation as a distinct
+    count. The top-k limit is a TakeOrdered over the aggregate — no
+    second shuffle.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    agg = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    if top_k is None:
+        return agg
+    return (
+        agg.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+            ),
+        )
+    )
 
 
 def _id_hash(id_col: str) -> Column:
