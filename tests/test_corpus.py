@@ -92,6 +92,25 @@ class TestContamination:
         assert got[1].g == ["a b c", "b c d"]
 
 
+class TestVocabStats:
+    def test_counts_and_doc_freq(self, spark):
+        from geomesa_spark.operators.corpus import vocab_stats
+
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+        )
+        got = {r.token: (r.n_occurrences, r.n_docs) for r in vocab_stats(df).collect()}
+        assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+    def test_topk_deterministic_ties(self, spark):
+        from geomesa_spark.operators.corpus import vocab_stats
+
+        df = spark.createDataFrame([(1, "b a c")], "doc_id long, text string")
+        rows = vocab_stats(df, top_k=2).collect()
+        # ties on count break by token ascending; rank is dense 1..k
+        assert [(r.token, r.rank) for r in rows] == [("a", 1), ("b", 2)]
+
+
 class TestChunkDedup:
     def test_repeated_chunk_removed(self, spark):
         from geomesa_spark.operators.corpus import chunk_dedup
