@@ -116,6 +116,64 @@ class TestXZ2Properties:
             assert any(lo <= z <= hi for lo, hi in rngs)
 
 
+@st.composite
+def rects(draw, grid=None):
+    """Axis-aligned rectangle; with ``grid`` the corners snap to a
+    lattice so exact edge/corner touches are generated often."""
+    if grid:
+        x0 = draw(st.integers(-8, 7)) * grid
+        y0 = draw(st.integers(-8, 7)) * grid
+        x1 = x0 + draw(st.integers(1, 6)) * grid
+        y1 = y0 + draw(st.integers(1, 6)) * grid
+    else:
+        x0 = draw(st.floats(-50, 49, allow_nan=False))
+        y0 = draw(st.floats(-50, 49, allow_nan=False))
+        x1 = x0 + draw(st.floats(0.01, 30))
+        y1 = y0 + draw(st.floats(0.01, 30))
+    return (x0, y0, x1, y1)
+
+
+def _rect_wkt(r):
+    x0, y0, x1, y1 = r
+    return (
+        f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+    )
+
+
+class TestBatchPredicateProperties:
+    """Independent arithmetic oracle for the geometry-pair refine
+    kernel: for axis-aligned rectangles, intersects ⇔ closed bbox
+    overlap and contains ⇔ strict containment — checked over random
+    pair batches including lattice-snapped exact touches (the kernel
+    semantics the geom_join driver oracle states in ANSI SQL)."""
+
+    @given(st.lists(st.tuples(rects(grid=2.5), rects(grid=2.5)), min_size=1, max_size=40))
+    @settings(max_examples=150, deadline=None)
+    def test_rect_pairs_match_arithmetic(self, pairs):
+        from geomesa_spark.geom import batch_predicate
+
+        lw = [_rect_wkt(a) for a, _ in pairs]
+        rw = [_rect_wkt(b) for _, b in pairs]
+        got_i = batch_predicate(lw, rw, "intersects")
+        got_c = batch_predicate(lw, rw, "contains")
+        for k, (a, b) in enumerate(pairs):
+            inter = not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+            contains = a[0] < b[0] and a[1] < b[1] and b[2] < a[2] and b[3] < a[3]
+            assert bool(got_i[k]) == inter, (a, b)
+            assert bool(got_c[k]) == contains, (a, b)
+
+    @given(st.lists(st.tuples(rects(), rects()), min_size=1, max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def test_intersects_symmetric(self, pairs):
+        from geomesa_spark.geom import batch_predicate
+
+        lw = [_rect_wkt(a) for a, _ in pairs]
+        rw = [_rect_wkt(b) for _, b in pairs]
+        ab = batch_predicate(lw, rw, "intersects")
+        ba = batch_predicate(rw, lw, "intersects")
+        assert (ab == ba).all()
+
+
 ATTR_FILTERS = [
     "cat = 'a'",
     "score > 25",
