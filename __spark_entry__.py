@@ -3260,10 +3260,11 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             ),
             ex AS (SELECT doc_id, unnest(cs, recursive := true) FROM ch),
-            firsts AS (SELECT doc_id, chunk, min(pos) AS pos FROM ex GROUP BY doc_id, chunk)
+            firsts AS (SELECT doc_id, chunk, min(pos) AS pos, count(*) AS occ
+                       FROM ex GROUP BY doc_id, chunk)
             SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS dedup_text,
                    CAST(count(*) AS BIGINT) AS n_kept_chunks,
-                   CAST(max(pos) + 1 - count(*) AS BIGINT) AS n_dropped_chunks
+                   CAST(sum(occ) - count(*) AS BIGINT) AS n_dropped_chunks
             FROM firsts GROUP BY doc_id
         """,
         "simhash": f"""

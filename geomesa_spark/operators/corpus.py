@@ -225,7 +225,9 @@ def chunk_dedup(
     exploded = df.select(
         F.col(id_col), F.posexplode(chunks).alias("__pos", "__chunk")
     )
-    firsts = exploded.groupBy(id_col, "__chunk").agg(F.min("__pos").alias("__pos"))
+    firsts = exploded.groupBy(id_col, "__chunk").agg(
+        F.min("__pos").alias("__pos"), F.count("*").alias("__occ")
+    )
     rebuilt = firsts.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -235,8 +237,9 @@ def chunk_dedup(
             " ",
         ).alias(out),
         F.count("*").alias("n_kept_chunks"),
-        F.max("__pos").alias("__maxpos"),
+        F.sum("__occ").alias("__total"),
     )
     return rebuilt.withColumn(
-        "n_dropped_chunks", F.col("__maxpos") + 1 - F.col("n_kept_chunks")
-    ).drop("__maxpos")
+        "n_dropped_chunks",
+        (F.col("__total") - F.col("n_kept_chunks")).cast("long"),
+    ).drop("__total")

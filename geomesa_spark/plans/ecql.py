@@ -501,20 +501,51 @@ def _spatial_col(node, lon: str, lat: str) -> Column:
         # kernel convention: points_in_polygon is the ray-crossing
         # interior test; the closed region adds the boundary
         interior = _pip_predicate(lon, lat, wkt, "interior")
-        if op in ("intersects", "within"):
+        if op == "within":
+            # OGC Within requires an interior∩interior intersection: a
+            # point sitting exactly ON the boundary matches INTERSECTS
+            # but NOT WITHIN (GeoTools/JTS `within` DE-9IM T*F**F***).
+            # The ray-crossing kernel classifies some boundary points as
+            # "in", so subtract the boundary explicitly.
+            return interior & ~_pip_predicate(lon, lat, wkt, "boundary")
+        if op == "intersects":
             return interior | _pip_predicate(lon, lat, wkt, "boundary")
         if op == "disjoint":
             return ~(interior | _pip_predicate(lon, lat, wkt, "boundary"))
         if op == "touches":
-            return _pip_predicate(lon, lat, wkt, "boundary") & ~interior
+            # a point on the boundary cannot simultaneously be interior,
+            # so the boundary test alone IS the touches predicate (and it
+            # must not be vetoed by the ray-crossing kernel's arbitrary
+            # in/out call for boundary points)
+            return _pip_predicate(lon, lat, wkt, "boundary")
         if op in ("contains", "crosses", "overlaps"):
             # a point can't contain an area; crosses/overlaps need
             # higher-dim intersections (OGC dimension matrix)
             return F.lit(False)
     if lineal:
         on = _pip_predicate(lon, lat, wkt, "boundary")  # on-path test
-        if op in ("intersects", "within", "touches"):
+        # OGC boundary of a lineal geometry (Mod-2 rule): component
+        # endpoints occurring an odd number of times; closed components
+        # contribute none.  Point WITHIN line excludes these endpoints
+        # (DE-9IM T*F**F***); point TOUCHES line matches ONLY them.
+        from collections import Counter
+
+        ends: Counter = Counter()
+        for ring in g.rings:
+            if len(ring) > 1 and not (ring[0] == ring[-1]).all():
+                ends[(float(ring[0, 0]), float(ring[0, 1]))] += 1
+                ends[(float(ring[-1, 0]), float(ring[-1, 1]))] += 1
+        at_end = None
+        for (x, y), c in ends.items():
+            if c % 2 == 1:
+                t = (F.col(lon) == x) & (F.col(lat) == y)
+                at_end = t if at_end is None else (at_end | t)
+        if op == "intersects":
             return on
+        if op == "within":
+            return on & ~at_end if at_end is not None else on
+        if op == "touches":
+            return (on & at_end) if at_end is not None else F.lit(False)
         if op == "disjoint":
             return ~on
         return F.lit(False)
@@ -723,8 +754,13 @@ def _node_interval(n, dtg_attr: str):
     if tag == "or":
         a, b = _node_interval(n[1], dtg_attr), _node_interval(n[2], dtg_attr)
         if a and b:
-            lo = a[0] if (b[0] is None or (a[0] is not None and a[0] <= b[0])) else b[0]
-            hi = a[1] if (b[1] is None or (a[1] is not None and a[1] >= b[1])) else b[1]
+            # Union of intervals, None = ±infinity: an open endpoint on
+            # EITHER branch leaves the union open on that side.  (The old
+            # min/max treated None as "other branch wins", which for
+            # `AFTER X OR BEFORE Y` produced the inverted (X, Y) instead
+            # of (-inf, +inf) — violating the over-cover contract.)
+            lo = None if (a[0] is None or b[0] is None) else min(a[0], b[0])
+            hi = None if (a[1] is None or b[1] is None) else max(a[1], b[1])
             return (lo, hi)
         return None
     return None

@@ -124,7 +124,7 @@ def run_query(
         w = Window.partitionBy(by).orderBy(*[F.col(c).asc() for c in out.columns])
         return (
             out.withColumn("__rn", F.row_number().over(w))
-            .where((F.col("__rn") % k) == 1)
+            .where(((F.col("__rn") - 1) % k) == 0)
             .drop("__rn")
         )
     return out.where(

@@ -139,3 +139,14 @@ class TestChunkDedup:
         df = spark.createDataFrame([(1, text)], "doc_id long, text string")
         r = chunk_dedup(df, chunk_tokens=2).collect()[0]
         assert r.dedup_text == "a a b b c c"
+
+    def test_trailing_duplicate_counted(self, spark):
+        from geomesa_spark.operators.corpus import chunk_dedup
+
+        # chunks are [A, A]: the dropped TRAILING duplicate must count
+        # (the old max(first_pos)+1 formula reported 0 dropped here)
+        text = "w x y z w x y z"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = chunk_dedup(df, chunk_tokens=4).collect()[0]
+        assert r.dedup_text == "w x y z"
+        assert r.n_kept_chunks == 1 and r.n_dropped_chunks == 1

@@ -176,6 +176,40 @@ class TestCompile:
         dis = {r.id for r in pts_df.where(compile_ecql(f"DISJOINT(geom, {wkt})")).collect()}
         assert dis == set(p.id) - got
 
+    def test_within_excludes_boundary(self, spark):
+        # OGC/JTS Within (DE-9IM T*F**F***): a point exactly ON the
+        # polygon boundary matches INTERSECTS and TOUCHES but NOT WITHIN
+        df = spark.createDataFrame(
+            [(1, 0.5, 0.5), (2, 0.0, 0.5), (3, 2.0, 2.0), (4, 1.0, 1.0)],
+            "id long, lon double, lat double",
+        )
+        wkt = "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"
+        within = {r.id for r in df.where(compile_ecql(f"WITHIN(geom, {wkt})")).collect()}
+        inter = {r.id for r in df.where(compile_ecql(f"INTERSECTS(geom, {wkt})")).collect()}
+        touch = {r.id for r in df.where(compile_ecql(f"TOUCHES(geom, {wkt})")).collect()}
+        assert within == {1}          # interior only
+        assert inter == {1, 2, 4}     # interior + boundary
+        assert touch == {2, 4}        # boundary only
+
+    def test_within_line_excludes_endpoints(self, spark):
+        # boundary of a line = its endpoints (Mod-2 rule): WITHIN excludes
+        # them, TOUCHES matches only them
+        df = spark.createDataFrame(
+            [(1, 0.5, 0.0), (2, 0.0, 0.0), (3, 1.0, 0.0), (4, 0.5, 1.0)],
+            "id long, lon double, lat double",
+        )
+        wkt = "LINESTRING(0 0, 1 0)"
+        within = {r.id for r in df.where(compile_ecql(f"WITHIN(geom, {wkt})")).collect()}
+        inter = {r.id for r in df.where(compile_ecql(f"INTERSECTS(geom, {wkt})")).collect()}
+        touch = {r.id for r in df.where(compile_ecql(f"TOUCHES(geom, {wkt})")).collect()}
+        assert within == {1}
+        assert inter == {1, 2, 3}
+        assert touch == {2, 3}
+        # a CLOSED line has no boundary: every on-path point is within
+        ring = "LINESTRING(0 0, 1 0, 1 1, 0 0)"
+        w2 = {r.id for r in df.where(compile_ecql(f"WITHIN(geom, {ring})")).collect()}
+        assert 2 in w2 and 4 not in w2
+
     def test_dwithin_point_codegen(self, pts_df):
         got = {
             r.id
@@ -263,6 +297,44 @@ class TestSplit:
     def test_not_contributes_nothing(self):
         bb, iv = split_primary("NOT BBOX(geom, 0, 0, 1, 1)")
         assert bb is None and iv is None
+
+    def test_or_interval_open_endpoints(self):
+        # AFTER X OR BEFORE Y (X > Y) covers ALL time — the union must be
+        # fully open on both sides, never the inverted (X, Y) interval
+        _, iv = split_primary(
+            "dtg AFTER 2024-03-01T00:00:00Z OR dtg BEFORE 2024-02-01T00:00:00Z"
+        )
+        assert iv == (None, None)
+        # one-sided: closed endpoints union, open side stays open
+        _, iv2 = split_primary(
+            "dtg AFTER 2024-03-01T00:00:00Z OR dtg DURING 2024-01-01T00:00:00Z/2024-01-05T00:00:00Z"
+        )
+        assert iv2 == (datetime(2024, 1, 1, tzinfo=timezone.utc), None)
+        # both closed: plain envelope union
+        _, iv3 = split_primary(
+            "dtg DURING 2024-01-01T00:00:00Z/2024-01-05T00:00:00Z"
+            " OR dtg DURING 2024-02-01T00:00:00Z/2024-02-05T00:00:00Z"
+        )
+        assert iv3 == (
+            datetime(2024, 1, 1, tzinfo=timezone.utc),
+            datetime(2024, 2, 5, tzinfo=timezone.utc),
+        )
+
+    def test_or_interval_overcovers_plan(self, pts_df, spark):
+        # end-to-end: plan_ecql with z3 columns must not drop rows for the
+        # disjunctive-open filter (the r3 bug produced an inverted interval
+        # → lit(False) coarse predicate → zero rows)
+        _utc(spark)
+        text = (
+            "BBOX(geom, -180, -90, 180, 90) AND "
+            "(dtg AFTER 2024-01-01T06:00:00Z OR dtg BEFORE 2024-01-01T03:00:00Z)"
+        )
+        residual = pts_df.where(compile_ecql(text))
+        from geomesa_spark.operators.extract import with_z3_cell
+
+        idx = with_z3_cell(pts_df).localCheckpoint(eager=False)
+        planned = plan_ecql(idx, text, z3_cols=("epoch_bin", "cell_z3"))
+        assert {r.id for r in planned.collect()} == {r.id for r in residual.collect()}
 
 
 class TestTransforms:
@@ -441,6 +513,14 @@ class TestRunQuery:
             .select("id").collect()
         }
         assert a == b and 0 < len(a) < 400
+
+    def test_sampling_one_keeps_everything(self, pts_df):
+        # k == 1 (sampling >= ~0.67) must be a no-op, not zero rows
+        from geomesa_spark.plans.query import run_query
+
+        total = pts_df.count()
+        assert run_query(pts_df, hints={"sampling": 1.0, "sample_by": "cat"}).count() == total
+        assert run_query(pts_df, hints={"sampling": 1.0}).count() == total
 
     def test_hint_validation(self, pts_df):
         import pytest as _pytest
