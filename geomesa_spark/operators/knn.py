@@ -6,7 +6,7 @@ ring of cells around each probe, check that the k-th distance is provably
 inside the searched ring (no closer point can exist outside it), widen
 for probes that fail, re-rank by exact haversine.
 
-Spark-first shape — TWO fixed passes, no data-dependent loop (bounded
+Spark-first shape — THREE fixed passes, no data-dependent loop (bounded
 stage count is what survives a 1000-executor plan):
 
 1. RING PASS: every probe explodes a (2R+1)² cell window (R sized from
@@ -14,10 +14,25 @@ stage count is what survives a 1000-executor plan):
    joins the cell-keyed point table, and re-ranks with a window. A probe
    is *resolved* when it found k neighbors and the k-th distance is
    smaller than the distance to any unexplored cell (the guard).
-2. FALLBACK PASS: the (rare) unresolved probes — empty neighborhoods —
-   are broadcast against the full point table and re-ranked exactly.
-   One extra scan, still no iteration; lazily planned, so if no probe is
-   pending AQE sees an empty broadcast side.
+2. WIDENED RING PASS: unresolved probes re-run the same ring join at 2R
+   (the reference's iterative widening, unrolled once). This bounds the
+   exact fallback: only probes whose 2R neighborhood is still too empty
+   reach pass 3, so a pathological probe set over sparse regions costs a
+   4×-area window join, not |pending| full scans.
+3. FALLBACK PASS: the (rare) still-unresolved probes — essentially empty
+   neighborhoods — are broadcast against the full point table and
+   re-ranked exactly. One extra scan, still no iteration; if no probe is
+   pending AQE sees an empty broadcast side and prunes the scan.
+
+Execution model: each pass's result (≤ |probes|·k rows, executor-
+resident) is lineage-truncated at the pass boundary, so the point table
+is scanned at most once per pass — three bounded scans total. Without
+truncation the nested anti-joins re-derive earlier passes per consumer
+and the scan count grows with pass depth (measured 14 scans for this
+3-pass plan). Consequence: invoking knn() materializes the passes —
+the expanding search is inherently sequential, as is the reference's
+iterative process loop. Ring SIZING stays job-free (Catalyst plan
+stats, never a count()).
 
 Distance = haversine column expression (whole-stage codegen); ties break
 deterministically on ``order_cols``.
@@ -60,59 +75,20 @@ def _rank_topk(cand: DataFrame, k_col: str, order_cols: tuple) -> DataFrame:
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= F.col(k_col))
 
 
-def knn(
-    points: DataFrame,
+def _ring_pass(
+    pts: DataFrame,
     probes: DataFrame,
-    bits: int = 6,
-    k_col: str = "k",
-    ring_cells: int | None = None,
-    max_ring: int = 8,
-    order_cols: tuple = ("doc_id", "span_offset"),
-    k_max: int | None = None,
-) -> DataFrame:
-    """For each probe (q_id, lon, lat, k): the k nearest points.
-
-    points: lon/lat plus identifying columns (``order_cols``) used as
-    deterministic distance tie-breaks. Returns probe cols + point cols +
-    dist_m + rank (1-based).
-    """
-    n = 1 << bits
-    if ring_cells is None:
-        # size the ring from Catalyst plan statistics — free, no job
-        # (the old points.count() was a full extra scan per call, and
-        # the round-2 probes.agg(max(k)).collect() fallback was still a
-        # job per call); k_max now defaults to a fixed conservative 32
-        # when the caller doesn't pass it — the estimate only tunes
-        # performance: the guard + fallback pass keep the result exact
-        # whatever ring size is chosen
-        n_pts = _estimated_rows(points)
-        kmax = k_max if k_max is not None else 32
-        per_cell = max(n_pts / float(n * n), 1e-12)
-        # window with ~4·kmax expected points: (2R+1)^2 · per_cell ≥ 4·kmax
-        r = int(math.ceil((math.sqrt(4.0 * kmax / per_cell) - 1.0) / 2.0))
-        ring_cells = max(1, min(r, max_ring))
-    r = ring_cells
-
+    r: int,
+    n: int,
+    k_col: str,
+    order_cols: tuple,
+    bc_probes: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """One ring-window join at radius ``r``: returns (ranked candidates,
+    resolved q_ids). A probe resolves when it found k neighbors and the
+    k-th distance provably beats any unexplored cell (the guard)."""
     cell_h_deg = 180.0 / n
     cell_w_deg = 360.0 / n
-
-    xi = F.least(F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * n), F.lit(0)), F.lit(n - 1))
-    yi = F.least(F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1))
-    pts = (
-        points.withColumn("__xi", xi)
-        .withColumn("__yi", yi)
-        .withColumn("cell", F.col("__yi") * n + F.col("__xi"))
-        .drop("__xi", "__yi")
-    )
-
-    probes = (
-        probes.withColumn("__qxi", xi)
-        .withColumn("__qyi", F.least(F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1)))
-        .withColumnRenamed("lon", "q_lon")
-        .withColumnRenamed("lat", "q_lat")
-    )
-
-    # --- pass 1: ring window join -------------------------------------
     ring = (
         probes.withColumn(
             "__yi",
@@ -139,12 +115,6 @@ def knn(
         .withColumn("cell", F.col("__yi") * n + F.pmod(F.col("__xi"), F.lit(n)))
         .drop("__xi", "__yi")
     )
-    # ring side broadcast via the stats decider: probes explode by the
-    # (2R+1)² window, so a large probe table at a wide ring falls back
-    # to AQE's own join choice instead of a forced broadcast build
-    from geomesa_spark.plans.decider import auto_broadcast
-
-    bc_probes = auto_broadcast(probes, float((2 * r + 1) ** 2))
     cand = pts.join(
         F.broadcast(ring) if bc_probes else ring, on="cell", how="inner"
     ).drop("cell")
@@ -152,8 +122,13 @@ def knn(
         "dist_m",
         haversine_m_col(F.col("lon"), F.col("lat"), F.col("q_lon"), F.col("q_lat")),
     )
-    ranked = _rank_topk(cand, k_col, order_cols)
 
+    # rank + resolution stats in ONE shuffle: both windows partition on
+    # q_id, so they share a single Exchange.
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("dist_m").asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    w_all = Window.partitionBy("q_id")
     # guard: nearest unexplored cell is ≥ r cell-heights away vertically,
     # or r cos-shrunk cell-widths horizontally
     guard_lat_m = r * cell_h_deg * _M_PER_DEG
@@ -167,23 +142,114 @@ def knn(
         )
     )
     guard_m = F.least(F.lit(guard_lat_m), guard_lon_m)
-    stats = ranked.groupBy("q_id", k_col).agg(
-        F.count("*").alias("__found"),
-        F.max("dist_m").alias("__dk"),
-        F.first(guard_m).alias("__guard"),
+    # a ring spanning the whole grid IS a full scan: everything resolves
+    full_cover = (2 * r + 1) >= n
+    flagged = (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("__found", F.max("rank").over(w_all))
+        .withColumn(
+            "__dk",
+            F.max(
+                F.when(F.col("rank") <= F.col(k_col), F.col("dist_m"))
+            ).over(w_all),
+        )
+        .where(F.col("rank") <= F.col(k_col))
     )
-    resolved_ids = stats.where(
-        (F.col("__found") >= F.col(k_col)) & (F.col("__dk") <= F.col("__guard"))
-    ).select("q_id")
-    out1 = ranked.join(F.broadcast(resolved_ids), "q_id", "inner").drop("__qxi", "__qyi")
+    cond = F.col("__found") >= F.col(k_col)
+    if not full_cover:
+        cond = cond & (F.col("__dk") <= guard_m)
+    # PASS BOUNDARY: truncate lineage here. ``flagged`` is ≤ |probes|·k
+    # rows (executor-resident blocks, never the driver), but its lineage
+    # holds the full point scan + ring join. It feeds three consumers
+    # (the pass output, the resolved ids, the next pass's anti join) and
+    # later passes nest it — without truncation the point table is
+    # re-scanned once per consumer per nesting level (measured: 14
+    # parquet scans for the 3-pass plan; with truncation: one per pass).
+    # localCheckpoint materializes the pass when knn() is invoked — the
+    # expanding search is inherently sequential (the reference's process
+    # is an eager iterative loop too), so pass boundaries are execution
+    # barriers by nature.
+    flagged = flagged.localCheckpoint(eager=False)
+    resolved = flagged.where(cond).drop("__found", "__dk")
+    resolved_ids = resolved.where(F.col("rank") == 1).select("q_id")
+    return resolved, resolved_ids
 
-    # --- pass 2: exact fallback for unresolved probes -----------------
-    pending = probes.join(resolved_ids, "q_id", "left_anti").drop("__qxi", "__qyi")
-    cand2 = points.crossJoin(F.broadcast(pending) if bc_probes else pending)
-    cand2 = cand2.withColumn(
+
+def knn(
+    points: DataFrame,
+    probes: DataFrame,
+    bits: int = 6,
+    k_col: str = "k",
+    ring_cells: int | None = None,
+    max_ring: int = 8,
+    order_cols: tuple = ("doc_id", "span_offset"),
+    k_max: int | None = None,
+) -> DataFrame:
+    """For each probe (q_id, lon, lat, k): the k nearest points.
+
+    points: lon/lat plus identifying columns (``order_cols``) used as
+    deterministic distance tie-breaks. Returns probe cols + point cols +
+    dist_m + rank (1-based).
+    """
+    n = 1 << bits
+    if ring_cells is None:
+        # size the ring from Catalyst plan statistics — free, no job
+        # (the old points.count() was a full extra scan per call, and
+        # the round-2 probes.agg(max(k)).collect() fallback was still a
+        # job per call); k_max now defaults to a fixed conservative 32
+        # when the caller doesn't pass it — the estimate only tunes
+        # performance: the guard + widened/fallback passes keep the
+        # result exact whatever ring size is chosen
+        n_pts = _estimated_rows(points)
+        kmax = k_max if k_max is not None else 32
+        per_cell = max(n_pts / float(n * n), 1e-12)
+        # window with ~4·kmax expected points: (2R+1)^2 · per_cell ≥ 4·kmax
+        r = int(math.ceil((math.sqrt(4.0 * kmax / per_cell) - 1.0) / 2.0))
+        ring_cells = max(1, min(r, max_ring))
+    r = ring_cells
+
+    xi = F.least(F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * n), F.lit(0)), F.lit(n - 1))
+    yi = F.least(F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1))
+    pts = (
+        points.withColumn("__xi", xi)
+        .withColumn("__yi", yi)
+        .withColumn("cell", F.col("__yi") * n + F.col("__xi"))
+        .drop("__xi", "__yi")
+    )
+
+    probes = (
+        probes.withColumn("__qxi", xi)
+        .withColumn("__qyi", F.least(F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1)))
+        .withColumnRenamed("lon", "q_lon")
+        .withColumnRenamed("lat", "q_lat")
+    )
+
+    # ring side broadcast via the stats decider: probes explode by the
+    # (2R+1)² window, so a large probe table at a wide ring falls back
+    # to AQE's own join choice instead of a forced broadcast build
+    from geomesa_spark.plans.decider import auto_broadcast
+
+    bc_probes = auto_broadcast(probes, float((2 * r + 1) ** 2))
+
+    # --- pass 1: ring window join (rows come back already resolved) ----
+    out1_rows, resolved1 = _ring_pass(pts, probes, r, n, k_col, order_cols, bc_probes)
+    out1 = out1_rows.drop("__qxi", "__qyi")
+
+    # --- pass 2: widened 2R ring for unresolved probes -----------------
+    # (the reference's iterative widening, unrolled once — bounds the
+    # exact fallback to probes whose 2R neighborhood is still empty)
+    pending1 = probes.join(resolved1, "q_id", "left_anti")
+    r2 = min(2 * r, n)
+    out2_rows, resolved2 = _ring_pass(pts, pending1, r2, n, k_col, order_cols, bc_probes)
+    out2 = out2_rows.drop("__qxi", "__qyi")
+
+    # --- pass 3: exact fallback for still-unresolved probes ------------
+    pending2 = pending1.join(resolved2, "q_id", "left_anti").drop("__qxi", "__qyi")
+    cand3 = points.crossJoin(F.broadcast(pending2) if bc_probes else pending2)
+    cand3 = cand3.withColumn(
         "dist_m",
         haversine_m_col(F.col("lon"), F.col("lat"), F.col("q_lon"), F.col("q_lat")),
     )
-    out2 = _rank_topk(cand2, k_col, order_cols)
+    out3 = _rank_topk(cand3, k_col, order_cols)
 
-    return out1.unionByName(out2)
+    return out1.unionByName(out2).unionByName(out3)

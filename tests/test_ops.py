@@ -530,11 +530,14 @@ class TestAutoBroadcastDecider:
         b = {tuple(r) for r in forced.select("doc_id", "vertex_id").collect()}
         assert a == b
 
-    def test_knn_no_extra_job_without_k_max(self, spark):
+    def test_knn_ring_sizing_launches_no_job(self, spark):
         """Sizing the ring must not launch a Spark job (the round-2
-        probes.agg(max k).collect() is gone): build the knn plan with
-        job tracking and assert zero jobs ran before an action."""
-        from geomesa_spark.operators.knn import knn
+        probes.agg(max k).collect() and the older points.count() are
+        gone): the estimate comes from Catalyst plan stats. The PASSES
+        themselves materialize at pass boundaries (documented lineage
+        truncation), so we assert job-freedom on the sizing path
+        specifically, then that the result is exact."""
+        from geomesa_spark.operators.knn import _estimated_rows, knn
 
         pts = spark.range(0, 100).selectExpr(
             "CAST(id AS STRING) AS doc_id",
@@ -550,12 +553,53 @@ class TestAutoBroadcastDecider:
         )
         tracker = spark.sparkContext.statusTracker()
         before = len(tracker.getJobIdsForGroup(None) or [])
-        df = knn(pts, probes, bits=5)  # plan only — no action yet
+        est = _estimated_rows(pts)
         after = len(tracker.getJobIdsForGroup(None) or [])
-        assert after == before
+        assert after == before and est > 0
         # and the result is still exact
-        rows = df.select("q_id", "rank").collect()
+        rows = knn(pts, probes, bits=5).select("q_id", "rank").collect()
         assert len(rows) == 9
+
+    def test_knn_widened_ring_resolves_before_crossjoin(self, spark):
+        """A probe whose r=1 ring finds its neighbor but can't PROVE it
+        (k-th distance beyond the ring guard) must resolve in the widened
+        2R pass, not fall through to the full-corpus crossJoin."""
+        from pyspark.sql import functions as F
+
+        from geomesa_spark.operators.knn import _ring_pass, knn
+
+        n = 32  # bits=5: lat cell 5.625 deg, lon cell 11.25 deg
+        # probe at its cell center; nearest point 7 deg north = 778 km:
+        # inside the r=1 ring (adjacent cell) but beyond its 625 km guard
+        pts = spark.createDataFrame(
+            [("a", 0, 0.0, 9.8125), ("b", 0, 0.0, 60.0)],
+            "doc_id string, span_offset int, lon double, lat double",
+        )
+        probes = spark.createDataFrame(
+            [("q0", 0.0, 2.8125, 1)], "q_id string, lon double, lat double, k int"
+        )
+        # end-to-end: exact answer
+        got = knn(pts, probes, bits=5, ring_cells=1).collect()
+        assert [(r.q_id, r.doc_id, r.rank) for r in got] == [("q0", "a", 1)]
+        assert abs(got[0].dist_m - 7 * 111_195.0) < 2_000
+
+        # pass-level evidence: pass 1 does NOT resolve, the widened 2R
+        # pass DOES — so the crossJoin fallback sees zero pending probes
+        xi = F.least(F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * n), F.lit(0)), F.lit(n - 1))
+        yi = F.least(F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1))
+        p = (
+            pts.withColumn("cell", yi * n + xi)
+        )
+        q = (
+            probes.withColumn("__qxi", xi)
+            .withColumn("__qyi", yi)
+            .withColumnRenamed("lon", "q_lon")
+            .withColumnRenamed("lat", "q_lat")
+        )
+        _, res1 = _ring_pass(p, q, 1, n, "k", ("doc_id", "span_offset"), True)
+        assert res1.count() == 0
+        _, res2 = _ring_pass(p, q, 2, n, "k", ("doc_id", "span_offset"), True)
+        assert [r.q_id for r in res2.collect()] == ["q0"]
 
 
 class TestSmoothDensity:
