@@ -59,15 +59,20 @@ def vocab_stats(
     )
     if top_k is None:
         return agg
+    # rank the post-limit rows WITHOUT a window: orderBy+limit is a
+    # TakeOrdered yielding one partition of ≤ k rows; after an explicit
+    # in-partition re-sort, monotonically_increasing_id numbers them
+    # 0..k-1 in order. (A bare Window.orderBy would plan a global
+    # WindowExec whose "No Partition Defined" warning reads as a scale
+    # hazard in operator logs — and a constant partitionBy gets folded
+    # away by Catalyst, bringing the warning back.)
+    ordered = [F.col("n_occurrences").desc(), F.col("token").asc()]
     return (
-        agg.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        agg.orderBy(*ordered)
         .limit(top_k)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
-            ),
-        )
+        .coalesce(1)
+        .sortWithinPartitions(*ordered)
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
     )
 
 
