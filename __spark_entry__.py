@@ -1607,7 +1607,10 @@ def q_route_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "heading", ((i * 7 + F.col("span_offset") * 11) % 360).cast("double")
     )
     route = spark.range(0, 25).select(
-        F.lit("r0").alias("route_id"),
+        # non-foldable constant: a literal route_id would be inlined into
+        # route_search's per-route window partition spec and folded away,
+        # planning a "No Partition Defined" global WindowExec
+        F.when(F.col("id") >= 0, "r0").otherwise("rX").alias("route_id"),
         F.col("id").cast("int").alias("vertex_id"),
         (F.lit(-160.0) + F.col("id") * 7.0).alias("lon"),
         (F.lit(-50.0) + F.col("id") * 3.5).alias("lat"),
