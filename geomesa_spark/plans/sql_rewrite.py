@@ -96,6 +96,13 @@ _FILTER_DW = re.compile(
 
 _CLAUSE_KW = re.compile(r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION)\b", re.IGNORECASE)
 
+# strict-mode detector: any two-table spatial predicate anywhere in the
+# text (incl. inside CTEs/subqueries the rewriter does not reach)
+_SPATIAL_PRED_RE = re.compile(
+    r"\bst_(contains|covers|intersects|within|dwithin|distanceSphere)\s*\("
+    r"[^)]*\b\w+\.\w+", re.IGNORECASE,
+)
+
 
 def _scan_condition(sql: str, start: int) -> tuple[str, int]:
     """Extract the ON condition from ``start`` to the next top-level
@@ -180,12 +187,30 @@ def rewrite_spatial_sql(
     spark: SparkSession | None = None,
     bits: int = 6,
     broadcast: bool = True,
+    strict: bool = False,
 ) -> str:
     """Rewrite spatial joins/filters in ``sql``; identity if no
-    supported pattern matches."""
+    supported pattern matches.
+
+    The matcher is textual and handles the documented top-level shapes
+    only: a spatial predicate inside a CTE or subquery falls through
+    UNREWRITTEN (still correct — the st_* functions evaluate as-is, but
+    a geometry×geometry join then runs as the cartesian fallback). Pass
+    ``strict=True`` to raise ``ValueError`` instead of silently taking
+    the identity path when the SQL contains a spatial join predicate
+    that nothing rewrote — the mode to use when a pipeline REQUIRES the
+    cell-cover plan.
+    """
     n = 1 << bits
     out = _rewrite_join(sql, spark, n, broadcast)
     out = _rewrite_literal_filters(out)
+    if strict and out == sql and _SPATIAL_PRED_RE.search(sql):
+        raise ValueError(
+            "rewrite_spatial_sql(strict=True): SQL contains a spatial "
+            "predicate but no supported top-level join/filter shape "
+            "matched (CTEs and subqueries are not rewritten); the query "
+            "would run on the cartesian fallback"
+        )
     return out
 
 

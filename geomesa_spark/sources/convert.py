@@ -124,11 +124,43 @@ def sft_to_schema(spec: str) -> T.StructType:
 _FIELD_RE = re.compile(r"\$(\d+)")
 
 
+#: scripted transform functions, callable from transform expressions as
+#: ``udf:name(args...)`` — the analogue of the reference's scripting
+#: factory (geomesa-convert-common .../transforms/
+#: ScriptingFunctionFactory.scala :~60, where converter configs call
+#: user JS as ``js:name(...)``). Registered functions are wrapped as
+#: Arrow-batched pandas UDFs, so scripted ingest stays vectorized.
+_SCRIPT_REGISTRY: dict[str, "F.udf"] = {}
+
+
+def register_script(name: str, fn, return_type: str = "string") -> None:
+    """Register a vectorized Python function for converter transforms.
+
+    ``fn`` receives one ``pandas.Series`` per argument and must return a
+    ``pandas.Series`` of ``return_type`` (it is wrapped in a
+    ``pandas_udf``, so each call processes an Arrow batch, never a row).
+    After registration, any transform expression may invoke it as
+    ``udf:name($1, ...)``.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR type: the decorator form infers the kind from type
+    # hints, which breaks for callers using `from __future__ import
+    # annotations` (hints arrive as unresolvable strings)
+    _SCRIPT_REGISTRY[name] = pandas_udf(fn, return_type, PandasUDFType.SCALAR)
+
+
+def unregister_script(name: str) -> None:
+    _SCRIPT_REGISTRY.pop(name, None)
+
+
 def compile_transform(expr: str, fields: list[str]) -> Column:
     """Compile one converter transform expression to a Column.
 
     ``$n`` refers to the n-th raw input column (1-based, $0 = whole
     record is not supported). Nested calls compile recursively.
+    ``udf:name(args)`` invokes a function registered with
+    :func:`register_script`.
     """
     expr = expr.strip()
     m = _FIELD_RE.fullmatch(expr)
@@ -138,6 +170,26 @@ def compile_transform(expr: str, fields: list[str]) -> Column:
         return F.lit(expr[1:-1])
     if re.fullmatch(r"-?\d+(\.\d+)?", expr):
         return F.lit(float(expr) if "." in expr else int(expr))
+
+    scripted = re.fullmatch(r"udf:(\w+)\((.*)\)", expr, re.S)
+    if scripted:
+        fn_name, raw = scripted.group(1), scripted.group(2)
+        if fn_name not in _SCRIPT_REGISTRY:
+            raise ValueError(f"unregistered scripted function: {fn_name!r}")
+        args, depth, start = [], 0, 0
+        for i, ch in enumerate(raw):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                args.append(raw[start:i])
+                start = i + 1
+        if raw.strip():
+            args.append(raw[start:])
+        return _SCRIPT_REGISTRY[fn_name](
+            *[compile_transform(a, fields) for a in args]
+        )
 
     call = re.fullmatch(r"(\w+)\((.*)\)", expr, re.S)
     if not call:

@@ -53,6 +53,44 @@ class TestDelimitedConverter:
         assert rows["ALICE"].geom == "POINT (1.5 2.5)"
         assert str(rows["BOB"].dtg).startswith("2024-01-03")
 
+    def test_scripted_udf_transform(self, spark, tmp_path):
+        """ScriptingFunctionFactory analogue: a registered vectorized
+        Python function is callable from the transform language as
+        udf:name(args) and runs as an Arrow-batched pandas UDF during
+        ingest (reference: geomesa-convert-common .../transforms/
+        ScriptingFunctionFactory.scala — converter configs calling
+        user-supplied js:name functions)."""
+        import pandas as pd
+
+        from geomesa_spark.sources.convert import register_script, unregister_script
+
+        def title_tag(name: pd.Series, age: pd.Series) -> pd.Series:
+            return name.str.title() + "#" + age.astype(str)
+
+        register_script("titleTag", title_tag, "string")
+        try:
+            p = tmp_path / "in.csv"
+            p.write_text("alice,30\nbob,40\n")
+            df = read_delimited(
+                spark,
+                str(p),
+                "label:String,age:Int",
+                transforms={"label": "udf:titleTag($1, $2)", "age": "$2"},
+            )
+            rows = sorted((r.label, r.age) for r in df.collect())
+            assert rows == [("Alice#30", 30), ("Bob#40", 40)]
+            # nested: scripted call composes with built-in transforms
+            fields = ["c0", "c1"]
+            d2 = spark.createDataFrame([("x", "7")], "c0 string, c1 string")
+            got = d2.select(
+                compile_transform("upperCase(udf:titleTag($1, $2))", fields).alias("u")
+            ).collect()[0]
+            assert got.u == "X#7"
+        finally:
+            unregister_script("titleTag")
+        with pytest.raises(ValueError, match="unregistered"):
+            compile_transform("udf:titleTag($1)", ["c0"])
+
     def test_transform_language(self, spark):
         fields = ["c0", "c1"]
         df = spark.createDataFrame([("ab", "cd")], "c0 string, c1 string")

@@ -404,3 +404,35 @@ class TestGeomJoinGiantLeft:
             and r["min_lat"] <= 84 and r["max_lat"] >= -84
         }
         assert {p[1] for p in pairs} == want and len(want) > 1500
+
+
+class TestStrictMode:
+    CTE_SQL = """
+    WITH j AS (
+      SELECT p.doc_id, p.span_offset, q.poly_id
+      FROM rw_pts p JOIN rw_polys q
+        ON st_contains(q.wkt, st_point(p.lon, p.lat))
+    )
+    SELECT doc_id, span_offset, poly_id FROM j
+    """
+
+    def test_cte_falls_through_identity_but_correct(self, spark, geo_views):
+        """A spatial join inside a CTE is NOT rewritten (documented
+        boundary) — the identity fallback must still return the right
+        rows via the st_* function evaluation (cartesian fallback)."""
+        assert rewrite_spatial_sql(self.CTE_SQL, spark) == self.CTE_SQL
+        got = set(map(tuple, spark.sql(self.CTE_SQL).collect()))
+        want = set(map(tuple, spark.sql(PIP_SQL).collect()))
+        assert got == want and len(got) > 0
+
+    def test_strict_raises_on_fallthrough(self, spark, geo_views):
+        with pytest.raises(ValueError, match="cartesian fallback"):
+            rewrite_spatial_sql(self.CTE_SQL, spark, strict=True)
+
+    def test_strict_quiet_when_rewrite_fires(self, spark, geo_views):
+        out = rewrite_spatial_sql(PIP_SQL, spark, strict=True)
+        assert "__cell" in out
+
+    def test_strict_quiet_without_spatial_predicate(self, spark):
+        sql = "SELECT 1 AS one"
+        assert rewrite_spatial_sql(sql, spark, strict=True) == sql
