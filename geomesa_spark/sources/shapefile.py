@@ -8,9 +8,14 @@ types: POINT (1) via write_shapefile, POLYLINE (3) and POLYGON (5) via
 write_shapefile_geoms from a WKT column — outer rings clockwise, holes
 counter-clockwise per the spec.
 
-Like pack_bin / to_arrow_ipc this is a driver-side funnel for
-tool-compatibility exports (collect → bytes); bulk data belongs in
-columnar sinks. Numeric/text attributes map to dBase N/C fields.
+The sink is driver-WRITTEN (a shapefile is a single seekable file
+triple) but not driver-BUFFERED: rows stream through
+``df.toLocalIterator()`` one partition at a time, each record is
+emitted to .shp/.shx/.dbf as it arrives, and the headers that need
+totals (file lengths, global bbox, dBase record count) are patched by
+seeking back once the stream is drained. Driver memory is bounded by
+one partition, not the layer size. Bulk data still belongs in columnar
+sinks; this is the tool-compatibility funnel.
 """
 
 from __future__ import annotations
@@ -27,6 +32,60 @@ __all__ = [
     "read_shapefile_geoms",
 ]
 
+_NUMERIC_TYPES = ("integer", "long", "double", "float", "short", "decimal")
+
+
+class _DbfStream:
+    """dBase III writer with a patch-back record count."""
+
+    def __init__(self, path_base: str, cols, numeric: set):
+        self.cols = cols
+        self.fields = []
+        for c in cols:
+            if c in numeric:
+                self.fields.append((c[:10], b"N", 18, 6))
+            else:
+                self.fields.append((c[:10], b"C", 64, 0))
+        rec_len = 1 + sum(f[2] for f in self.fields)
+        hdr_len = 32 + 32 * len(self.fields) + 1
+        self.f = open(path_base + ".dbf", "wb")
+        # record count 0 for now — patched in close()
+        self.f.write(struct.pack("<4BIHH20x", 3, 24, 1, 1, 0, hdr_len, rec_len))
+        for name, typ, size, dec in self.fields:
+            self.f.write(
+                struct.pack("<11s1sIBB14x", name.encode("ascii"), typ, 0, size, dec)
+            )
+        self.f.write(b"\x0d")
+        self.n = 0
+
+    def write(self, r) -> None:
+        self.f.write(b" ")  # not deleted
+        for (name, typ, size, dec), c in zip(self.fields, self.cols):
+            v = r[c]
+            if typ == b"N":
+                s = ("" if v is None else f"{float(v):.{dec}f}").rjust(size)[:size]
+            else:
+                s = ("" if v is None else str(v)).ljust(size)[:size]
+            self.f.write(s.encode("utf-8", "replace")[:size].ljust(size))
+        self.n += 1
+
+    def close(self) -> None:
+        self.f.write(b"\x1a")
+        self.f.seek(4)
+        self.f.write(struct.pack("<I", self.n))
+        self.f.close()
+
+    def abort(self) -> None:
+        self.f.close()
+
+
+def _main_header(file_len_words: int, shape_type: int, bbox) -> bytes:
+    return (
+        struct.pack(">i20xi", 9994, file_len_words)  # code, 20 unused, length
+        + struct.pack("<ii", 1000, shape_type)  # version, shape type
+        + struct.pack("<8d", bbox[0], bbox[1], bbox[2], bbox[3], 0, 0, 0, 0)
+    )
+
 
 def write_shapefile(
     df: DataFrame,
@@ -34,101 +93,80 @@ def write_shapefile(
     lon_col: str = "lon",
     lat_col: str = "lat",
 ) -> int:
-    """Write ``path_base``.shp/.shx/.dbf from a (small, collected)
-    DataFrame of points. All non-coordinate columns become dBase
-    attributes (numerics → N 18.6, everything else → C 64). Returns the
-    record count."""
-    rows = df.collect()
+    """Write ``path_base``.shp/.shx/.dbf from a DataFrame of points,
+    streamed via ``toLocalIterator`` (bounded driver memory). All
+    non-coordinate columns become dBase attributes (numerics → N 18.6,
+    everything else → C 64). Returns the record count."""
     cols = [c for c in df.columns if c not in (lon_col, lat_col)]
-    numeric = {
-        f.name
-        for f in df.schema.fields
-        if f.dataType.typeName() in ("integer", "long", "double", "float", "short", "decimal")
-    }
-
-    xs = [float(r[lon_col]) for r in rows]
-    ys = [float(r[lat_col]) for r in rows]
-    bbox = (min(xs), min(ys), max(xs), max(ys)) if rows else (0.0, 0.0, 0.0, 0.0)
-
-    # --- .shp + .shx ------------------------------------------------------
-    def header(file_len_words: int) -> bytes:
-        return (
-            struct.pack(">i20xi", 9994, file_len_words)  # code, 20 unused, length
-            + struct.pack("<ii", 1000, 1)  # version, shape type POINT
-            + struct.pack("<8d", bbox[0], bbox[1], bbox[2], bbox[3], 0, 0, 0, 0)
-        )
+    numeric = {f.name for f in df.schema.fields if f.dataType.typeName() in _NUMERIC_TYPES}
 
     rec_words = (8 + 20) // 2  # record header + point content, in 16-bit words
-    shp_len = 50 + len(rows) * rec_words
-    shx_len = 50 + len(rows) * 4
+    placeholder = _main_header(0, 1, (0.0, 0.0, 0.0, 0.0))
+    bbox = [float("inf"), float("inf"), float("-inf"), float("-inf")]
+    n, offset = 0, 50
 
+    dbf = _DbfStream(path_base, cols, numeric)
     with open(path_base + ".shp", "wb") as shp, open(path_base + ".shx", "wb") as shx:
-        shp.write(header(shp_len))
-        shx.write(header(shx_len))
-        offset = 50
-        for i, (x, y) in enumerate(zip(xs, ys)):
-            shp.write(struct.pack(">ii", i + 1, 10))  # number, content words
+        shp.write(placeholder)
+        shx.write(placeholder)
+        for r in df.toLocalIterator():
+            x, y = float(r[lon_col]), float(r[lat_col])
+            bbox[0] = min(bbox[0], x)
+            bbox[1] = min(bbox[1], y)
+            bbox[2] = max(bbox[2], x)
+            bbox[3] = max(bbox[3], y)
+            shp.write(struct.pack(">ii", n + 1, 10))  # number, content words
             shp.write(struct.pack("<idd", 1, x, y))
             shx.write(struct.pack(">ii", offset, 10))
             offset += rec_words
+            dbf.write(r)
+            n += 1
+        if n == 0:
+            bbox = [0.0, 0.0, 0.0, 0.0]
+        shp.seek(0)
+        shp.write(_main_header(50 + n * rec_words, 1, bbox))
+        shx.seek(0)
+        shx.write(_main_header(50 + n * 4, 1, bbox))
+    dbf.close()
+    return n
 
-    # --- .dbf (dBase III) -------------------------------------------------
-    fields = []
-    for c in cols:
-        if c in numeric:
-            fields.append((c[:10], b"N", 18, 6))
+
+def _geom_record(g, polygonal: bool):
+    """(parts offsets, concatenated points) for one geometry, rings
+    oriented per the spec (outer CW, holes CCW)."""
+    import numpy as np
+
+    from geomesa_spark.geom import _close, _ring_signed_area2
+
+    pts_list, parts, acc = [], [], 0
+    if polygonal:
+        if g.geom_type == "POLYGON":
+            ring_groups = [g.rings]
         else:
-            fields.append((c[:10], b"C", 64, 0))
-    rec_len = 1 + sum(f[2] for f in fields)
-    hdr_len = 32 + 32 * len(fields) + 1
-    with open(path_base + ".dbf", "wb") as dbf:
-        dbf.write(
-            struct.pack(
-                "<4BIHH20x", 3, 24, 1, 1, len(rows), hdr_len, rec_len
-            )
-        )
-        for name, typ, size, dec in fields:
-            dbf.write(
-                struct.pack("<11s1sIBB14x", name.encode("ascii"), typ, 0, size, dec)
-            )
-        dbf.write(b"\x0d")
-        for r in rows:
-            dbf.write(b" ")  # not deleted
-            for (name, typ, size, dec), c in zip(fields, cols):
-                v = r[c]
-                if typ == b"N":
-                    s = ("" if v is None else f"{float(v):.{dec}f}").rjust(size)[:size]
-                else:
-                    s = ("" if v is None else str(v)).ljust(size)[:size]
-                dbf.write(s.encode("utf-8", "replace")[:size].ljust(size))
-        dbf.write(b"\x1a")
-    return len(rows)
-
-
-def _dbf_write(path_base: str, rows, cols, numeric: set) -> None:
-    fields = []
-    for c in cols:
-        if c in numeric:
-            fields.append((c[:10], b"N", 18, 6))
-        else:
-            fields.append((c[:10], b"C", 64, 0))
-    rec_len = 1 + sum(f[2] for f in fields)
-    hdr_len = 32 + 32 * len(fields) + 1
-    with open(path_base + ".dbf", "wb") as dbf:
-        dbf.write(struct.pack("<4BIHH20x", 3, 24, 1, 1, len(rows), hdr_len, rec_len))
-        for name, typ, size, dec in fields:
-            dbf.write(struct.pack("<11s1sIBB14x", name.encode("ascii"), typ, 0, size, dec))
-        dbf.write(b"\x0d")
-        for r in rows:
-            dbf.write(b" ")
-            for (name, typ, size, dec), c in zip(fields, cols):
-                v = r[c]
-                if typ == b"N":
-                    s = ("" if v is None else f"{float(v):.{dec}f}").rjust(size)[:size]
-                else:
-                    s = ("" if v is None else str(v)).ljust(size)[:size]
-                dbf.write(s.encode("utf-8", "replace")[:size].ljust(size))
-        dbf.write(b"\x1a")
+            by_poly: dict[int, list] = {}
+            for r, pi in zip(g.rings, g.ring_poly):
+                by_poly.setdefault(pi, []).append(r)
+            ring_groups = [rs for _, rs in sorted(by_poly.items())]
+        for rings in ring_groups:
+            for i, r in enumerate(rings):
+                rc = _close(np.asarray(r, dtype=float))
+                area2 = _ring_signed_area2(rc)
+                want_ccw = i > 0  # holes CCW, outer CW
+                if (area2 > 0) != want_ccw:
+                    rc = rc[::-1]
+                parts.append(acc)
+                pts_list.append(rc)
+                acc += len(rc)
+    else:
+        for r in g.rings:
+            r = np.asarray(r, dtype=float)
+            if len(r) < 2:
+                continue
+            parts.append(acc)
+            pts_list.append(r)
+            acc += len(r)
+    pts = np.concatenate(pts_list) if pts_list else np.zeros((0, 2))
+    return parts, pts
 
 
 def write_shapefile_geoms(
@@ -138,103 +176,84 @@ def write_shapefile_geoms(
     from a WKT column (reference ExportCommand exports any geometry via
     GeoTools; here the two extended types the spec defines for 2-D
     paths/rings). The layer must be homogeneous — a shapefile holds ONE
-    shape type. Ring order follows the public spec: outer rings
-    CLOCKWISE (negative shoelace area), holes counter-clockwise; input
-    ring order is normalized on write. Driver-side funnel like
-    write_shapefile."""
+    shape type; a mixed layer aborts the export and removes the partial
+    files. Ring order follows the public spec: outer rings CLOCKWISE
+    (negative shoelace area), holes counter-clockwise; input ring order
+    is normalized on write. Rows stream via ``toLocalIterator`` —
+    driver-written, not driver-buffered."""
     import numpy as np
 
-    from geomesa_spark.geom import _close, _ring_signed_area2, parse_wkt
+    from geomesa_spark.geom import parse_wkt
 
-    rows = df.collect()
     cols = [c for c in df.columns if c != wkt_col]
-    numeric = {
-        f.name
-        for f in df.schema.fields
-        if f.dataType.typeName() in ("integer", "long", "double", "float", "short", "decimal")
-    }
-    geoms = [parse_wkt(r[wkt_col]) for r in rows]
-    types = {g.geom_type.replace("MULTI", "") for g in geoms}
-    if not types <= {"POLYGON"} and not types <= {"LINESTRING"}:
-        raise ValueError(f"write_shapefile_geoms: mixed/unsupported types {types}")
-    polygonal = types == {"POLYGON"}
-    shape_type = 5 if polygonal else 3
+    numeric = {f.name for f in df.schema.fields if f.dataType.typeName() in _NUMERIC_TYPES}
 
-    recs = []  # (parts_offsets, points) per record
-    for g in geoms:
-        pts_list = []
-        parts = []
-        acc = 0
-        if polygonal:
-            # group rings per polygon, orient outer CW / holes CCW
-            if g.geom_type == "POLYGON":
-                ring_groups = [g.rings]
+    placeholder = _main_header(0, 0, (0.0, 0.0, 0.0, 0.0))
+    gbox = [float("inf"), float("inf"), float("-inf"), float("-inf")]
+    n, offset, words_total = 0, 50, 0
+    polygonal: bool | None = None
+    shape_type = 0
+
+    dbf = _DbfStream(path_base, cols, numeric)
+    shp = open(path_base + ".shp", "wb")
+    shx = open(path_base + ".shx", "wb")
+    try:
+        shp.write(placeholder)
+        shx.write(placeholder)
+        for r in df.toLocalIterator():
+            g = parse_wkt(r[wkt_col])
+            base = g.geom_type.replace("MULTI", "")
+            if base not in ("POLYGON", "LINESTRING"):
+                raise ValueError(
+                    f"write_shapefile_geoms: unsupported type {g.geom_type}"
+                )
+            if polygonal is None:
+                polygonal = base == "POLYGON"
+                shape_type = 5 if polygonal else 3
+            elif (base == "POLYGON") != polygonal:
+                raise ValueError(
+                    "write_shapefile_geoms: mixed geometry types in layer"
+                )
+            parts, pts = _geom_record(g, polygonal)
+            if len(pts):
+                bb = (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
             else:
-                by_poly: dict[int, list] = {}
-                for r, pi in zip(g.rings, g.ring_poly):
-                    by_poly.setdefault(pi, []).append(r)
-                ring_groups = [rs for _, rs in sorted(by_poly.items())]
-            for rings in ring_groups:
-                for i, r in enumerate(rings):
-                    rc = _close(np.asarray(r, dtype=float))
-                    area2 = _ring_signed_area2(rc)
-                    want_ccw = i > 0  # holes CCW, outer CW
-                    if (area2 > 0) != want_ccw:
-                        rc = rc[::-1]
-                    parts.append(acc)
-                    pts_list.append(rc)
-                    acc += len(rc)
-        else:
-            for r in g.rings:
-                r = np.asarray(r, dtype=float)
-                if len(r) < 2:
-                    continue
-                parts.append(acc)
-                pts_list.append(r)
-                acc += len(r)
-        pts = np.concatenate(pts_list) if pts_list else np.zeros((0, 2))
-        recs.append((parts, pts))
-
-    def rec_bbox(pts):
-        if len(pts) == 0:
-            return (0.0, 0.0, 0.0, 0.0)
-        return (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
-
-    boxes = [rec_bbox(p) for _, p in recs]
-    if boxes:
-        gbox = (
-            min(b[0] for b in boxes), min(b[1] for b in boxes),
-            max(b[2] for b in boxes), max(b[3] for b in boxes),
-        )
-    else:
-        gbox = (0.0, 0.0, 0.0, 0.0)
-
-    def header(file_len_words: int) -> bytes:
-        return (
-            struct.pack(">i20xi", 9994, file_len_words)
-            + struct.pack("<ii", 1000, shape_type)
-            + struct.pack("<8d", gbox[0], gbox[1], gbox[2], gbox[3], 0, 0, 0, 0)
-        )
-
-    content_words = [
-        (4 + 32 + 4 + 4 + 4 * len(parts) + 16 * len(pts)) // 2 for parts, pts in recs
-    ]
-    shp_len = 50 + sum(4 + w for w in content_words)
-    shx_len = 50 + len(recs) * 4
-    with open(path_base + ".shp", "wb") as shp, open(path_base + ".shx", "wb") as shx:
-        shp.write(header(shp_len))
-        shx.write(header(shx_len))
-        offset = 50
-        for i, ((parts, pts), bb, w) in enumerate(zip(recs, boxes, content_words)):
-            shp.write(struct.pack(">ii", i + 1, w))
+                bb = (0.0, 0.0, 0.0, 0.0)
+            gbox[0] = min(gbox[0], bb[0])
+            gbox[1] = min(gbox[1], bb[1])
+            gbox[2] = max(gbox[2], bb[2])
+            gbox[3] = max(gbox[3], bb[3])
+            w = (4 + 32 + 4 + 4 + 4 * len(parts) + 16 * len(pts)) // 2
+            shp.write(struct.pack(">ii", n + 1, w))
             shp.write(struct.pack("<i4d", shape_type, *bb))
             shp.write(struct.pack("<ii", len(parts), len(pts)))
             shp.write(struct.pack(f"<{len(parts)}i", *parts))
             shp.write(np.ascontiguousarray(pts, dtype="<f8").tobytes())
             shx.write(struct.pack(">ii", offset, w))
             offset += 4 + w
-    _dbf_write(path_base, rows, cols, numeric)
-    return len(rows)
+            words_total += 4 + w
+            dbf.write(r)
+            n += 1
+        if n == 0:
+            gbox = [0.0, 0.0, 0.0, 0.0]
+        shp.seek(0)
+        shp.write(_main_header(50 + words_total, shape_type, gbox))
+        shx.seek(0)
+        shx.write(_main_header(50 + n * 4, shape_type, gbox))
+    except Exception:
+        shp.close()
+        shx.close()
+        dbf.abort()
+        for ext in (".shp", ".shx", ".dbf"):
+            try:
+                os.remove(path_base + ext)
+            except OSError:
+                pass
+        raise
+    shp.close()
+    shx.close()
+    dbf.close()
+    return n
 
 
 def read_shapefile_geoms(path_base: str):

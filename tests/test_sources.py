@@ -356,6 +356,48 @@ class TestShapefile:
         assert nrec == 2 and len(raw) == hlen + nrec * rlen + 1
         assert b"a" in raw and b"10.000000" in raw
 
+    def test_point_export_streams_partitions(self, spark, tmp_path):
+        """The export streams via toLocalIterator (one partition at a
+        time — driver memory bounded by a partition, not the layer):
+        a 20K-row, 16-partition frame round-trips with correct count,
+        patched file lengths, bbox, and dBase record count."""
+        import struct as _s
+
+        from geomesa_spark.sources.shapefile import (
+            read_shapefile_points, write_shapefile,
+        )
+
+        df = spark.range(0, 20_000).selectExpr(
+            "CAST(id AS STRING) AS name",
+            "CAST(id % 360 - 180 + 0.5 AS DOUBLE) AS lon",
+            "CAST(id % 170 - 85 + 0.5 AS DOUBLE) AS lat",
+        ).repartition(16)
+        base = str(tmp_path / "big")
+        assert write_shapefile(df, base) == 20_000
+        pts = read_shapefile_points(base)  # asserts shp length header
+        assert len(pts) == 20_000
+        xs = [p[0] for p in pts]
+        # header bbox was patched after the stream drained
+        hx0, hy0, hx1, hy1 = _s.unpack_from("<4d", open(base + ".shp", "rb").read(68), 36)
+        assert hx0 == min(xs) and hx1 == max(xs)
+        nrec, hlen, rlen = _s.unpack_from("<IHH", open(base + ".dbf", "rb").read(12), 4)
+        assert nrec == 20_000
+
+    def test_geoms_mixed_layer_aborts_clean(self, spark, tmp_path):
+        import os
+
+        from geomesa_spark.sources.shapefile import write_shapefile_geoms
+
+        df = spark.createDataFrame(
+            [("POLYGON((0 0, 1 0, 1 1, 0 0))",), ("LINESTRING(0 0, 1 1)",)],
+            "wkt string",
+        ).coalesce(1)
+        base = str(tmp_path / "mixed")
+        with pytest.raises(ValueError, match="mixed"):
+            write_shapefile_geoms(df, base)
+        # partial files removed — no corrupt shapefile left behind
+        assert not any(os.path.exists(base + e) for e in (".shp", ".shx", ".dbf"))
+
     def test_avro_roundtrip_gated(self, spark, tmp_path):
         """Avro needs the spark-avro jar; run the round-trip when it
         loads, otherwise skip (sandbox has no jar)."""

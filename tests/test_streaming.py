@@ -281,3 +281,92 @@ class TestFileSource:
             assert rows["f-0"]["name"] == "old"
         finally:
             q.stop()
+
+    def test_stream_equals_batch_lambda_merge(self, spark, tmp_path):
+        """Stream-vs-batch equivalence (the oracle contract can't cover
+        T1-T4, foreachBatch outputs can): persist_tick's cell-keyed
+        parquet and latest_state's memory sink, driven by the file-backed
+        stream, must both reduce to exactly the batch latest-wins merge
+        (the lambda_merge shape) computed from the same raw input."""
+        import json
+        import os
+
+        from pyspark.sql import Window
+
+        from geomesa_spark.streaming.live import (
+            file_features,
+            latest_state,
+            parse_feature_stream,
+            persist_tick,
+        )
+
+        src = tmp_path / "feed"
+        src.mkdir()
+
+        def write(name, rows):
+            p = src / f"_{name}.tmp"
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            os.rename(p, src / name)
+
+        write("b0.json", [
+            {"__fid__": f"f-{i}", "dtg": f"2024-01-01 00:0{i}:00",
+             "lon": float(i * 3 - 60), "lat": float(i * 2 - 40), "name": "v0"}
+            for i in range(8)
+        ])
+        out = str(tmp_path / "tiles")
+        feats = file_features(spark, str(src))
+        qp = persist_tick(feats, out, checkpoint=str(tmp_path / "ck1"), bits=4)
+        ql = (
+            latest_state(file_features(spark, str(src)), watermark="10 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("eq_latest")
+            .start()
+        )
+        try:
+            qp.processAllAvailable()
+            ql.processAllAvailable()
+            # batch 2: updates for half the fids + one new fid
+            write("b1.json", [
+                {"__fid__": f"f-{i}", "dtg": f"2024-01-01 01:0{i}:00",
+                 "lon": float(i), "lat": float(-i), "name": "v1"}
+                for i in (0, 2, 4, 8)
+            ])
+            qp.processAllAvailable()
+            ql.processAllAvailable()
+        finally:
+            qp.stop()
+            ql.stop()
+
+        # batch truth: same parse path on the same raw files, then the
+        # lambda_merge latest-wins window (newest dtg per fid)
+        raw = parse_feature_stream(spark.read.text(str(src)))
+        w = Window.partitionBy("__fid__").orderBy(F.col("dtg").desc())
+        batch = (
+            raw.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("__fid__", "dtg", "lon", "lat", "name")
+        )
+        want = {tuple(map(str, r)) for r in batch.collect()}
+        assert len(want) == 9
+
+        # (a) the persisted lambda layer reduces to the same state
+        persisted = spark.read.parquet(out).select("__fid__", "dtg", "lon", "lat", "name")
+        merged = (
+            persisted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        got_persist = {tuple(map(str, r)) for r in merged.collect()}
+        assert got_persist == want
+
+        # (b) the streaming latest_state agrees row-for-row
+        got_stream = {
+            tuple(map(str, r))
+            for r in spark.sql(
+                "SELECT __fid__, dtg, lon, lat, name FROM eq_latest"
+            ).collect()
+        }
+        assert got_stream == want
