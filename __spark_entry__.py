@@ -1576,6 +1576,118 @@ def q_ecql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ecql_within_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGC boundary semantics of WITHIN/TOUCHES/INTERSECTS (round-4
+    ADVICE fix, reference: GeoTools/JTS DE-9IM — Within is T*F**F***,
+    a point ON the polygon boundary intersects and touches but is NOT
+    within). Points snap to a coarse grid so rows land EXACTLY on the
+    rectangle's edges; the oracle states the three predicates
+    arithmetically."""
+    from geomesa_spark.plans.ecql import compile_ecql
+
+    pts = _points(spark, sf_dir).select(
+        "doc_id",
+        "span_offset",
+        (F.floor(F.col("lon") / 50) * 50).cast("double").alias("px"),
+        (F.floor(F.col("lat") / 20) * 20).cast("double").alias("py"),
+    )
+    wkt = "POLYGON((-100 -40, 0 -40, 0 40, -100 40, -100 -40))"
+    w = compile_ecql(f"WITHIN(geom, {wkt})", lon="px", lat="py")
+    t = compile_ecql(f"TOUCHES(geom, {wkt})", lon="px", lat="py")
+    i = compile_ecql(f"INTERSECTS(geom, {wkt})", lon="px", lat="py")
+    return (
+        pts.withColumn("w", w).withColumn("t", t).where(i)
+        .select("doc_id", "span_offset", "px", "py", "w", "t")
+    )
+
+
+def q_ecql_or_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive OPEN temporal intervals through the planner (round-4
+    ADVICE fix: `AFTER t1 OR BEFORE t2` with t1 > t2 covers ALL time —
+    the split must widen to the open union, never the inverted (t1,t2)
+    z3 range that silently dropped every row). Runs the full
+    parse → split → coarse-z3 → residual path on materialized index
+    columns."""
+    from geomesa_spark.operators.extract import with_z3_cell
+    from geomesa_spark.plans.ecql import plan_ecql
+
+    _utc(spark)
+    pts = _points(spark, sf_dir)
+    i = F.substring("doc_id", 5, 12).cast("long")
+    pts = pts.withColumn(
+        "dtg", F.timestamp_seconds(F.lit(1704067200) + i * 37 + F.col("span_offset") * 13)
+    )
+    idx = with_z3_cell(pts).localCheckpoint(eager=False)
+    x0, y0, x1, y1 = BBOX
+    text = (
+        f"BBOX(geom, {x0}, {y0}, {x1}, {y1}) AND "
+        "(dtg AFTER 2024-01-03T00:00:00Z OR dtg BEFORE 2024-01-02T00:00:00Z)"
+    )
+    return plan_ecql(idx, text, z3_cols=("epoch_bin", "cell_z3")).select(
+        "doc_id", "span_offset", "lon", "lat"
+    )
+
+
+def q_sampling_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key sampling at fraction 1.0 through the query facade
+    (round-4 ADVICE fix: k == 1 must keep EVERY row — the old
+    `rn % k == 1` test is never true at k = 1)."""
+    from geomesa_spark.plans.query import run_query
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id"
+    )
+    return run_query(ev, hints={"sampling": 1.0, "sample_by": "event_type"})
+
+
+def q_sampling_per_key3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key deterministic 1-in-3 sampling through the query facade
+    (SamplingIterator per-key thinning; the oracle replays the exact
+    window-rank-mod rule)."""
+    from geomesa_spark.plans.query import run_query
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id"
+    )
+    return run_query(ev, hints={"sampling": 1 / 3, "sample_by": "event_type"})
+
+
+def q_csv_ingest_scripted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 converter ingest with a SCRIPTED transform (reference
+    geomesa-convert-common .../transforms/ScriptingFunctionFactory.scala
+    — converter configs calling user functions): the customer table
+    round-trips through CSV and a registered vectorized Python function
+    builds a derived attribute via udf:tag($2, $3); the oracle states
+    the same derivation in SQL."""
+    import tempfile
+
+    from geomesa_spark.sources.convert import (
+        read_delimited,
+        register_script,
+        unregister_script,
+    )
+
+    def tag(name, nationkey):
+        return name.str.upper() + "#" + nationkey
+
+    register_script("tag", tag, "string")
+    try:
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        tmp = tempfile.mkdtemp(prefix="csv_scripted_")
+        c.coalesce(4).write.mode("overwrite").option("header", "true").csv(tmp)
+        # the compiled Column closes over the UDF object itself, so the
+        # registry entry may be released as soon as compile finishes
+        return read_delimited(
+            spark,
+            tmp,
+            "c_custkey:Long,label:String",
+            transforms={"c_custkey": "$1", "label": "udf:tag($2, $3)"},
+            header=True,
+        )
+    finally:
+        unregister_script("tag")
+
+
 def q_track_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrackLabelProcess analogue: one labeling feature per track — the
     most recent point (reference geomesa-process-vector
@@ -2060,6 +2172,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         # ==== end of the driver's 50-row certification window ====
         # --- tail: variants, breadth, remaining shapes ---
+        "ecql_within_boundary": q_ecql_within_boundary,
+        "ecql_or_interval": q_ecql_or_interval,
+        "sampling_k1": q_sampling_k1,
+        "sampling_per_key3": q_sampling_per_key3,
+        "csv_ingest_scripted": q_csv_ingest_scripted,
         "geohash_cells": q_geohash_cells,
         "cms_estimates": q_cms_estimates,
         "window_latest": q_window_latest,
@@ -3054,6 +3171,59 @@ def oracle_sql() -> dict[str, str]:
               AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
               AND secs > 1704067200 AND secs < 1704317200
               AND doc_id LIKE 'doc-%' AND span_offset BETWEEN 0 AND 3
+        """,
+        # OGC DE-9IM semantics on snapped-to-edge points: within =
+        # strict interior, touches = boundary only, intersects = either
+        "ecql_within_boundary": f"""
+            WITH {SQL_PTS},
+            s AS (
+              SELECT doc_id, span_offset,
+                     CAST(floor(lon / 50) * 50 AS DOUBLE) AS px,
+                     CAST(floor(lat / 20) * 20 AS DOUBLE) AS py
+              FROM pts
+            ),
+            f AS (
+              SELECT *,
+                     (px > -100 AND px < 0 AND py > -40 AND py < 40) AS inside,
+                     (((px = -100 OR px = 0) AND py >= -40 AND py <= 40)
+                      OR ((py = -40 OR py = 40) AND px >= -100 AND px <= 0)) AS onb
+              FROM s
+            )
+            SELECT doc_id, span_offset, px, py,
+                   (inside AND NOT onb) AS w, onb AS t
+            FROM f WHERE inside OR onb
+        """,
+        # AFTER t1 OR BEFORE t2 with t1 > t2 = ALL time: only the bbox
+        # + residual constrain the rows (the z3 coarse pass must be a
+        # no-op, not an inverted empty range)
+        "ecql_or_interval": f"""
+            WITH {SQL_PTS},
+            t AS (
+              SELECT doc_id, span_offset, lon, lat,
+                     (1704067200 + CAST(substr(doc_id, 5, 12) AS BIGINT) * 37
+                        + span_offset * 13) AS secs
+              FROM pts
+            )
+            SELECT doc_id, span_offset, lon, lat FROM t
+            WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
+              AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+              AND (secs > 1704240000 OR secs < 1704153600)
+        """,
+        "sampling_k1": """
+            SELECT event_type, event_id FROM events
+        """,
+        "sampling_per_key3": """
+            SELECT event_type, event_id FROM (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY event_type ASC, event_id ASC) AS rn
+              FROM events
+            ) WHERE (rn - 1) % 3 = 0
+        """,
+        "csv_ingest_scripted": """
+            SELECT c_custkey,
+                   upper(c_name) || '#' || CAST(c_nationkey AS VARCHAR) AS label
+            FROM customer
         """,
         # the diamond's closed region == the L1 ball |dx|+|dy| <= r;
         # no grid point sits on the boundary (see _ECQL_DIAMOND note) so

@@ -18,20 +18,80 @@ from pyspark.sql import functions as F
 __all__ = ["export", "to_geojson_lines", "bin_records", "pack_bin", "to_arrow_ipc"]
 
 
-def to_arrow_ipc(df: DataFrame, path: str, sort_by: str | None = None) -> int:
-    """A11 Arrow export (reference ArrowScan/ArrowExporter): the engine
-    is Arrow-native at every UDF boundary already; the IPC file sink
-    uses PySpark 4's ``toArrow`` (driver-side collect — the reference's
-    client-side batch merge is the same funnel; huge exports should use
-    ``export(..., 'parquet')`` instead). Returns rows written."""
+def to_arrow_ipc(
+    df: DataFrame,
+    path: str,
+    sort_by: str | None = None,
+    dictionary_cols: tuple[str, ...] = (),
+    batch_rows: int = 65536,
+) -> int:
+    """A11 Arrow export (reference ArrowScan/ArrowExporter, full form:
+    geomesa-arrow .../arrow/io/DeltaWriter.scala — SORTED record
+    batches with DICTIONARY-encoded attributes whose dictionaries grow
+    by DELTAS across batches, merged client-side).
+
+    ``dictionary_cols`` are emitted as int32-indexed dictionary arrays;
+    each batch's dictionary is a prefix-superset of the previous one,
+    so the IPC stream carries only the NEW values per batch
+    (``emit_dictionary_deltas``). ``sort_by`` orders rows before
+    batching, giving the reference's sorted-batch layout.
+
+    Driver-side collect funnel like the reference's client-side merge;
+    huge exports should use ``export(..., 'parquet')``. Returns rows
+    written."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
     if sort_by:
         df = df.orderBy(sort_by)
     table = df.toArrow()
-    with pa.OSFile(path, "wb") as f, ipc.new_file(f, table.schema) as w:
-        w.write_table(table)
+    batches = table.to_batches(max_chunksize=batch_rows) or [
+        pa.RecordBatch.from_pylist([], schema=table.schema)
+    ]
+
+    if not dictionary_cols:
+        with pa.OSFile(path, "wb") as f, ipc.new_file(f, table.schema) as w:
+            w.write_table(table)
+        return table.num_rows
+
+    # running value->index mappings: batch k's dictionary is batch
+    # k-1's plus the values first seen in batch k, so the writer can
+    # emit a delta (only the tail) instead of a replacement
+    mappings: dict[str, dict] = {c: {} for c in dictionary_cols}
+
+    def encode(batch: "pa.RecordBatch") -> "pa.RecordBatch":
+        arrays, fields = [], []
+        for i, name in enumerate(batch.schema.names):
+            col = batch.column(i)
+            if name in mappings:
+                m = mappings[name]
+                vals = col.to_pylist()
+                for v in vals:
+                    if v is not None and v not in m:
+                        m[v] = len(m)
+                idx = pa.array(
+                    [None if v is None else m[v] for v in vals], pa.int32()
+                )
+                arr = pa.DictionaryArray.from_arrays(
+                    idx, pa.array(list(m), type=col.type)
+                )
+                arrays.append(arr)
+                fields.append(pa.field(name, arr.type))
+            else:
+                arrays.append(col)
+                fields.append(batch.schema.field(i))
+        return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+    encoded = [encode(b) for b in batches]
+    opts = ipc.IpcWriteOptions(emit_dictionary_deltas=True)
+    # stream format: the file format's footer assumes one dictionary
+    # per id, deltas are a stream-format feature (as in the reference,
+    # whose scans return IPC streams the client merges)
+    with pa.OSFile(path, "wb") as f, ipc.new_stream(
+        f, encoded[0].schema, options=opts
+    ) as w:
+        for b in encoded:
+            w.write_batch(b)
     return table.num_rows
 
 
@@ -113,15 +173,15 @@ def bin_records(
 
 
 def pack_bin(df: DataFrame) -> bytes:
-    """Pack a (small, collected) BIN projection into the reference's
-    16-byte little-endian records (24 with label). Large exports should
-    write the columnar form (bin_records → parquet) instead; this is
-    the byte-compatible tail for tooling parity."""
-    rows = df.collect()
+    """Pack a BIN projection into the reference's 16-byte little-endian
+    records (24 with label), streamed via ``toLocalIterator`` (driver
+    memory bounded by one partition plus the output buffer). Large
+    exports should write the columnar form (bin_records → parquet)
+    instead; this is the byte-compatible tail for tooling parity."""
     with_label = "label" in df.columns
     fmt = "<iiff" + ("q" if with_label else "")
     out = bytearray()
-    for r in rows:
+    for r in df.toLocalIterator():
         vals = [r.track_hash, r.secs, r.lat, r.lon] + ([r.label] if with_label else [])
         out += struct.pack(fmt, *vals)
     return bytes(out)

@@ -188,6 +188,46 @@ class TestExport:
             t = r.read_all()
         assert t.num_rows == 100 and t.column("id")[0].as_py() == 0
 
+    def test_arrow_ipc_dictionary_deltas(self, spark, tmp_path):
+        """DeltaWriter parity: sorted batches, dictionary-encoded string
+        column, dictionaries growing by DELTAS across batches (batch 2's
+        dictionary message carries only the values first seen there)."""
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        from geomesa_spark.sources.export import to_arrow_ipc
+
+        # batch 1 (ids 0..9) uses categories a/b; batch 2 adds c/d
+        rows = [(i, "a" if i % 2 == 0 else "b") for i in range(10)]
+        rows += [(i, "c" if i % 2 == 0 else "d") for i in range(10, 20)]
+        df = spark.createDataFrame(rows, "id long, cat string")
+        p = str(tmp_path / "delta.arrow")
+        n = to_arrow_ipc(df, p, sort_by="id", dictionary_cols=("cat",), batch_rows=10)
+        assert n == 20
+
+        with ipc.open_stream(p) as r:
+            t = r.read_all()
+        assert t.num_rows == 20
+        assert pa.types.is_dictionary(t.schema.field("cat").type)
+        got = [(row["id"], row["cat"]) for row in t.to_pylist()]
+        assert got == sorted(rows)
+
+        # message-level: two DictionaryBatch messages, the second a
+        # delta strictly smaller than a full replacement
+        dict_lens = []
+        with pa.OSFile(p, "rb") as f:
+            reader = pa.ipc.MessageReader.open_stream(f)
+            while True:
+                try:
+                    msg = reader.read_next_message()
+                except StopIteration:
+                    break
+                if msg is None:
+                    break
+                if msg.type == "dictionary":
+                    dict_lens.append(msg.serialize().size)
+        assert len(dict_lens) == 2
+
     def test_geojson_every_geometry_type(self, spark):
         """ADVICE round-1: coordinates must survive for every geometry
         type, not just Polygon-shaped nesting."""
