@@ -86,7 +86,8 @@ _KEYWORDS = {
     "AND", "OR", "NOT", "BETWEEN", "LIKE", "ILIKE", "IN", "IS", "NULL",
     "TRUE", "FALSE", "BBOX", "INTERSECTS", "DISJOINT", "CONTAINS",
     "WITHIN", "TOUCHES", "CROSSES", "OVERLAPS", "EQUALS", "DWITHIN",
-    "BEYOND", "DURING", "BEFORE", "AFTER", "TEQUALS",
+    "BEYOND", "DURING", "BEFORE", "AFTER", "TEQUALS", "INCLUDE",
+    "EXCLUDE",
 }
 
 
@@ -312,6 +313,21 @@ class _Parser:
             return self._spatial(t.val)
         if t.kind == "kw" and t.val in ("DWITHIN", "BEYOND"):
             return self._dwithin(t.val == "BEYOND")
+        if t.kind == "kw" and t.val in ("INCLUDE", "EXCLUDE"):
+            # the OGC universal filters (GeoMesa CLI -q "INCLUDE" is the
+            # conventional full-scan query)
+            self.lx.next()
+            return ("include",) if t.val == "INCLUDE" else ("exclude",)
+        if t.kind == "kw" and t.val == "IN":
+            # top-level IN = the GeoTools feature-ID filter: IN ('f1','f2')
+            self.lx.next()
+            self.lx.expect("lparen")
+            vals = [self._literal()]
+            while self.lx.peek().kind == "comma":
+                self.lx.next()
+                vals.append(self._literal())
+            self.lx.expect("rparen")
+            return ("fid_in", [str(v) for v in vals])
         if t.kind == "ident":
             return self._attr_predicate()
         raise EcqlError(f"unexpected token {t.val!r} at {t.start}")
@@ -393,6 +409,10 @@ class _Parser:
             negated = True
             t = self.lx.next()
         if t.kind == "op":
+            # attr-vs-attr comparison (GeoTools: a > b) when the right
+            # side is a bare identifier, else attr-vs-literal
+            if self.lx.peek().kind == "ident":
+                return ("cmpa", t.val, attr, self.lx.next().val)
             return ("cmp", t.val, attr, self._literal())
         if t.kind == "kw" and t.val == "BETWEEN":
             lo = self._literal()
@@ -602,6 +622,7 @@ def compile_ecql(
     lat: str = "lat",
     dtg: str | None = "dtg",
     geom_attr: str = "geom",
+    fid_attr: str = "__fid__",
 ) -> Column:
     """Compile an ECQL filter (text or parsed AST) to one Catalyst
     ``Column``. The geometry attribute ``geom_attr`` resolves to the
@@ -630,6 +651,19 @@ def compile_ecql(
                 "=": c == lit(v), "<>": c != lit(v), "<": c < lit(v),
                 "<=": c <= lit(v), ">": c > lit(v), ">=": c >= lit(v),
             }[op]
+        if tag == "cmpa":
+            _, op, a, b = n
+            c, d = F.col(a), F.col(b)
+            return {
+                "=": c == d, "<>": c != d, "<": c < d,
+                "<=": c <= d, ">": c > d, ">=": c >= d,
+            }[op]
+        if tag == "include":
+            return F.lit(True)
+        if tag == "exclude":
+            return F.lit(False)
+        if tag == "fid_in":
+            return F.col(fid_attr).isin(list(n[1]))
         if tag == "between":
             _, attr, lo, hi, neg = n
             c = F.col(attr).between(lit(lo), lit(hi))

@@ -531,3 +531,44 @@ class TestRunQuery:
             run_query(pts_df, hints={"densty_bbox": (0, 0, 1, 1)})
         with _pytest.raises(ValueError, match="conflicting"):
             run_query(pts_df, hints={"sampling": 0.5, "bin_track": "cat"})
+
+
+class TestGrammarRound4:
+    def test_include_exclude(self, pts_df):
+        assert parse_ecql("INCLUDE") == ("include",)
+        assert parse_ecql("EXCLUDE") == ("exclude",)
+        total = pts_df.count()
+        assert pts_df.where(compile_ecql("INCLUDE")).count() == total
+        assert pts_df.where(compile_ecql("EXCLUDE")).count() == 0
+        # composes: INCLUDE AND x == x; EXCLUDE OR x == x
+        a = pts_df.where(compile_ecql("INCLUDE AND cat = 'a'")).count()
+        b = pts_df.where(compile_ecql("EXCLUDE OR cat = 'a'")).count()
+        c = pts_df.where(compile_ecql("cat = 'a'")).count()
+        assert a == b == c > 0
+        # no index primary from the universal filters
+        assert split_primary("INCLUDE") == (None, None)
+
+    def test_feature_id_filter(self, spark):
+        ast = parse_ecql("IN ('f-1', 'f-3')")
+        assert ast == ("fid_in", ["f-1", "f-3"])
+        df = spark.createDataFrame(
+            [("f-1", 1), ("f-2", 2), ("f-3", 3)], "__fid__ string, v int"
+        )
+        got = {r.v for r in df.where(compile_ecql("IN ('f-1', 'f-3')")).collect()}
+        assert got == {1, 3}
+        # still an attribute IN when an attribute precedes it
+        assert parse_ecql("cat IN ('a')")[0] == "in"
+
+    def test_attr_vs_attr_comparison(self, spark):
+        ast = parse_ecql("score > bonus")
+        assert ast == ("cmpa", ">", "score", "bonus")
+        df = spark.createDataFrame(
+            [(1, 10, 5), (2, 3, 7), (3, 4, 4)], "id int, score int, bonus int"
+        )
+        got = {r.id for r in df.where(compile_ecql("score > bonus")).collect()}
+        assert got == {1}
+        eq = {r.id for r in df.where(compile_ecql("score = bonus")).collect()}
+        assert eq == {3}
+        # literal comparisons unaffected
+        lit = {r.id for r in df.where(compile_ecql("score > 4")).collect()}
+        assert lit == {1}

@@ -199,6 +199,9 @@ EXTRA_FILTERS = [
     "BEYOND(geom, POINT (10 5), 1000000, meters)",
     "BBOX(geom, -19, -9, -10, -2) OR BBOX(geom, 5, 2, 19, 9)",
     "name ILIKE 'F1%'",
+    # inverted disjunctive-open interval: covers ALL time (round-4 fix)
+    "dtg AFTER 2024-01-01T12:00:00Z OR dtg BEFORE 2024-01-01T06:00:00Z",
+    "INCLUDE",
 ]
 
 
@@ -264,3 +267,29 @@ def spark_module_df(spark):
         rows, "id long, name string, lon double, lat double, dtg timestamp, cat string, score double"
     ).cache()
     return with_z2_cell(df).cache(), df
+
+
+@pytest.fixture(scope="module")
+def spark_z3_df(spark_module_df):
+    from geomesa_spark.operators.extract import with_z3_cell
+
+    _, raw = spark_module_df
+    return with_z3_cell(raw).cache(), raw
+
+
+class TestEcqlZ3Property:
+    @given(ecql_filters())
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_planned_equals_naive_z3(self, spark_z3_df, text):
+        """Same over-cover-corrected-by-residual property through the Z3
+        (spatiotemporal) planner path — the path where an inverted
+        temporal-interval union (round-4 ADVICE: AFTER x OR BEFORE y)
+        silently compiled to an empty coarse range and dropped rows.
+        Disjunctive/open intervals in the pool exercise exactly that."""
+        from geomesa_spark.plans.ecql import compile_ecql, plan_ecql
+
+        idx_df, raw_df = spark_z3_df
+        planned = plan_ecql(idx_df, text, z3_cols=("epoch_bin", "cell_z3"))
+        naive = raw_df.where(compile_ecql(text))
+        assert planned.count() == naive.count(), text
