@@ -1905,6 +1905,40 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: email/phone/IPv4/card spans
+    replaced with typed placeholders + per-kind audit counts, all JVM
+    regexp built-ins (no UDF). PII-shaped spans are synthesized
+    deterministically into every third document IN BOTH ENGINES, then
+    both scrub with the identical pattern strings (Java regex and RE2
+    agree on this conservative subset — verified char-for-char)."""
+    from geomesa_spark.operators.text import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@ex.com or +1 555 123 4567 ip 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = scrub_pii(aug)
+    return out.select(
+        "doc_id",
+        "scrubbed",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_card").cast("int").alias("n_card"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geomesa_spark.operators.dedup import with_simhash
 
@@ -2177,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_k1": q_sampling_k1,
         "sampling_per_key3": q_sampling_per_key3,
         "csv_ingest_scripted": q_csv_ingest_scripted,
+        "pii_scrub": q_pii_scrub,
         "geohash_cells": q_geohash_cells,
         "cms_estimates": q_cms_estimates,
         "window_latest": q_window_latest,
@@ -3485,6 +3520,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_kept_chunks,
                    CAST(sum(occ) - count(*) AS BIGINT) AS n_dropped_chunks
             FROM firsts GROUP BY doc_id
+        """,
+        "pii_scrub": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                               || '@ex.com or +1 555 123 4567 ip 10.0.0.'
+                               || CAST(doc_id % 256 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{13,19}\b', '<CARD>', 'g'),
+                     '\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed,
+                   CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                   CAST(length(regexp_extract_all(text, '\b\d{13,19}\b')) AS INT) AS n_card,
+                   CAST(length(regexp_extract_all(text, '\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}\b')) AS INT) AS n_phone,
+                   CAST(length(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4
+            FROM aug
         """,
         "simhash": f"""
             WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

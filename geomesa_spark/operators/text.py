@@ -20,6 +20,8 @@ __all__ = [
     "with_language_id",
     "with_quality_score",
     "with_fingerprint",
+    "scrub_pii",
+    "PII_PATTERNS",
     "EN_STOPWORDS",
 ]
 
@@ -125,3 +127,51 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> 
         lambda acc, ch: (acc * FP_MUL + F.ascii(ch)) % FP_MOD,
     )
     return df.withColumn(out, fp)
+
+
+# conservative PII patterns: email, international-ish phone numbers,
+# IPv4, 13-19 digit card-like runs. Deliberately REGEX-SIMPLE so the
+# same pattern strings run verbatim in Spark (Java regex) and DuckDB
+# (RE2) — the oracle scrubs identically. Order matters: emails first so
+# their digit runs don't half-match as phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{13,19}\b", "<CARD>"),
+    ("phone", r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "scrubbed",
+    kinds: tuple[str, ...] = ("email", "card", "phone", "ipv4"),
+    count: bool = True,
+) -> DataFrame:
+    """PII redaction for training corpora: replace email / phone / IPv4
+    / card-number shaped spans with typed placeholder tokens, and (with
+    ``count``) emit a per-kind hit count for pipeline audit metrics.
+
+    All JVM built-ins: chained ``regexp_replace`` for the scrub (one
+    codegen stage, no UDF), ``regexp_count`` for the metrics. Counts
+    are computed on the ORIGINAL text, before any replacement, so kinds
+    do not mask each other's tallies; the scrub itself applies in
+    declaration order (emails before phones, so an address's digits are
+    not half-eaten)."""
+    table = dict((k, (p, r)) for k, p, r in PII_PATTERNS)
+    unknown = [k for k in kinds if k not in table]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown}")
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        if name in kinds:
+            scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    out_df = df.withColumn(out, scrubbed)
+    if count:
+        for name, pat, repl in PII_PATTERNS:
+            if name in kinds:
+                out_df = out_df.withColumn(
+                    f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+                )
+    return out_df

@@ -150,3 +150,42 @@ class TestChunkDedup:
         r = chunk_dedup(df, chunk_tokens=4).collect()[0]
         assert r.dedup_text == "w x y z"
         assert r.n_kept_chunks == 1 and r.n_dropped_chunks == 1
+
+
+class TestPiiScrub:
+    def test_all_kinds_scrubbed_and_counted(self, spark):
+        from geomesa_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b@x.io or +1 555 123 4567 ip 10.0.0.1 card 4111111111111111"),
+             (2, "clean text with number 42 and version 1.2")],
+            "id int, text string",
+        )
+        rows = {r.id: r for r in scrub_pii(df).collect()}
+        assert rows[1].scrubbed == "mail <EMAIL> or <PHONE> ip <IP> card <CARD>"
+        assert (rows[1].n_email, rows[1].n_card, rows[1].n_phone, rows[1].n_ipv4) == (1, 1, 1, 1)
+        # short digit runs and dotted versions survive
+        assert rows[2].scrubbed == rows[2].text
+        assert rows[2].n_email == rows[2].n_card == rows[2].n_phone == rows[2].n_ipv4 == 0
+
+    def test_email_digits_not_half_eaten_as_phone(self, spark):
+        from geomesa_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [(1, "write 123 456 7890abc@mail.co please")], "id int, text string"
+        )
+        r = scrub_pii(df).collect()[0]
+        # the address (which contains a phone-shaped prefix) scrubs as ONE email
+        assert "<EMAIL>" in r.scrubbed and "@" not in r.scrubbed
+
+    def test_kind_subset_and_validation(self, spark):
+        import pytest as _pytest
+
+        from geomesa_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame([(1, "a@b.co ip 10.0.0.1")], "id int, text string")
+        r = scrub_pii(df, kinds=("email",)).collect()[0]
+        assert r.scrubbed == "<EMAIL> ip 10.0.0.1"
+        assert not hasattr(r, "n_ipv4")
+        with _pytest.raises(ValueError, match="unknown PII kinds"):
+            scrub_pii(df, kinds=("ssn",))
