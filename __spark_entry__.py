@@ -1905,6 +1905,19 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (the data-loader contiguous-fill
+    step): docs in deterministic order within each language group are
+    assigned pack ids + token offsets against a 512-token budget; the
+    oracle replays the same prefix-sum arithmetic."""
+    from geomesa_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_tokens=512, by=["lang"]).select(
+        "doc_id", "lang", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction for training corpora: email/phone/IPv4/card spans
     replaced with typed placeholders + per-kind audit counts, all JVM
@@ -2212,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_per_key3": q_sampling_per_key3,
         "csv_ingest_scripted": q_csv_ingest_scripted,
         "pii_scrub": q_pii_scrub,
+        "pack_sequences": q_pack_sequences,
         "geohash_cells": q_geohash_cells,
         "cms_estimates": q_cms_estimates,
         "window_latest": q_window_latest,
@@ -3520,6 +3534,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_kept_chunks,
                    CAST(sum(occ) - count(*) AS BIGINT) AS n_dropped_chunks
             FROM firsts GROUP BY doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                     AS BIGINT) AS cum_before
+              FROM t
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+                   CAST(cum_before % 512 AS BIGINT) AS pack_offset
+            FROM c
         """,
         "pii_scrub": r"""
             WITH aug AS (

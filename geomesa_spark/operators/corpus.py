@@ -31,6 +31,7 @@ __all__ = [
     "contamination",
     "chunk_dedup",
     "vocab_stats",
+    "pack_sequences",
 ]
 
 
@@ -248,3 +249,49 @@ def chunk_dedup(
         "n_dropped_chunks",
         (F.col("__total") - F.col("n_kept_chunks")).cast("long"),
     ).drop("__total")
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int,
+    by: list[str],
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget sequence packing: assign documents to fixed-budget
+    training sequences ("packs") of ~``seq_tokens`` tokens each, the
+    contiguous-fill packing a pretraining data loader performs when it
+    concatenates documents up to the context length.
+
+    Documents are taken in deterministic ``order_col`` order within each
+    ``by`` group; a document's pack is ``floor(tokens_before/seq_tokens)``
+    and ``pack_offset`` is its token offset inside the pack. Documents
+    that straddle a boundary stay in the pack they start in (the loader
+    splits them at read time) — the standard approximation, exact
+    bookkeeping via the returned offsets.
+
+    ``by`` is MANDATORY (like jaccard's block_col): packing is a running
+    prefix sum, and an unpartitioned window would serialize the corpus
+    through one task. At scale ``by`` is the shard key, so each shard
+    packs independently in one window over its own partition.
+
+    Scale shape: one shuffle (the ``by`` window); adds three codegen
+    columns, no UDF, no second pass.
+    """
+    if not by:
+        raise ValueError(
+            "pack_sequences: 'by' is required — global packing would "
+            "move the whole corpus through one window partition"
+        )
+    n = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum(n).over(w) - n).cast("long")
+    return (
+        df.withColumn("n_tokens", n.cast("long"))
+        .withColumn("pack_id", F.floor(cum_before / seq_tokens).cast("long"))
+        .withColumn("pack_offset", F.pmod(cum_before, F.lit(seq_tokens)).cast("long"))
+    )

@@ -189,3 +189,44 @@ class TestPiiScrub:
         assert not hasattr(r, "n_ipv4")
         with _pytest.raises(ValueError, match="unknown PII kinds"):
             scrub_pii(df, kinds=("ssn",))
+
+
+class TestPackSequences:
+    def test_contiguous_fill(self, spark):
+        from geomesa_spark.operators.corpus import pack_sequences
+
+        # token counts 4, 3, 2, 5 against budget 6:
+        # cum_before 0,4,7,9 -> packs 0,0,1,1; offsets 0,4,1,3
+        rows = [(i, "en", " ".join(["w"] * n)) for i, n in enumerate([4, 3, 2, 5])]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.pack_id, r.pack_offset)
+            for r in pack_sequences(df, seq_tokens=6, by=["lang"]).collect()
+        }
+        assert got == {0: (4, 0, 0), 1: (3, 0, 4), 2: (2, 1, 1), 3: (5, 1, 3)}
+
+    def test_groups_pack_independently(self, spark):
+        from geomesa_spark.operators.corpus import pack_sequences
+
+        rows = [(0, "en", "a b c"), (1, "de", "x y"), (2, "en", "d e"), (3, "de", "z")]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {r.doc_id: (r.pack_id, r.pack_offset)
+               for r in pack_sequences(df, seq_tokens=4, by=["lang"]).collect()}
+        # en: cum 0,3 -> packs 0,0 offsets 0,3 ; de: cum 0,2 -> packs 0,0
+        assert got == {0: (0, 0), 2: (0, 3), 1: (0, 0), 3: (0, 2)}
+
+    def test_by_mandatory_and_stable(self, spark):
+        import pytest as _pytest
+
+        from geomesa_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame([(1, "en", "a")], "doc_id long, lang string, text string")
+        with _pytest.raises(ValueError, match="'by' is required"):
+            pack_sequences(df, 8, by=[])
+        big = spark.createDataFrame(
+            [(i, "en", " ".join(["w"] * (i % 7 + 1))) for i in range(100)],
+            "doc_id long, lang string, text string",
+        )
+        a = sorted(map(tuple, pack_sequences(big, 16, by=["lang"]).collect()))
+        b = sorted(map(tuple, pack_sequences(big.repartition(9), 16, by=["lang"]).collect()))
+        assert a == b
