@@ -20,12 +20,16 @@ whose manifest is committed — kill anywhere and resubmit to resume):
   4. clean     — benchmark decontamination: word-3-gram overlap vs
                  the held-out eval slice (doc_id % 97 == 0), drop
                  docs over the contamination threshold
-  5. sample    — per-language stratified quota (hash-ordered,
+  5. scrub     — PII redaction (email/phone/IPv4/card → typed
+                 placeholders) with per-kind audit counts
+  6. sample    — per-language stratified quota (hash-ordered,
                  repartition-stable)
-  6. shards    — deterministic trainer shards, clustered by shard and
-                 sorted by in-shard position, written partitioned by
-                 shard; manifest carries per-shard row counts read
-                 from parquet footers (metadata only, no extra job)
+  7. shards    — deterministic trainer shards, clustered by shard and
+                 sorted by in-shard position, PACKED into fixed
+                 token-budget sequences (pack_id/pack_offset per doc),
+                 written partitioned by shard; manifest carries
+                 per-shard row counts read from parquet footers
+                 (metadata only, no extra job)
 
 Every manifest carries the upstream stage path + snapshot id
 (lineage) and row metrics, per the north rule.
@@ -52,6 +56,8 @@ def main() -> int:
     ap.add_argument("--n-shards", type=int, default=8)
     ap.add_argument("--contamination-max", type=float, default=0.5)
     ap.add_argument("--chunk-tokens", type=int, default=16)
+    ap.add_argument("--seq-tokens", type=int, default=2048,
+                    help="token budget per packed training sequence")
     ap.add_argument("--force", action="store_true", help="recompute all stages")
     args = ap.parse_args()
 
@@ -59,12 +65,13 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from geomesa_spark.operators.corpus import (
-        chunk_dedup, contamination, shard_assign, stratified_sample,
+        chunk_dedup, contamination, pack_sequences, shard_assign,
+        stratified_sample,
     )
     from geomesa_spark.operators.dedup import exact_dedup
     from geomesa_spark.operators.text import (
-        with_bpe_token_count, with_fingerprint, with_language_id,
-        with_quality_score, with_token_stats,
+        scrub_pii, with_bpe_token_count, with_fingerprint,
+        with_language_id, with_quality_score, with_token_stats,
     )
     from geomesa_spark.sources.catalog import is_complete, latest_manifest, write_manifest
     from geomesa_spark.tables import synthesize_documents
@@ -167,20 +174,41 @@ def main() -> int:
                                 "benchmark": docs_path})
     clean = spark.read.parquet(clean_path)
 
-    # 5. sample: per-language quota
-    sample_path, done = stage("sample")
+    # 5. scrub: PII redaction on the training text + audit counts
+    scrub_path, done = stage("scrub")
     if not done:
-        n = write_counted(stratified_sample(clean, ["lang"], args.quota), sample_path)
-        write_manifest(sample_path, spec={"stage": "sample", "quota": args.quota},
+        scrubbed = scrub_pii(clean, text_col="dedup_text", out="train_text")
+        n = write_counted(scrubbed, scrub_path)
+        pii = scrubbed.agg(
+            *[F.sum(f"n_{k}").alias(k) for k in ("email", "card", "phone", "ipv4")]
+        ).collect()[0]
+        write_manifest(scrub_path, spec={"stage": "scrub",
+                                         "pii_hits": {k: int(pii[k] or 0) for k in pii.asDict()}},
                        partitions=[{"bucket": 0, "rows": n}],
                        lineage={"input": clean_path, "input_snapshot": snap(clean_path)})
+    scrubbed = spark.read.parquet(scrub_path)
+
+    # 6. sample: per-language quota
+    sample_path, done = stage("sample")
+    if not done:
+        n = write_counted(stratified_sample(scrubbed, ["lang"], args.quota), sample_path)
+        write_manifest(sample_path, spec={"stage": "sample", "quota": args.quota},
+                       partitions=[{"bucket": 0, "rows": n}],
+                       lineage={"input": scrub_path, "input_snapshot": snap(scrub_path)})
     sample = spark.read.parquet(sample_path)
 
-    # 6. shards: clustered + sorted trainer layout, partitioned by shard
+    # 7. shards: clustered + sorted trainer layout with token-budget
+    # sequence packing, partitioned by shard
     shards_path, done = stage("shards")
     if not done:
         sharded = (
-            shard_assign(sample, args.n_shards)
+            pack_sequences(
+                shard_assign(sample, args.n_shards),
+                seq_tokens=args.seq_tokens,
+                by=["shard"],
+                order_col="shard_pos",
+                text_col="train_text",
+            )
             .repartition(args.n_shards, "shard")
             .sortWithinPartitions("shard", "shard_pos")
         )
