@@ -586,3 +586,47 @@ class TestShapefileGeoms:
         )
         with _pytest.raises(ValueError):
             write_shapefile_geoms(df, str(tmp_path / "mixed"))
+
+
+class TestBucketedTables:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Two tables bucketed the same way on cell join WITHOUT any
+        Exchange — the shuffle is paid once at write time (the Spark
+        analogue of the reference's Z-cell-co-located keyspace). The
+        same join over plain parquet copies of the same data DOES plan
+        an Exchange, proving the layout (not the size) carries it."""
+        from geomesa_spark.operators.extract import extract_geo_points, with_z2_cell
+        from geomesa_spark.sources.bucketed import (
+            bucketed_join_is_colocated,
+            read_bucketed,
+            write_bucketed,
+        )
+        from geomesa_spark.tables import synthesize_documents
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            pts = with_z2_cell(extract_geo_points(synthesize_documents(spark, 3000)))
+            a = pts.selectExpr("cell_z2 AS cell", "doc_id AS a_id", "lon", "lat")
+            b = pts.selectExpr("cell_z2 AS cell", "doc_id AS b_id")
+            write_bucketed(a, "bk_a", n_buckets=8, path=str(tmp_path / "a"))
+            write_bucketed(b, "bk_b", n_buckets=8, path=str(tmp_path / "b"))
+
+            j = read_bucketed(spark, "bk_a").join(read_bucketed(spark, "bk_b"), "cell")
+            assert bucketed_join_is_colocated(j), j._jdf.queryExecution().executedPlan().toString()
+
+            # control: same data as plain parquet shuffles
+            a.write.mode("overwrite").parquet(str(tmp_path / "pa"))
+            b.write.mode("overwrite").parquet(str(tmp_path / "pb"))
+            pj = spark.read.parquet(str(tmp_path / "pa")).join(
+                spark.read.parquet(str(tmp_path / "pb")), "cell"
+            )
+            assert not bucketed_join_is_colocated(pj)
+
+            # and the result is identical either way
+            assert j.count() == pj.count() > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.adaptive.enabled")
+            spark.sql("DROP TABLE IF EXISTS bk_a")
+            spark.sql("DROP TABLE IF EXISTS bk_b")
