@@ -37,14 +37,27 @@ def write_bucketed(
     sort_cols: tuple[str, ...] | None = None,
     path: str | None = None,
     mode: str = "overwrite",
+    align_tasks: bool = True,
 ) -> None:
     """Persist ``df`` as a bucketed+sorted parquet table in the session
     catalog. ``n_buckets`` must MATCH between tables that will be
     joined (unequal bucket counts fall back to a shuffled join).
 
+    ``align_tasks`` repartitions on the bucket hash before the write so
+    each bucket lands in ONE file: Spark then trusts the per-bucket sort
+    and elides the SortMergeJoin's sort as well as its exchange. (With
+    many writer tasks per bucket, each bucket holds several files and
+    the join re-sorts every bucket on read.)
+
     At 100 TB: n_buckets sizes the join parallelism floor — pick it so
     a bucket's largest co-group fits one executor's memory (the same
     math as shuffle partition sizing, paid once)."""
+    if align_tasks:
+        # spark's bucket id = pmod(hash(col), n) — repartitioning on the
+        # same expression makes task id ≡ bucket id, one file per bucket
+        from pyspark.sql import functions as F
+
+        df = df.repartition(n_buckets, F.col(bucket_col))
     w = (
         df.write.mode(mode)
         .format("parquet")
