@@ -1905,6 +1905,43 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join certified end-to-end: events and a
+    per-user aggregate both persist as bucketBy(user_id)+sortBy tables
+    (one pre-sorted file per bucket), the join plans with NO Exchange
+    on either side (asserted), and the result matches the plain SQL
+    join — the pay-the-shuffle-once layout for repeated big-x-big
+    joins at 100 TB."""
+    import tempfile
+
+    from geomesa_spark.sources.bucketed import (
+        bucketed_join_is_colocated,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="bucketed_join_")
+    write_bucketed(ev.select("event_id", "user_id", "value"), "bj_events",
+                   n_buckets=8, bucket_col="user_id", path=f"{tmp}/ev")
+    write_bucketed(agg, "bj_users", n_buckets=8, bucket_col="user_id",
+                   path=f"{tmp}/agg")
+    # merge-join hint pins the big-x-big shape (a broadcast would hide
+    # whether the bucketing carries the join); with both sides bucketed
+    # the SortMergeJoin needs NO shuffle exchange
+    j = read_bucketed(spark, "bj_events").hint("merge").join(
+        read_bucketed(spark, "bj_users").hint("merge"), "user_id"
+    )
+    assert bucketed_join_is_colocated(j), "bucketed join planned a shuffle"
+    return j.select("event_id", "user_id", "value", "n_events", "total_value")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (the data-loader contiguous-fill
     step): docs in deterministic order within each language group are
@@ -2226,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_ingest_scripted": q_csv_ingest_scripted,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
+        "bucketed_join": q_bucketed_join,
         "geohash_cells": q_geohash_cells,
         "cms_estimates": q_cms_estimates,
         "window_latest": q_window_latest,
@@ -3534,6 +3572,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_kept_chunks,
                    CAST(sum(occ) - count(*) AS BIGINT) AS n_dropped_chunks
             FROM firsts GROUP BY doc_id
+        """,
+        "bucketed_join": """
+            WITH agg AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                     sum(value) AS total_value
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id, e.value, a.n_events, a.total_value
+            FROM events e JOIN agg a ON e.user_id = a.user_id
+            WHERE e.user_id IS NOT NULL
         """,
         "pack_sequences": """
             WITH t AS (

@@ -50,6 +50,18 @@ class GeoMesaSpark:
 
         return analyze_table(self.spark, path, cell_col=cell_col)
 
+    def write_bucketed(self, df: DataFrame, name: str, **kw) -> None:
+        """Persist a layer for shuffle-free repeated joins on its key
+        (bucketBy + sortBy, one pre-sorted file per bucket)."""
+        from geomesa_spark.sources.bucketed import write_bucketed
+
+        write_bucketed(df, name, **kw)
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        from geomesa_spark.sources.bucketed import read_bucketed
+
+        return read_bucketed(self.spark, name)
+
     # --- SQL surface (spatial rewrite applied) ---------------------------
     def sql(self, query: str, **kw) -> DataFrame:
         from geomesa_spark.plans.sql_rewrite import spatial_sql

@@ -76,9 +76,11 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
 
 
 def bucketed_join_is_colocated(joined: DataFrame) -> bool:
-    """True when the physical plan contains no Exchange (the bucketed
-    co-location held and the join is shuffle-free). Evidence helper for
-    tests/ops — run it after a change to a bucketed pipeline to verify
-    the layout still carries the join."""
+    """True when the physical plan contains no SHUFFLE exchange (the
+    bucketed co-location held and no side is re-partitioned). A
+    BroadcastExchange does not count — broadcasting a small side moves
+    no bucketed data. Evidence helper for tests/ops — run it after a
+    change to a bucketed pipeline to verify the layout still carries
+    the join."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    return "Exchange" not in plan
+    return "Exchange hashpartitioning" not in plan and "ShuffleExchange" not in plan
