@@ -346,7 +346,12 @@ def write_tiles(
                     "max_tile": int(mx) if mx is not None else None,
                 }
             )
-    assert sum(p["rows"] for p in partitions) == total_rows
+    # footer totals equal this write's observed rows only when the write
+    # replaced the table; in append mode the footers cover ALL epochs
+    # (which is the correct manifest content) while the observation
+    # covers just this commit
+    if mode == "overwrite":
+        assert sum(p["rows"] for p in partitions) == total_rows
     return write_manifest(
         path,
         spec={
