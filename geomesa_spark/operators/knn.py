@@ -24,15 +24,15 @@ stage count is what survives a 1000-executor plan):
    re-ranked exactly. One extra scan, still no iteration; if no probe is
    pending AQE sees an empty broadcast side and prunes the scan.
 
-Execution model: each pass's result (≤ |probes|·k rows, executor-
-resident) is lineage-truncated at the pass boundary, so the point table
-is scanned at most once per pass — three bounded scans total. Without
-truncation the nested anti-joins re-derive earlier passes per consumer
-and the scan count grows with pass depth (measured 14 scans for this
-3-pass plan). Consequence: invoking knn() materializes the passes —
-the expanding search is inherently sequential, as is the reference's
-iterative process loop. Ring SIZING stays job-free (Catalyst plan
-stats, never a count()).
+Execution model: each pass's ranked result (≤ |probes|·k rows) is
+lazily persisted at the pass boundary, so at action time the point
+table is scanned at most once per pass — three bounded scans total.
+Without the shared materialization the nested anti-joins re-derive
+earlier passes per consumer and the scan count grows with pass depth
+(measured 14 scans for this 3-pass plan). knn() itself stays plan-only
+(zero jobs until the caller acts), and the cached pass blocks are
+recomputable on executor loss. Ring SIZING is job-free too (Catalyst
+plan stats, never a count()).
 
 Distance = haversine column expression (whole-stage codegen); ties break
 deterministically on ``order_cols``.
@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -142,8 +143,12 @@ def _ring_pass(
         )
     )
     guard_m = F.least(F.lit(guard_lat_m), guard_lon_m)
-    # a ring spanning the whole grid IS a full scan: everything resolves
-    full_cover = (2 * r + 1) >= n
+    # a ring spanning the whole grid IS a full scan: everything resolves.
+    # Longitude wraps (2r+1 >= n covers all columns) but latitude CLAMPS,
+    # so a probe in the bottom row only reaches row qyi + r — every row is
+    # covered for every probe only when r >= n-1. Using the longitude
+    # criterion here would skip the guard while polar rows sit unexplored.
+    full_cover = r >= n - 1
     flagged = (
         cand.withColumn("rank", F.row_number().over(w_rank))
         .withColumn("__found", F.max("rank").over(w_all))
@@ -158,18 +163,22 @@ def _ring_pass(
     cond = F.col("__found") >= F.col(k_col)
     if not full_cover:
         cond = cond & (F.col("__dk") <= guard_m)
-    # PASS BOUNDARY: truncate lineage here. ``flagged`` is ≤ |probes|·k
-    # rows (executor-resident blocks, never the driver), but its lineage
-    # holds the full point scan + ring join. It feeds three consumers
-    # (the pass output, the resolved ids, the next pass's anti join) and
-    # later passes nest it — without truncation the point table is
-    # re-scanned once per consumer per nesting level (measured: 14
-    # parquet scans for the 3-pass plan; with truncation: one per pass).
-    # localCheckpoint materializes the pass when knn() is invoked — the
-    # expanding search is inherently sequential (the reference's process
-    # is an eager iterative loop too), so pass boundaries are execution
-    # barriers by nature.
-    flagged = flagged.localCheckpoint(eager=False)
+    # PASS BOUNDARY: persist (cache) here. ``flagged`` is ≤ |probes|·k
+    # rows, but its lineage holds the full point scan + ring join, and it
+    # feeds three consumers (the pass output, the resolved ids, the next
+    # pass's anti join) which later passes nest — without a shared
+    # materialization the point table is re-scanned once per consumer
+    # per nesting level (measured: 14 parquet scans for the 3-pass plan;
+    # with it: one per pass). persist is LAZY (knn() stays plan-only,
+    # zero jobs at call time) and RECOMPUTABLE (an executor losing a
+    # cached block recomputes from lineage instead of failing the job —
+    # the property a 1000-executor deployment needs; a localCheckpoint
+    # here both ran the shuffle eagerly at plan time and died with the
+    # executor). Measured on the bench workload: 0.97 s vs 2.33 s with
+    # checkpoints vs ~10 s with neither. The tiny cache entries stay
+    # registered until the session drops them — bounded by |probes|·k
+    # rows per pass, spillable (MEMORY_AND_DISK).
+    flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
     resolved = flagged.where(cond).drop("__found", "__dk")
     resolved_ids = resolved.where(F.col("rank") == 1).select("q_id")
     return resolved, resolved_ids

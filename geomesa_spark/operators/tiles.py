@@ -347,11 +347,28 @@ def write_tiles(
                 }
             )
     # footer totals equal this write's observed rows only when the write
-    # replaced the table; in append mode the footers cover ALL epochs
-    # (which is the correct manifest content) while the observation
-    # covers just this commit
-    if mode == "overwrite":
-        assert sum(p["rows"] for p in partitions) == total_rows
+    # replaced the WHOLE table: append mode and dynamic partition
+    # overwrite (which keeps bucket dirs the new data didn't touch) both
+    # legitimately leave the footers covering more than this commit. The
+    # manifest records the footer truth (the table) plus this commit's
+    # observed rows; a mismatch under a full static overwrite is a real
+    # write fault and raises (an exception, not an assert — asserts
+    # vanish under python -O).
+    footer_rows = sum(p["rows"] for p in partitions)
+    dynamic = (
+        str(
+            df.sparkSession.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+        ).lower()
+        == "dynamic"
+    )
+    if mode == "overwrite" and not dynamic and footer_rows != total_rows:
+        raise RuntimeError(
+            f"write_tiles: footer rows {footer_rows} != observed rows "
+            f"{total_rows} after a static overwrite — table at {path} is "
+            "inconsistent with the write"
+        )
     return write_manifest(
         path,
         spec={
@@ -362,5 +379,5 @@ def write_tiles(
             "stats_mode": "parquet-footer per-bucket (exact, metadata-only)",
         },
         partitions=partitions,
-        lineage=lineage or {},
+        lineage={**(lineage or {}), "commit_rows": total_rows},
     )

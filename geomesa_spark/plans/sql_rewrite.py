@@ -97,10 +97,13 @@ _FILTER_DW = re.compile(
 _CLAUSE_KW = re.compile(r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION)\b", re.IGNORECASE)
 
 # strict-mode detector: any two-table spatial predicate anywhere in the
-# text (incl. inside CTEs/subqueries the rewriter does not reach)
+# text (incl. inside CTEs/subqueries the rewriter does not reach). The
+# qualified-column atom requires an IDENTIFIER before the dot — `\w+\.\w+`
+# would also match decimal literals like 1.5 and flag plain per-row
+# filters as unrewritten joins.
 _SPATIAL_PRED_RE = re.compile(
     r"\bst_(contains|covers|intersects|within|dwithin|distanceSphere)\s*\("
-    r"[^)]*\b\w+\.\w+", re.IGNORECASE,
+    r"[^)]*\b[A-Za-z_]\w*\.[A-Za-z_]\w*", re.IGNORECASE,
 )
 
 

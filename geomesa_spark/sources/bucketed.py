@@ -82,5 +82,14 @@ def bucketed_join_is_colocated(joined: DataFrame) -> bool:
     no bucketed data. Evidence helper for tests/ops — run it after a
     change to a bucketed pipeline to verify the layout still carries
     the join."""
+    import re
+
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    return "Exchange hashpartitioning" not in plan and "ShuffleExchange" not in plan
+    # shuffle exchanges render as "Exchange <distribution>(...)" for every
+    # distribution kind (hash, range, single-partition, rebalance);
+    # BroadcastExchange renders with its own node name and never matches
+    return not re.search(
+        r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition|"
+        r"RoundRobinPartitioning|rebalancing)",
+        plan,
+    ) and "ShuffleExchange" not in plan

@@ -44,6 +44,8 @@ __all__ = [
     "read_xml",
     "read_fixed_width",
     "compile_transform",
+    "register_script",
+    "unregister_script",
     "with_error_mode",
 ]
 
@@ -154,6 +156,23 @@ def unregister_script(name: str) -> None:
     _SCRIPT_REGISTRY.pop(name, None)
 
 
+def _split_args(raw: str) -> list[str]:
+    """Split a transform call's argument text on top-level commas
+    (shared by the built-in and udf: branches of compile_transform)."""
+    args, depth, start = [], 0, 0
+    for i, ch in enumerate(raw):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(raw[start:i])
+            start = i + 1
+    if raw.strip():
+        args.append(raw[start:])
+    return args
+
+
 def compile_transform(expr: str, fields: list[str]) -> Column:
     """Compile one converter transform expression to a Column.
 
@@ -176,37 +195,15 @@ def compile_transform(expr: str, fields: list[str]) -> Column:
         fn_name, raw = scripted.group(1), scripted.group(2)
         if fn_name not in _SCRIPT_REGISTRY:
             raise ValueError(f"unregistered scripted function: {fn_name!r}")
-        args, depth, start = [], 0, 0
-        for i, ch in enumerate(raw):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                args.append(raw[start:i])
-                start = i + 1
-        if raw.strip():
-            args.append(raw[start:])
         return _SCRIPT_REGISTRY[fn_name](
-            *[compile_transform(a, fields) for a in args]
+            *[compile_transform(a, fields) for a in _split_args(raw)]
         )
 
     call = re.fullmatch(r"(\w+)\((.*)\)", expr, re.S)
     if not call:
         raise ValueError(f"bad transform expression: {expr!r}")
     fn, raw_args = call.group(1), call.group(2)
-    # split args on top-level commas
-    args, depth, start = [], 0, 0
-    for i, ch in enumerate(raw_args):
-        if ch in "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            args.append(raw_args[start:i])
-            start = i + 1
-    if raw_args.strip():
-        args.append(raw_args[start:])
+    args = _split_args(raw_args)
     c = [compile_transform(a, fields) for a in args]
 
     table = {

@@ -106,7 +106,9 @@ def write_shapefile(
     n, offset = 0, 50
 
     dbf = _DbfStream(path_base, cols, numeric)
-    with open(path_base + ".shp", "wb") as shp, open(path_base + ".shx", "wb") as shx:
+    shp = open(path_base + ".shp", "wb")
+    shx = open(path_base + ".shx", "wb")
+    try:
         shp.write(placeholder)
         shx.write(placeholder)
         for r in df.toLocalIterator():
@@ -127,6 +129,20 @@ def write_shapefile(
         shp.write(_main_header(50 + n * rec_words, 1, bbox))
         shx.seek(0)
         shx.write(_main_header(50 + n * 4, 1, bbox))
+    except Exception:
+        # a mid-stream failure (null coordinate, executor error) must not
+        # leave a corrupt triple with zeroed placeholder headers behind
+        shp.close()
+        shx.close()
+        dbf.abort()
+        for ext in (".shp", ".shx", ".dbf"):
+            try:
+                os.remove(path_base + ext)
+            except OSError:
+                pass
+        raise
+    shp.close()
+    shx.close()
     dbf.close()
     return n
 

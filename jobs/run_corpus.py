@@ -174,12 +174,19 @@ def main() -> int:
                                 "benchmark": docs_path})
     clean = spark.read.parquet(clean_path)
 
-    # 5. scrub: PII redaction on the training text + audit counts
+    # 5. scrub: PII redaction on the training text + audit counts.
+    # Superseded text columns (raw `text`, pre-scrub `dedup_text`) stop
+    # here — sample and shards carry only the train-ready bytes.
     scrub_path, done = stage("scrub")
     if not done:
-        scrubbed = scrub_pii(clean, text_col="dedup_text", out="train_text")
+        scrubbed = scrub_pii(clean, text_col="dedup_text", out="train_text").drop(
+            "text", "dedup_text"
+        )
         n = write_counted(scrubbed, scrub_path)
-        pii = scrubbed.agg(
+        # audit totals from the JUST-WRITTEN columnar table: a 4-int-column
+        # scan of the stage output, not a second full regex pass over the
+        # upstream corpus
+        pii = spark.read.parquet(scrub_path).agg(
             *[F.sum(f"n_{k}").alias(k) for k in ("email", "card", "phone", "ipv4")]
         ).collect()[0]
         write_manifest(scrub_path, spec={"stage": "scrub",

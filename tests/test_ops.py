@@ -601,6 +601,27 @@ class TestAutoBroadcastDecider:
         _, res2 = _ring_pass(p, q, 2, n, "k", ("doc_id", "span_offset"), True)
         assert [r.q_id for r in res2.collect()] == ["q0"]
 
+    def test_knn_latitude_clamp_keeps_guard(self, spark):
+        """full-cover may skip the resolution guard only at r >= n-1:
+        longitude wraps but latitude CLAMPS, so at n=8, r=4 (2r+1 > n —
+        the old longitude-based test) rows 6-7 are still unexplored for
+        a probe in row 1, and a farther explored point must NOT resolve
+        while a closer point sits in an unexplored row."""
+        from geomesa_spark.operators.knn import knn
+
+        pts = spark.createDataFrame(
+            [
+                ("far_explored", 0, 180.0, 40.0),   # row 5 (explored), ~17.8e6 m
+                ("near_unexplored", 0, 0.0, 45.1),  # row 6 (unexplored), ~11.7e6 m
+            ],
+            "doc_id string, span_offset int, lon double, lat double",
+        )
+        probes = spark.createDataFrame(
+            [("q0", 0.0, -60.0, 1)], "q_id string, lon double, lat double, k int"
+        )
+        got = knn(pts, probes, bits=3, ring_cells=4).collect()
+        assert [(r.q_id, r.doc_id, r.rank) for r in got] == [("q0", "near_unexplored", 1)]
+
 
 class TestSmoothDensity:
     def test_tent_kernel_mass_and_values(self, spark):
