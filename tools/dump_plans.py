@@ -252,11 +252,13 @@ def main() -> int:
             "groupBy+join). Pass 2 re-runs the ring at 2R for unresolved "
             "probes; pass 3 is the exact crossJoin for probes still "
             "unresolved after 2R. Each pass's <= |probes|*k ranked rows are "
-            "lineage-truncated (LogicalRDD below), so the point table is "
-            "scanned at most ONCE PER PASS — without truncation the nested "
-            "anti-joins re-derived earlier passes per consumer (measured 14 "
-            "parquet scans for this plan; 3 after). Empty pending sides are "
-            "pruned by AQE (LocalTableScan).",
+            "lazily PERSISTED (InMemoryTableScan below), so the point table "
+            "is scanned at most ONCE PER PASS — without the shared "
+            "materialization the nested anti-joins re-derived earlier passes "
+            "per consumer (measured 14 parquet scans for this plan; 3 "
+            "after). knn() stays plan-only (persist is lazy) and the cached "
+            "pass blocks recompute on executor loss. Empty pending sides "
+            "are pruned by AQE.",
             plan_str(kd),
         ))
 
