@@ -1912,6 +1912,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on either side (asserted), and the result matches the plain SQL
     join — the pay-the-shuffle-once layout for repeated big-x-big
     joins at 100 TB."""
+    import os
     import tempfile
 
     from geomesa_spark.sources.bucketed import (
@@ -1927,7 +1928,11 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("value").alias("total_value"),
     )
-    tmp = tempfile.mkdtemp(prefix="bucketed_join_")
+    # STABLE temp location: the harness invokes queries repeatedly and a
+    # fresh mkdtemp per call would leak two table copies per invocation
+    # (saveAsTable overwrite repoints the catalog without deleting the
+    # old external path)
+    tmp = os.path.join(tempfile.gettempdir(), "geomesa_spark_bucketed_join")
     write_bucketed(ev.select("event_id", "user_id", "value"), "bj_events",
                    n_buckets=8, bucket_col="user_id", path=f"{tmp}/ev")
     write_bucketed(agg, "bj_users", n_buckets=8, bucket_col="user_id",
@@ -1938,7 +1943,8 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = read_bucketed(spark, "bj_events").hint("merge").join(
         read_bucketed(spark, "bj_users").hint("merge"), "user_id"
     )
-    assert bucketed_join_is_colocated(j), "bucketed join planned a shuffle"
+    if not bucketed_join_is_colocated(j):  # not assert: survives python -O
+        raise RuntimeError("bucketed join planned a shuffle")
     return j.select("event_id", "user_id", "value", "n_events", "total_value")
 
 

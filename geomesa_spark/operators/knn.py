@@ -48,7 +48,31 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.operators.joins import haversine_m_col
 
-__all__ = ["knn"]
+__all__ = ["knn", "clear_knn_cache"]
+
+#: pass-boundary frames persisted by knn() in this process, so a
+#: long-lived session can release them between batches (persist entries
+#: are registered in Spark's CacheManager and are NOT GC-evicted)
+_CACHED_PASSES: list = []
+
+
+def clear_knn_cache() -> int:
+    """Unpersist every pass-boundary cache knn() has registered in this
+    process. Call between batches in a long-lived service: each knn()
+    invocation caches two tiny (≤ |probes|·k row) frames that otherwise
+    stay registered for the session lifetime — and, like any Spark
+    cache, would serve stale data if the UNDERLYING input files were
+    rewritten out-of-band between calls. Returns the number of entries
+    released."""
+    n = 0
+    while _CACHED_PASSES:
+        df = _CACHED_PASSES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 _M_PER_DEG = 111_195.0
 
@@ -179,6 +203,7 @@ def _ring_pass(
     # registered until the session drops them — bounded by |probes|·k
     # rows per pass, spillable (MEMORY_AND_DISK).
     flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED_PASSES.append(flagged)
     resolved = flagged.where(cond).drop("__found", "__dk")
     resolved_ids = resolved.where(F.col("rank") == 1).select("q_id")
     return resolved, resolved_ids

@@ -313,39 +313,43 @@ def write_tiles(
     )
     total_rows = int(obs.get["rows"] or 0)
 
-    import os
+    from geomesa_spark.sources.catalog import partition_footer_stats
 
-    import pyarrow.parquet as pq
-
-    partitions = []
-    for d in sorted(os.listdir(path)):
-        if not d.startswith("bucket="):
-            continue
-        rows, mn, mx = 0, None, None
-        full = os.path.join(path, d)
-        for fn in os.listdir(full):
-            if not fn.endswith(".parquet"):
-                continue
-            md = pq.ParquetFile(os.path.join(full, fn)).metadata
-            rows += md.num_rows
-            try:
-                ci = md.schema.to_arrow_schema().names.index("tile_prefix")
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    if st is not None and st.has_min_max:
-                        mn = st.min if mn is None else min(mn, st.min)
-                        mx = st.max if mx is None else max(mx, st.max)
-            except (ValueError, AttributeError):
-                pass
-        if rows:
-            partitions.append(
-                {
-                    "bucket": int(d.split("=", 1)[1]),
-                    "rows": rows,
-                    "min_tile": int(mn) if mn is not None else None,
-                    "max_tile": int(mx) if mx is not None else None,
-                }
+    footer = partition_footer_stats(path, "bucket", stat_col="tile_prefix")
+    stats_mode = "parquet-footer per-bucket (exact, metadata-only)"
+    if footer is not None:
+        partitions = [
+            {
+                "bucket": p["bucket"],
+                "rows": p["rows"],
+                "min_tile": int(p["min"]) if p["min"] is not None else None,
+                "max_tile": int(p["max"]) if p["max"] is not None else None,
+            }
+            for p in footer
+        ]
+    else:
+        # remote filesystem (hdfs://, s3a://): footers aren't listable
+        # from the driver — one cheap 2-column aggregate over the
+        # written table (still far below the old per-row observe cost)
+        stats_mode = "spark-aggregate per-bucket (remote path)"
+        rows_df = (
+            df.sparkSession.read.parquet(path)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("tile_prefix").alias("mn"),
+                F.max("tile_prefix").alias("mx"),
             )
+        )
+        partitions = [
+            {
+                "bucket": int(r["bucket"]),
+                "rows": int(r["rows"]),
+                "min_tile": int(r["mn"]) if r["mn"] is not None else None,
+                "max_tile": int(r["mx"]) if r["mx"] is not None else None,
+            }
+            for r in rows_df.collect()
+        ]
     # footer totals equal this write's observed rows only when the write
     # replaced the WHOLE table: append mode and dynamic partition
     # overwrite (which keeps bucket dirs the new data didn't touch) both
@@ -376,7 +380,7 @@ def write_tiles(
             "prefix_bits": prefix_bits,
             "n_buckets": n_buckets,
             "salt_buckets": salt_buckets,
-            "stats_mode": "parquet-footer per-bucket (exact, metadata-only)",
+            "stats_mode": stats_mode,
         },
         partitions=partitions,
         lineage={**(lineage or {}), "commit_rows": total_rows},

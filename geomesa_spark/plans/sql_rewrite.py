@@ -96,15 +96,38 @@ _FILTER_DW = re.compile(
 
 _CLAUSE_KW = re.compile(r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION)\b", re.IGNORECASE)
 
-# strict-mode detector: any two-table spatial predicate anywhere in the
-# text (incl. inside CTEs/subqueries the rewriter does not reach). The
-# qualified-column atom requires an IDENTIFIER before the dot — `\w+\.\w+`
-# would also match decimal literals like 1.5 and flag plain per-row
-# filters as unrewritten joins.
-_SPATIAL_PRED_RE = re.compile(
-    r"\bst_(contains|covers|intersects|within|dwithin|distanceSphere)\s*\("
-    r"[^)]*\b[A-Za-z_]\w*\.[A-Za-z_]\w*", re.IGNORECASE,
+# strict-mode detector: a TWO-TABLE spatial predicate anywhere in the
+# text (incl. inside CTEs/subqueries the rewriter does not reach). A
+# predicate is join-shaped only when qualified columns of TWO DIFFERENT
+# aliases appear among its arguments — one alias (or none) is a per-row
+# filter that legitimately takes the identity path. The qualified-column
+# atom requires an IDENTIFIER before the dot, since `\w+\.\w+` would
+# also match decimal literals like 1.5.
+_SPATIAL_CALL_RE = re.compile(
+    r"\bst_(contains|covers|intersects|within|dwithin|distanceSphere)\s*\(",
+    re.IGNORECASE,
 )
+_QUALIFIED_COL_RE = re.compile(r"\b([A-Za-z_]\w*)\.[A-Za-z_]\w*")
+
+
+def _has_spatial_join_predicate(sql: str) -> bool:
+    for m in _SPATIAL_CALL_RE.finditer(sql):
+        # scan the call's balanced argument span (nested st_point(...)
+        # calls are part of the predicate)
+        depth, i = 0, m.end() - 1
+        start = m.end()
+        while i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        aliases = {a.lower() for a in _QUALIFIED_COL_RE.findall(sql[start:i])}
+        if len(aliases) >= 2:
+            return True
+    return False
 
 
 def _scan_condition(sql: str, start: int) -> tuple[str, int]:
@@ -207,7 +230,7 @@ def rewrite_spatial_sql(
     n = 1 << bits
     out = _rewrite_join(sql, spark, n, broadcast)
     out = _rewrite_literal_filters(out)
-    if strict and out == sql and _SPATIAL_PRED_RE.search(sql):
+    if strict and out == sql and _has_spatial_join_predicate(sql):
         raise ValueError(
             "rewrite_spatial_sql(strict=True): SQL contains a spatial "
             "predicate but no supported top-level join/filter shape "

@@ -44,10 +44,15 @@ def write_bucketed(
     joined (unequal bucket counts fall back to a shuffled join).
 
     ``align_tasks`` repartitions on the bucket hash before the write so
-    each bucket lands in ONE file: Spark then trusts the per-bucket sort
-    and elides the SortMergeJoin's sort as well as its exchange. (With
-    many writer tasks per bucket, each bucket holds several files and
-    the join re-sorts every bucket on read.)
+    each bucket lands in ONE file. The EXCHANGE is elided either way;
+    the measured win of alignment (3.3× vs the shuffled join, where the
+    multi-file layout actually LOST to it — BENCH.md) comes from the
+    scan shape: one coherent pre-sorted run per bucket instead of many
+    small files per bucket task. Note the SortMergeJoin still plans its
+    sort on default configs — Spark only propagates bucket-scan output
+    ORDER under spark.sql.legacy.bucketedTableScan.outputOrdering=true —
+    but sorting already-sorted single runs is cheap; only the shuffle
+    elision and file coherence are load-bearing claims here.
 
     At 100 TB: n_buckets sizes the join parallelism floor — pick it so
     a bucket's largest co-group fits one executor's memory (the same

@@ -16,6 +16,7 @@ import time
 from typing import Any
 
 __all__ = [
+    "partition_footer_stats",
     "write_manifest",
     "read_manifest",
     "latest_manifest",
@@ -25,6 +26,66 @@ __all__ = [
 ]
 
 _MANIFEST_DIR = "_manifest"
+
+
+def partition_footer_stats(
+    table_path: str,
+    dir_prefix: str,
+    stat_col: str | None = None,
+) -> list[dict] | None:
+    """Per-partition-directory stats from LOCAL parquet footers — exact
+    row counts plus optional ``stat_col`` min/max, zero Spark jobs.
+
+    Returns ``None`` when ``table_path`` is not a local directory (a
+    remote scheme like hdfs:// or s3a://): callers must fall back to a
+    Spark-side aggregate there. Column statistics are located by the
+    parquet LEAF path (``path_in_schema``) — a top-level arrow-schema
+    index is wrong whenever a nested column precedes ``stat_col``, since
+    row-group columns enumerate flattened leaves."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", table_path) or not os.path.isdir(
+        table_path
+    ):
+        return None
+    out = []
+    for d in sorted(os.listdir(table_path)):
+        if not d.startswith(dir_prefix + "="):
+            continue
+        rows, mn, mx = 0, None, None
+        full = os.path.join(table_path, d)
+        for fn in os.listdir(full):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(full, fn)).metadata
+            rows += md.num_rows
+            if stat_col is None or md.num_row_groups == 0:
+                continue
+            rg0 = md.row_group(0)
+            ci = next(
+                (
+                    i
+                    for i in range(rg0.num_columns)
+                    if rg0.column(i).path_in_schema == stat_col
+                ),
+                None,
+            )
+            if ci is None:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        if rows:
+            entry = {"bucket": int(d.split("=", 1)[1]), "rows": rows}
+            if stat_col is not None:
+                entry["min"] = mn
+                entry["max"] = mx
+            out.append(entry)
+    return out
 
 
 def write_manifest(

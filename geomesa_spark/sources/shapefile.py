@@ -87,6 +87,23 @@ def _main_header(file_len_words: int, shape_type: int, bbox) -> bytes:
     )
 
 
+def _abort_triple(path_base: str, shp, shx, dbf) -> None:
+    """Close whatever opened and remove the partial .shp/.shx/.dbf."""
+    for h in (shp, shx):
+        if h is not None:
+            try:
+                h.close()
+            except OSError:
+                pass
+    if dbf is not None:
+        dbf.abort()
+    for ext in (".shp", ".shx", ".dbf"):
+        try:
+            os.remove(path_base + ext)
+        except OSError:
+            pass
+
+
 def write_shapefile(
     df: DataFrame,
     path_base: str,
@@ -105,10 +122,11 @@ def write_shapefile(
     bbox = [float("inf"), float("inf"), float("-inf"), float("-inf")]
     n, offset = 0, 50
 
-    dbf = _DbfStream(path_base, cols, numeric)
-    shp = open(path_base + ".shp", "wb")
-    shx = open(path_base + ".shx", "wb")
+    dbf = shp = shx = None
     try:
+        dbf = _DbfStream(path_base, cols, numeric)
+        shp = open(path_base + ".shp", "wb")
+        shx = open(path_base + ".shx", "wb")
         shp.write(placeholder)
         shx.write(placeholder)
         for r in df.toLocalIterator():
@@ -129,17 +147,11 @@ def write_shapefile(
         shp.write(_main_header(50 + n * rec_words, 1, bbox))
         shx.seek(0)
         shx.write(_main_header(50 + n * 4, 1, bbox))
-    except Exception:
-        # a mid-stream failure (null coordinate, executor error) must not
+    except BaseException:
+        # a mid-stream failure — including KeyboardInterrupt during a
+        # long toLocalIterator drive, or a failed second open — must not
         # leave a corrupt triple with zeroed placeholder headers behind
-        shp.close()
-        shx.close()
-        dbf.abort()
-        for ext in (".shp", ".shx", ".dbf"):
-            try:
-                os.remove(path_base + ext)
-            except OSError:
-                pass
+        _abort_triple(path_base, shp, shx, dbf)
         raise
     shp.close()
     shx.close()
@@ -210,10 +222,11 @@ def write_shapefile_geoms(
     polygonal: bool | None = None
     shape_type = 0
 
-    dbf = _DbfStream(path_base, cols, numeric)
-    shp = open(path_base + ".shp", "wb")
-    shx = open(path_base + ".shx", "wb")
+    dbf = shp = shx = None
     try:
+        dbf = _DbfStream(path_base, cols, numeric)
+        shp = open(path_base + ".shp", "wb")
+        shx = open(path_base + ".shx", "wb")
         shp.write(placeholder)
         shx.write(placeholder)
         for r in df.toLocalIterator():
@@ -256,15 +269,8 @@ def write_shapefile_geoms(
         shp.write(_main_header(50 + words_total, shape_type, gbox))
         shx.seek(0)
         shx.write(_main_header(50 + n * 4, shape_type, gbox))
-    except Exception:
-        shp.close()
-        shx.close()
-        dbf.abort()
-        for ext in (".shp", ".shx", ".dbf"):
-            try:
-                os.remove(path_base + ext)
-            except OSError:
-                pass
+    except BaseException:
+        _abort_triple(path_base, shp, shx, dbf)
         raise
     shp.close()
     shx.close()

@@ -221,18 +221,9 @@ def main() -> int:
         )
         sharded.write.mode("overwrite").partitionBy("shard").parquet(shards_path)
         # per-shard metrics from parquet footers: metadata only, no job
-        import pyarrow.parquet as pq
+        from geomesa_spark.sources.catalog import partition_footer_stats
 
-        parts = []
-        for d in sorted(os.listdir(shards_path)):
-            if not d.startswith("shard="):
-                continue
-            rows = 0
-            full = os.path.join(shards_path, d)
-            for f in os.listdir(full):
-                if f.endswith(".parquet"):
-                    rows += pq.ParquetFile(os.path.join(full, f)).metadata.num_rows
-            parts.append({"bucket": int(d.split("=", 1)[1]), "rows": rows})
+        parts = partition_footer_stats(shards_path, "shard") or []
         write_manifest(shards_path, spec={"stage": "shards", "n_shards": args.n_shards},
                        partitions=parts,
                        lineage={"input": sample_path, "input_snapshot": snap(sample_path)})

@@ -438,15 +438,15 @@ class TestStrictMode:
         assert rewrite_spatial_sql(sql, spark, strict=True) == sql
 
     def test_strict_quiet_on_literal_point_filter(self, spark, geo_views):
-        """Decimal literals must not read as qualified columns: a plain
-        per-row filter with literal st_point coordinates has no join to
-        rewrite and strict mode must stay quiet."""
+        """A predicate is join-shaped only when TWO different aliases
+        appear among its arguments: decimal literals must not read as
+        qualified columns, and a single-table per-row filter (literal
+        point vs one alias's columns) legitimately takes the identity
+        path without strict raising."""
         sql = """
         SELECT * FROM rw_pts p
         WHERE st_distanceSphere(st_point(1.5, 2.5), st_point(p.lon, p.lat)) <= 1000
         """
-        # contains a qualified column too — but the point is that the
-        # single-table filter shape legitimately takes the identity path
-        # only when NO join predicate exists; use a fully-literal one:
+        assert rewrite_spatial_sql(sql, spark, strict=True) == sql
         lit_sql = "SELECT st_distanceSphere(st_point(1.5, 2.5), st_point(3.5, 4.5)) AS d"
         assert rewrite_spatial_sql(lit_sql, spark, strict=True) == lit_sql
