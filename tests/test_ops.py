@@ -886,3 +886,27 @@ class TestAqeSkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestKnnCacheLifecycle:
+    def test_clear_knn_cache_releases_entries(self, spark):
+        import importlib
+
+        knn_mod = importlib.import_module("geomesa_spark.operators.knn")
+        from geomesa_spark.operators.knn import clear_knn_cache, knn
+
+        clear_knn_cache()  # start clean
+        pts = spark.range(0, 50).selectExpr(
+            "CAST(id AS STRING) AS doc_id", "CAST(0 AS INT) AS span_offset",
+            "CAST(id % 360 - 180 + 0.5 AS DOUBLE) AS lon",
+            "CAST(id % 170 - 85 + 0.5 AS DOUBLE) AS lat",
+        )
+        probes = spark.range(0, 2).selectExpr(
+            "CAST(id AS STRING) AS q_id", "CAST(id * 10.0 AS DOUBLE) AS lon",
+            "CAST(id * 5.0 AS DOUBLE) AS lat", "CAST(2 AS INT) AS k",
+        )
+        assert knn(pts, probes, bits=5).count() == 4
+        # two ring passes registered their cached frames
+        assert len(knn_mod._CACHED_PASSES) == 2
+        released = clear_knn_cache()
+        assert released == 2 and knn_mod._CACHED_PASSES == []

@@ -630,3 +630,27 @@ class TestBucketedTables:
             spark.conf.unset("spark.sql.adaptive.enabled")
             spark.sql("DROP TABLE IF EXISTS bk_a")
             spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+class TestFooterStats:
+    def test_stats_located_by_leaf_path_with_nested_column(self, spark, tmp_path):
+        """Column statistics must be found by parquet LEAF path: with a
+        nested (array) column ahead of the stat column, a top-level
+        schema index would read a different leaf's statistics."""
+        from geomesa_spark.sources.catalog import partition_footer_stats
+
+        df = spark.createDataFrame(
+            [(0, ["x", "y"], 7), (0, ["z"], 9), (1, ["w"], 3)],
+            "bucket int, tags array<string>, tile_prefix long",
+        )
+        path = str(tmp_path / "t")
+        df.repartition(1).write.partitionBy("bucket").parquet(path)
+        stats = partition_footer_stats(path, "bucket", stat_col="tile_prefix")
+        got = {p["bucket"]: (p["rows"], p["min"], p["max"]) for p in stats}
+        assert got == {0: (2, 7, 9), 1: (1, 3, 3)}
+
+    def test_remote_scheme_returns_none(self):
+        from geomesa_spark.sources.catalog import partition_footer_stats
+
+        assert partition_footer_stats("s3a://bucket/tiles", "bucket") is None
+        assert partition_footer_stats("hdfs://nn/tiles", "bucket") is None
