@@ -50,10 +50,8 @@ def partition_footer_stats(
         table_path
     ):
         return None
-    out = []
-    for d in sorted(os.listdir(table_path)):
-        if not d.startswith(dir_prefix + "="):
-            continue
+
+    def one_dir(d: str) -> dict | None:
         rows, mn, mx = 0, None, None
         full = os.path.join(table_path, d)
         for fn in os.listdir(full):
@@ -79,13 +77,25 @@ def partition_footer_stats(
                 if st is not None and st.has_min_max:
                     mn = st.min if mn is None else min(mn, st.min)
                     mx = st.max if mx is None else max(mx, st.max)
-        if rows:
-            entry = {"bucket": int(d.split("=", 1)[1]), "rows": rows}
-            if stat_col is not None:
-                entry["min"] = mn
-                entry["max"] = mx
-            out.append(entry)
-    return out
+        if not rows:
+            return None
+        entry = {"bucket": int(d.split("=", 1)[1]), "rows": rows}
+        if stat_col is not None:
+            entry["min"] = mn
+            entry["max"] = mx
+        return entry
+
+    # the footer walk is driver-side and would otherwise be SERIAL — a
+    # fixed cost both parallelism levels pay equally, which eats scaling
+    # efficiency as the distributed part gets faster (and grows with
+    # bucket count at scale); pyarrow releases the GIL on footer IO, so
+    # a thread pool recovers it
+    from concurrent.futures import ThreadPoolExecutor
+
+    dirs = [d for d in sorted(os.listdir(table_path)) if d.startswith(dir_prefix + "=")]
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(dirs)))) as ex:
+        results = list(ex.map(one_dir, dirs))
+    return [r for r in results if r is not None]
 
 
 def write_manifest(
