@@ -230,3 +230,34 @@ class TestPackSequences:
         a = sorted(map(tuple, pack_sequences(big, 16, by=["lang"]).collect()))
         b = sorted(map(tuple, pack_sequences(big.repartition(9), 16, by=["lang"]).collect()))
         assert a == b
+
+
+class TestPackSequencesProperty:
+    def test_prefix_sum_invariants_random_docs(self, spark):
+        """For ANY token-count sequence: pack_id == tokens_before //
+        budget and pack_offset == tokens_before % budget, with
+        tokens_before the running sum in doc order within the group."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from geomesa_spark.operators.corpus import pack_sequences
+
+        @given(
+            st.lists(st.integers(1, 40), min_size=1, max_size=30),
+            st.integers(4, 64),
+        )
+        @settings(max_examples=10, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        def check(counts, budget):
+            rows = [(i, "g", " ".join(["w"] * n)) for i, n in enumerate(counts)]
+            df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+            got = {
+                r.doc_id: (r.n_tokens, r.pack_id, r.pack_offset)
+                for r in pack_sequences(df, seq_tokens=budget, by=["lang"]).collect()
+            }
+            cum = 0
+            for i, n in enumerate(counts):
+                assert got[i] == (n, cum // budget, cum % budget), (i, counts, budget)
+                cum += n
+
+        check()

@@ -202,6 +202,9 @@ EXTRA_FILTERS = [
     # inverted disjunctive-open interval: covers ALL time (round-4 fix)
     "dtg AFTER 2024-01-01T12:00:00Z OR dtg BEFORE 2024-01-01T06:00:00Z",
     "INCLUDE",
+    # round-4 grammar: attribute-vs-attribute comparison
+    "lat < lon",
+    "NOT (EXCLUDE)",
 ]
 
 
