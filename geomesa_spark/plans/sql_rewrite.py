@@ -110,7 +110,11 @@ _SPATIAL_CALL_RE = re.compile(
 _QUALIFIED_COL_RE = re.compile(r"\b([A-Za-z_]\w*)\.[A-Za-z_]\w*")
 
 
-def _has_spatial_join_predicate(sql: str) -> bool:
+def _count_spatial_join_predicates(sql: str) -> int:
+    """Number of spatial CALL SITES whose arguments reference two
+    different aliases — each is a join predicate the rewriter must
+    either rewrite or (strict mode) refuse."""
+    n = 0
     for m in _SPATIAL_CALL_RE.finditer(sql):
         # scan the call's balanced argument span (nested st_point(...)
         # calls are part of the predicate)
@@ -126,8 +130,8 @@ def _has_spatial_join_predicate(sql: str) -> bool:
             i += 1
         aliases = {a.lower() for a in _QUALIFIED_COL_RE.findall(sql[start:i])}
         if len(aliases) >= 2:
-            return True
-    return False
+            n += 1
+    return n
 
 
 def _scan_condition(sql: str, start: int) -> tuple[str, int]:
@@ -228,16 +232,28 @@ def rewrite_spatial_sql(
     cell-cover plan.
     """
     n = 1 << bits
-    out = _rewrite_join(sql, spark, n, broadcast)
-    out = _rewrite_literal_filters(out)
-    if strict and out == sql and _has_spatial_join_predicate(sql):
-        raise ValueError(
-            "rewrite_spatial_sql(strict=True): SQL contains a spatial "
-            "predicate but no supported top-level join/filter shape "
-            "matched (CTEs and subqueries are not rewritten); the query "
-            "would run on the cartesian fallback"
-        )
-    return out
+    joined = _rewrite_join(sql, spark, n, broadcast)
+    if strict:
+        # Gate on the JOIN stage specifically: comparing the FINAL output
+        # to the input would let an unrelated literal-filter rewrite mask
+        # an unrewritten spatial join (e.g. inside a CTE/subquery). The
+        # rewriter handles at most ONE join per call, so strict mode
+        # raises whenever the input carries more two-alias spatial call
+        # sites than the join stage consumed (0 if it took the identity
+        # path, 1 if it spliced) — a second join predicate in a CTE
+        # raises even though the top-level one rewrote. Counting the
+        # INPUT sidesteps the residual: a successful splice re-emits the
+        # original predicate as the refine conjunct, so the output text
+        # always still "contains" a spatial join.
+        consumed = 0 if joined == sql else 1
+        if _count_spatial_join_predicates(sql) > consumed:
+            raise ValueError(
+                "rewrite_spatial_sql(strict=True): SQL contains a spatial "
+                "join predicate that no supported top-level join/filter "
+                "shape matched (CTEs and subqueries are not rewritten); "
+                "the query would run on the cartesian fallback"
+            )
+    return _rewrite_literal_filters(joined)
 
 
 def _rewrite_join(sql: str, spark: SparkSession | None, n: int, broadcast: bool) -> str:

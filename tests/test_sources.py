@@ -3,9 +3,12 @@ tests."""
 
 from __future__ import annotations
 
+import pathlib
 import struct
 
 import pytest
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parents[1]
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -630,6 +633,141 @@ class TestBucketedTables:
             spark.conf.unset("spark.sql.adaptive.enabled")
             spark.sql("DROP TABLE IF EXISTS bk_a")
             spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+    def test_restore_bucketed_after_catalog_loss(self, spark, tmp_path):
+        """The bucket spec lives in the session catalog; DROP TABLE
+        simulates a fresh session losing it. restore_bucketed must
+        re-register the layout from the data-side manifest so the join
+        plans Exchange-free again (r4 verdict item 7)."""
+        from geomesa_spark.operators.extract import extract_geo_points, with_z2_cell
+        from geomesa_spark.sources.bucketed import (
+            bucketed_join_is_colocated,
+            restore_bucketed,
+            write_bucketed,
+        )
+        from geomesa_spark.tables import synthesize_documents
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            pts = with_z2_cell(extract_geo_points(synthesize_documents(spark, 2000)))
+            a = pts.selectExpr("cell_z2 AS cell", "doc_id AS a_id")
+            b = pts.selectExpr("cell_z2 AS cell", "doc_id AS b_id")
+            write_bucketed(a, "rb_a", n_buckets=8, path=str(tmp_path / "a"))
+            write_bucketed(b, "rb_b", n_buckets=8, path=str(tmp_path / "b"))
+            want = spark.table("rb_a").join(spark.table("rb_b"), "cell").count()
+
+            # catalog loss: the spec is gone, the files remain
+            spark.sql("DROP TABLE rb_a")
+            spark.sql("DROP TABLE rb_b")
+
+            ra = restore_bucketed(spark, str(tmp_path / "a"), "rb_a")
+            rb = restore_bucketed(spark, str(tmp_path / "b"), "rb_b")
+            j = ra.join(rb, "cell")
+            assert bucketed_join_is_colocated(j), (
+                j._jdf.queryExecution().executedPlan().toString()
+            )
+            assert j.count() == want > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.adaptive.enabled")
+            spark.sql("DROP TABLE IF EXISTS rb_a")
+            spark.sql("DROP TABLE IF EXISTS rb_b")
+
+    def test_restore_bucketed_fresh_jvm(self, tmp_path):
+        """Full durability: write in one SparkSession, STOP it, restore
+        in a genuinely fresh SparkContext (new in-memory catalog), and
+        the restored join still plans without a shuffle Exchange."""
+        import subprocess
+        import sys
+        import textwrap
+
+        script = textwrap.dedent(
+            f"""
+            import sys
+            sys.path.insert(0, {str(_REPO_ROOT)!r})
+            from pyspark.sql import SparkSession
+
+            def build():
+                return (
+                    SparkSession.builder.master("local[4]")
+                    .config("spark.sql.shuffle.partitions", "8")
+                    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+                    .config("spark.sql.adaptive.enabled", "false")
+                    .config("spark.ui.enabled", "false")
+                    .getOrCreate()
+                )
+
+            base = {str(tmp_path)!r}
+            s1 = build()
+            from geomesa_spark.operators.extract import extract_geo_points, with_z2_cell
+            from geomesa_spark.sources.bucketed import (
+                bucketed_join_is_colocated, restore_bucketed, write_bucketed,
+            )
+            from geomesa_spark.tables import synthesize_documents
+
+            pts = with_z2_cell(extract_geo_points(synthesize_documents(s1, 2000)))
+            a = pts.selectExpr("cell_z2 AS cell", "doc_id AS a_id")
+            b = pts.selectExpr("cell_z2 AS cell", "doc_id AS b_id")
+            write_bucketed(a, "fj_a", n_buckets=8, path=base + "/a")
+            write_bucketed(b, "fj_b", n_buckets=8, path=base + "/b")
+            want = s1.table("fj_a").join(s1.table("fj_b"), "cell").count()
+            s1.stop()
+
+            s2 = build()
+            assert not s2.catalog.tableExists("fj_a"), "catalog must be fresh"
+            ra = restore_bucketed(s2, base + "/a")
+            rb = restore_bucketed(s2, base + "/b")
+            j = ra.join(rb, "cell")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert bucketed_join_is_colocated(j), plan
+            got = j.count()
+            assert got == want > 0, (got, want)
+            s2.stop()
+            print("RESTORE_OK", got)
+            """
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "RESTORE_OK" in proc.stdout
+
+    def test_overwrite_cleans_prior_marked_location(self, spark, tmp_path):
+        """saveAsTable overwrite repoints the catalog without deleting
+        the old external location (ADVICE r4): write_bucketed now
+        removes the prior directory iff it carries our marker manifest;
+        unmarked directories are never touched."""
+        import os
+
+        from geomesa_spark.sources.bucketed import write_bucketed
+
+        df = spark.range(100).selectExpr("id AS cell", "id AS v")
+        try:
+            pa, pb = str(tmp_path / "va"), str(tmp_path / "vb")
+            write_bucketed(df, "ow_t", n_buckets=4, path=pa)
+            assert os.path.isfile(os.path.join(pa, "_bucket_spec.json"))
+            write_bucketed(df, "ow_t", n_buckets=4, path=pb)
+            assert not os.path.exists(pa), "marked prior location must be cleaned"
+            assert spark.table("ow_t").count() == 100
+
+            # an unmarked location (not written by this module) survives
+            unmarked = tmp_path / "user_dir"
+            unmarked.mkdir()
+            (unmarked / "keep.txt").write_text("x")
+            spark.sql("DROP TABLE ow_t")
+            spark.sql(
+                f"CREATE TABLE ow_t (cell BIGINT, v BIGINT) USING parquet "
+                f"LOCATION '{unmarked}'"
+            )
+            write_bucketed(df, "ow_t", n_buckets=4, path=str(tmp_path / "vc"))
+            assert (unmarked / "keep.txt").exists()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ow_t")
 
 
 class TestFooterStats:

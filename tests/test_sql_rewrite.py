@@ -433,6 +433,46 @@ class TestStrictMode:
         out = rewrite_spatial_sql(PIP_SQL, spark, strict=True)
         assert "__cell" in out
 
+    def test_strict_not_masked_by_literal_filter_rewrite(self, spark, geo_views):
+        """ADVICE r4: strict previously compared the FINAL output to the
+        input, so a literal-filter rewrite firing on another clause
+        masked an unrewritten CTE spatial join. The gate now sits on the
+        join stage: this query must raise even though the literal bbox
+        rewrite changes the text."""
+        sql = """
+        WITH j AS (
+          SELECT p.doc_id, q.poly_id
+          FROM rw_pts p JOIN rw_polys q
+            ON st_contains(q.wkt, st_point(p.lon, p.lat))
+        )
+        SELECT * FROM j JOIN rw_pts x ON j.doc_id = x.doc_id
+        WHERE st_contains('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))',
+                          st_point(x.lon, x.lat))
+        """
+        # precondition for the mask: the non-strict rewrite DOES alter
+        # the text (the literal filter gains bbox conjuncts) while the
+        # CTE join falls through
+        out = rewrite_spatial_sql(sql, spark)
+        assert out != sql and "__cell" not in out
+        with pytest.raises(ValueError, match="cartesian fallback"):
+            rewrite_spatial_sql(sql, spark, strict=True)
+
+    def test_strict_raises_on_second_join_in_cte(self, spark, geo_views):
+        """Top-level join rewrites, but a SECOND two-alias spatial join
+        inside a CTE falls through — strict must still raise (the input
+        carries more join call sites than the splice consumed)."""
+        sql = """
+        WITH inner_j AS (
+          SELECT a.doc_id FROM rw_pts a JOIN rw_polys b
+            ON st_intersects(b.wkt, st_point(a.lon, a.lat))
+        )
+        SELECT p.doc_id, q.poly_id
+        FROM rw_pts p JOIN rw_polys q
+          ON st_contains(q.wkt, st_point(p.lon, p.lat))
+        """
+        with pytest.raises(ValueError, match="cartesian fallback"):
+            rewrite_spatial_sql(sql, spark, strict=True)
+
     def test_strict_quiet_without_spatial_predicate(self, spark):
         sql = "SELECT 1 AS one"
         assert rewrite_spatial_sql(sql, spark, strict=True) == sql
