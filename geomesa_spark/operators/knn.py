@@ -41,6 +41,8 @@ deterministically on ``order_cols``.
 from __future__ import annotations
 
 import math
+import threading
+import weakref
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
@@ -50,28 +52,57 @@ from geomesa_spark.operators.joins import haversine_m_col
 
 __all__ = ["knn", "clear_knn_cache"]
 
-#: pass-boundary frames persisted by knn() in this process, so a
-#: long-lived session can release them between batches (persist entries
-#: are registered in Spark's CacheManager and are NOT GC-evicted)
+#: pass-boundary frames persisted by knn() calls whose RESULT is still
+#: alive in this process. Entries are auto-released: each knn() ties its
+#: two pass caches to the returned DataFrame with a weakref finalizer,
+#: so dropping the result (after the consuming action) unpersists them
+#: — a long-lived service cannot accumulate CacheManager entries and a
+#: stale cache cannot outlive the result that was built from it. Guarded
+#: by a lock: concurrent knn() calls register/release safely.
 _CACHED_PASSES: list = []
+_CACHE_LOCK = threading.Lock()
+
+
+def _register_pass_caches(result: DataFrame, frames: list) -> None:
+    """Tie ``frames``' persist lifetime to ``result``'s Python lifetime.
+
+    weakref.finalize fires when the caller drops the returned DataFrame
+    (or at interpreter exit) and unpersists the pass-boundary caches.
+    A frame DERIVED from the result that outlives it simply recomputes
+    from lineage — correct, just uncached (documented in knn())."""
+    with _CACHE_LOCK:
+        _CACHED_PASSES.extend(frames)
+
+    def _release(frames=frames):
+        with _CACHE_LOCK:
+            for f in frames:
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+                try:
+                    _CACHED_PASSES.remove(f)
+                except ValueError:
+                    pass
+
+    weakref.finalize(result, _release)
 
 
 def clear_knn_cache() -> int:
-    """Unpersist every pass-boundary cache knn() has registered in this
-    process. Call between batches in a long-lived service: each knn()
-    invocation caches two tiny (≤ |probes|·k row) frames that otherwise
-    stay registered for the session lifetime — and, like any Spark
-    cache, would serve stale data if the UNDERLYING input files were
-    rewritten out-of-band between calls. Returns the number of entries
-    released."""
+    """Unpersist every pass-boundary cache still registered by live
+    knn() results. Usually UNNECESSARY — caches auto-release when the
+    returned DataFrame is garbage-collected — but a service holding
+    many results can force an early release (their plans then recompute
+    from lineage on the next action). Returns entries released."""
     n = 0
-    while _CACHED_PASSES:
-        df = _CACHED_PASSES.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
+    with _CACHE_LOCK:
+        while _CACHED_PASSES:
+            df = _CACHED_PASSES.pop()
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass
     return n
 
 _M_PER_DEG = 111_195.0
@@ -199,14 +230,14 @@ def _ring_pass(
     # the property a 1000-executor deployment needs; a localCheckpoint
     # here both ran the shuffle eagerly at plan time and died with the
     # executor). Measured on the bench workload: 0.97 s vs 2.33 s with
-    # checkpoints vs ~10 s with neither. The tiny cache entries stay
-    # registered until the session drops them — bounded by |probes|·k
-    # rows per pass, spillable (MEMORY_AND_DISK).
+    # checkpoints vs ~10 s with neither. The cache entries are scoped to
+    # the knn() RESULT: knn() ties them to the returned DataFrame with a
+    # weakref finalizer, so they release when the caller drops it —
+    # bounded by |probes|·k rows per pass, spillable (MEMORY_AND_DISK).
     flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
-    _CACHED_PASSES.append(flagged)
     resolved = flagged.where(cond).drop("__found", "__dk")
     resolved_ids = resolved.where(F.col("rank") == 1).select("q_id")
-    return resolved, resolved_ids
+    return resolved, resolved_ids, flagged
 
 
 def knn(
@@ -258,32 +289,45 @@ def knn(
         .withColumnRenamed("lat", "q_lat")
     )
 
-    # ring side broadcast via the stats decider: probes explode by the
-    # (2R+1)² window, so a large probe table at a wide ring falls back
-    # to AQE's own join choice instead of a forced broadcast build
+    # ring side broadcast via the stats decider, RE-EVALUATED PER PASS
+    # (ADVICE r4): each pass's explode factor differs — (2R+1)² at pass
+    # 1, (2·2R+1)² (~4×) at pass 2, plain |pending| rows at pass 3 — so
+    # a probe table near the threshold at R must be allowed to fall back
+    # to AQE's own join choice at 2R instead of riding a forced
+    # broadcast past the budget. pending1/pending2 carry anti-join
+    # lineage, which Catalyst stats bound by the left side — a safe
+    # over-estimate for a broadcast decision.
     from geomesa_spark.plans.decider import auto_broadcast
 
-    bc_probes = auto_broadcast(probes, float((2 * r + 1) ** 2))
+    r2 = min(2 * r, n)
 
     # --- pass 1: ring window join (rows come back already resolved) ----
-    out1_rows, resolved1 = _ring_pass(pts, probes, r, n, k_col, order_cols, bc_probes)
+    bc1 = auto_broadcast(probes, float((2 * r + 1) ** 2))
+    out1_rows, resolved1, cache1 = _ring_pass(pts, probes, r, n, k_col, order_cols, bc1)
     out1 = out1_rows.drop("__qxi", "__qyi")
 
     # --- pass 2: widened 2R ring for unresolved probes -----------------
     # (the reference's iterative widening, unrolled once — bounds the
     # exact fallback to probes whose 2R neighborhood is still empty)
     pending1 = probes.join(resolved1, "q_id", "left_anti")
-    r2 = min(2 * r, n)
-    out2_rows, resolved2 = _ring_pass(pts, pending1, r2, n, k_col, order_cols, bc_probes)
+    bc2 = auto_broadcast(pending1, float((2 * r2 + 1) ** 2))
+    out2_rows, resolved2, cache2 = _ring_pass(pts, pending1, r2, n, k_col, order_cols, bc2)
     out2 = out2_rows.drop("__qxi", "__qyi")
 
     # --- pass 3: exact fallback for still-unresolved probes ------------
     pending2 = pending1.join(resolved2, "q_id", "left_anti").drop("__qxi", "__qyi")
-    cand3 = points.crossJoin(F.broadcast(pending2) if bc_probes else pending2)
+    bc3 = auto_broadcast(pending2, 1.0)
+    cand3 = points.crossJoin(F.broadcast(pending2) if bc3 else pending2)
     cand3 = cand3.withColumn(
         "dist_m",
         haversine_m_col(F.col("lon"), F.col("lat"), F.col("q_lon"), F.col("q_lat")),
     )
     out3 = _rank_topk(cand3, k_col, order_cols)
 
-    return out1.unionByName(out2).unionByName(out3)
+    result = out1.unionByName(out2).unionByName(out3)
+    # scope the pass caches to the result's lifetime: dropping the
+    # returned DataFrame (after the consuming action) unpersists both.
+    # A frame DERIVED from the result that outlives it recomputes from
+    # lineage — correct, just uncached.
+    _register_pass_caches(result, [cache1, cache2])
+    return result
