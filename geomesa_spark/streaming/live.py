@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from geomesa_spark.operators.extract import grid_cell
 
 __all__ = [
+    "use_rocksdb_state",
     "rate_features",
     "file_features",
     "kafka_features",
@@ -53,6 +54,31 @@ __all__ = [
 FEATURE_SCHEMA = (
     "__fid__ string, dtg timestamp, lon double, lat double, name string"
 )
+
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def use_rocksdb_state(spark, enabled: bool = True) -> str | None:
+    """Flag-gate the streaming state store onto RocksDB for queries
+    STARTED AFTER this call (the provider conf is read at query start;
+    running queries keep the store they started with — restarting a
+    query from a checkpoint written by the other provider is NOT
+    supported by Spark, so flip this only with fresh checkpoints).
+
+    Why: the default HDFS-backed provider keeps every key's state
+    on-heap per executor — fine at test scale, first-to-die at a
+    100 TB / 10^9-key latest-state or dedup keyspace. RocksDB (bundled
+    rocksdbjni) keeps state off-heap with incremental checkpoints.
+    Returns the previous provider setting (None = Spark default) so
+    callers can restore it."""
+    from geomesa_spark.session import ROCKSDB_STATE_PROVIDER
+
+    prev = spark.conf.get(_PROVIDER_CONF, None)
+    if enabled:
+        spark.conf.set(_PROVIDER_CONF, ROCKSDB_STATE_PROVIDER)
+    else:
+        spark.conf.unset(_PROVIDER_CONF)
+    return prev
 
 
 def rate_features(spark, rows_per_sec: int = 100) -> DataFrame:

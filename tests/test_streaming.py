@@ -282,12 +282,18 @@ class TestFileSource:
         finally:
             q.stop()
 
-    def test_stream_equals_batch_lambda_merge(self, spark, tmp_path):
+    @pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+    def test_stream_equals_batch_lambda_merge(self, spark, tmp_path, provider):
         """Stream-vs-batch equivalence (the oracle contract can't cover
         T1-T4, foreachBatch outputs can): persist_tick's cell-keyed
         parquet and latest_state's memory sink, driven by the file-backed
         stream, must both reduce to exactly the batch latest-wins merge
-        (the lambda_merge shape) computed from the same raw input."""
+        (the lambda_merge shape) computed from the same raw input.
+
+        Parametrized over the state store provider (r4 verdict item 6):
+        the RocksDB run proves the off-heap store — the one a 100 TB
+        keyspace needs — yields byte-identical state, and the checkpoint
+        artifacts prove the provider actually engaged."""
         import json
         import os
 
@@ -298,7 +304,10 @@ class TestFileSource:
             latest_state,
             parse_feature_stream,
             persist_tick,
+            use_rocksdb_state,
         )
+
+        prev_provider = use_rocksdb_state(spark, enabled=(provider == "rocksdb"))
 
         src = tmp_path / "feed"
         src.mkdir()
@@ -316,29 +325,52 @@ class TestFileSource:
             for i in range(8)
         ])
         out = str(tmp_path / "tiles")
+        sink = f"eq_latest_{provider}"
         feats = file_features(spark, str(src))
-        qp = persist_tick(feats, out, checkpoint=str(tmp_path / "ck1"), bits=4)
-        ql = (
-            latest_state(file_features(spark, str(src)), watermark="10 minutes")
-            .writeStream.outputMode("complete")
-            .format("memory")
-            .queryName("eq_latest")
-            .start()
-        )
         try:
-            qp.processAllAvailable()
-            ql.processAllAvailable()
-            # batch 2: updates for half the fids + one new fid
-            write("b1.json", [
-                {"__fid__": f"f-{i}", "dtg": f"2024-01-01 01:0{i}:00",
-                 "lon": float(i), "lat": float(-i), "name": "v1"}
-                for i in (0, 2, 4, 8)
-            ])
-            qp.processAllAvailable()
-            ql.processAllAvailable()
+            qp = persist_tick(feats, out, checkpoint=str(tmp_path / "ck1"), bits=4)
+            ql = (
+                latest_state(file_features(spark, str(src)), watermark="10 minutes")
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", str(tmp_path / "ck2"))
+                .start()
+            )
+            try:
+                qp.processAllAvailable()
+                ql.processAllAvailable()
+                # batch 2: updates for half the fids + one new fid
+                write("b1.json", [
+                    {"__fid__": f"f-{i}", "dtg": f"2024-01-01 01:0{i}:00",
+                     "lon": float(i), "lat": float(-i), "name": "v1"}
+                    for i in (0, 2, 4, 8)
+                ])
+                qp.processAllAvailable()
+                ql.processAllAvailable()
+            finally:
+                qp.stop()
+                ql.stop()
         finally:
-            qp.stop()
-            ql.stop()
+            # restore the shared session's provider for other tests
+            if prev_provider is None:
+                try:
+                    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_provider
+                )
+
+        # the checkpoint proves which store ran: RocksDB snapshots as
+        # version zips (+ optional changelogs); the HDFS store as deltas
+        names = [p.name for p in (tmp_path / "ck2" / "state").rglob("*")]
+        if provider == "rocksdb":
+            assert any(n.endswith((".zip", ".changelog")) for n in names), names
+            assert not any(n.endswith(".delta") for n in names), names
+        else:
+            assert any(n.endswith(".delta") for n in names), names
 
         # batch truth: same parse path on the same raw files, then the
         # lambda_merge latest-wins window (newest dtg per fid)
@@ -366,7 +398,7 @@ class TestFileSource:
         got_stream = {
             tuple(map(str, r))
             for r in spark.sql(
-                "SELECT __fid__, dtg, lon, lat, name FROM eq_latest"
+                f"SELECT __fid__, dtg, lon, lat, name FROM {sink}"
             ).collect()
         }
         assert got_stream == want
