@@ -296,3 +296,138 @@ class TestEcqlZ3Property:
         planned = plan_ecql(idx_df, text, z3_cols=("epoch_bin", "cell_z3"))
         naive = raw_df.where(compile_ecql(text))
         assert planned.count() == naive.count(), text
+
+
+# ---------------------------------------------------------------- XZ3
+# r5 (r4 verdict item 8): random bbox×interval ECQL through the planner
+# FRONT END (parse → split_primary, the path where the OR-interval bug
+# lived) feeding the XZ3 extended-geometry×time range planner, checked
+# against a brute-force pandas oracle. Property: the coarse candidate
+# set is LOSSLESS — every geometry whose envelope intersects a query
+# bbox at a matching time survives the coarse predicate (over-cover is
+# allowed; a miss is the bug class the r4 fix closed on the Z3 path).
+
+_XZ3_EPOCH0 = 1704067200000  # 2024-01-01T00:00:00Z
+_XZ3_DAY = 86400_000
+
+
+def _xz3_iso(day_offset_millis):
+    from datetime import datetime, timedelta, timezone
+
+    t = datetime(2024, 1, 1, tzinfo=timezone.utc) + timedelta(
+        milliseconds=day_offset_millis
+    )
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+@st.composite
+def xz3_queries(draw):
+    """(ecql_text, bboxes, temporal_truth) — the truth function encodes
+    the generated shape's exact time semantics for the pandas oracle."""
+    def qbox():
+        x0 = draw(st.floats(min_value=-60.0, max_value=50.0))
+        y0 = draw(st.floats(min_value=-40.0, max_value=30.0))
+        w = draw(st.floats(min_value=0.5, max_value=40.0))
+        h = draw(st.floats(min_value=0.5, max_value=30.0))
+        return (x0, y0, x0 + w, y0 + h)
+
+    n_boxes = draw(st.integers(1, 2))
+    boxes = [qbox() for _ in range(n_boxes)]
+    bbox_text = " OR ".join(
+        f"BBOX(geom, {b[0]}, {b[1]}, {b[2]}, {b[3]})" for b in boxes
+    )
+    if n_boxes > 1:
+        bbox_text = f"({bbox_text})"
+
+    a = draw(st.integers(0, 70)) * _XZ3_DAY
+    b = a + draw(st.integers(1, 30)) * _XZ3_DAY
+    ta, tb = _XZ3_EPOCH0 + a, _XZ3_EPOCH0 + b
+    shape = draw(st.sampled_from(["during", "after", "before", "or_open", "or_union"]))
+    if shape == "during":
+        tt = f"dtg DURING {_xz3_iso(a)}/{_xz3_iso(b)}"
+        truth = lambda m: (m >= ta) & (m <= tb)  # noqa: E731
+    elif shape == "after":
+        tt = f"dtg AFTER {_xz3_iso(a)}"
+        truth = lambda m: m > ta  # noqa: E731
+    elif shape == "before":
+        tt = f"dtg BEFORE {_xz3_iso(b)}"
+        truth = lambda m: m < tb  # noqa: E731
+    elif shape == "or_open":
+        # the round-4 regression shape: inverted disjunctive-open
+        # interval widens to ALL time, never to the empty (ta, tb) flip
+        tt = f"(dtg AFTER {_xz3_iso(b)} OR dtg BEFORE {_xz3_iso(a)})"
+        truth = lambda m: (m > tb) | (m < ta)  # noqa: E731
+    else:
+        # disjoint interval union: the split hull must cover BOTH legs
+        c = b + draw(st.integers(1, 10)) * _XZ3_DAY  # day offsets
+        d = c + draw(st.integers(1, 10)) * _XZ3_DAY
+        tc, td = _XZ3_EPOCH0 + c, _XZ3_EPOCH0 + d
+        tt = (
+            f"(dtg DURING {_xz3_iso(a)}/{_xz3_iso(b)}"
+            f" OR dtg DURING {_xz3_iso(c)}/{_xz3_iso(d)})"
+        )
+        truth = lambda m: ((m >= ta) & (m <= tb)) | ((m >= tc) & (m <= td))  # noqa: E731
+    return f"{bbox_text} AND {tt}", boxes, truth
+
+
+@pytest.fixture(scope="module")
+def spark_xz3_df(spark):
+    """240 extended geometries (envelopes spanning up to 25°) with event
+    times over 80 days, XZ3-keyed once; plus the pandas brute-force view."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.extract import with_xz3_cell
+
+    rows = []
+    for i in range(240):
+        x0 = -70.0 + (i * 37 % 130)
+        y0 = -50.0 + (i * 23 % 90)
+        rows.append((
+            f"g{i:03d}", x0, y0,
+            x0 + 0.5 + (i * 7 % 25), y0 + 0.5 + (i * 11 % 20),
+            _XZ3_EPOCH0 + (i * 31 % 80) * _XZ3_DAY + (i % 24) * 3600_000,
+        ))
+    df = spark.createDataFrame(
+        rows, "gid string, min_lon double, min_lat double, max_lon double, max_lat double, millis long"
+    ).withColumn("dtg", F.timestamp_millis(F.col("millis")))
+    keyed = with_xz3_cell(df).cache()
+    keyed.count()
+    return keyed, keyed.select("gid", "min_lon", "min_lat", "max_lon", "max_lat", "millis").toPandas()
+
+
+class TestXz3PlannerProperty:
+    @given(xz3_queries())
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_coarse_ranges_lossless(self, spark_xz3_df, q):
+        text, boxes, truth = q
+        from geomesa_spark.plans.ecql import split_primary
+        from geomesa_spark.plans.planner import xz3_range_predicate
+
+        keyed, pdf = spark_xz3_df
+        bboxes, interval = split_primary(text)
+        assert bboxes, text  # the bbox primary must be extracted
+
+        # open endpoints (AFTER/BEFORE/or_open) widen to the data era —
+        # what a planner does when one side of the interval is unbounded
+        t_lo = int(interval[0].timestamp() * 1000) if interval and interval[0] else 0
+        t_hi = (
+            int(interval[1].timestamp() * 1000)
+            if interval and interval[1]
+            else _XZ3_EPOCH0 + 200 * _XZ3_DAY
+        )
+        cand = {
+            r.gid
+            for r in keyed.where(xz3_range_predicate(bboxes, t_lo, t_hi))
+            .select("gid").collect()
+        }
+
+        hit = truth(pdf.millis.values)
+        inter = np.zeros(len(pdf), dtype=bool)
+        for (qx0, qy0, qx1, qy1) in boxes:
+            inter |= (
+                (pdf.min_lon.values <= qx1) & (pdf.max_lon.values >= qx0)
+                & (pdf.min_lat.values <= qy1) & (pdf.max_lat.values >= qy0)
+            )
+        exact = set(pdf.gid.values[hit & inter])
+        assert exact <= cand, (text, sorted(exact - cand)[:5])
