@@ -2168,6 +2168,191 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
+# Round-5 operators: web-mercator tiling, zonal stats, track length,
+# extent aggregate, TF-IDF, ANN range search, ROLLUP, self-proximity,
+# span analytics, bucketed-layout restore
+# ---------------------------------------------------------------------------
+
+def q_web_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ (slippy-map) web-mercator tile assignment at z=6 + per-tile
+    counts and the Bing quadkey (prefix-orderable tile key — ancestors
+    are prefixes, so prefix ranges select subtrees like Z-prefixes do).
+    Pure codegen floor/ln/tan column math; one hash aggregate."""
+    from geomesa_spark.operators.tiles import web_mercator_tiles
+
+    t = web_mercator_tiles(_points(spark, sf_dir), zoom=6)
+    return t.groupBy("zx", "zy", "quadkey").agg(F.count("*").alias("n"))
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector zonal statistics: the 5° density grid aggregated
+    per rectangle zone (count of cells, decimal-exact sum, min/max of
+    the cell counts) — broadcast envelope join + one hash aggregate."""
+    from geomesa_spark.operators.tiles import density_grid, zonal_stats
+    from geomesa_spark.tables import rect_layer
+
+    dens = density_grid(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
+    dens = dens.withColumn("lon_c", -180.0 + (F.col("ix") + 0.5) * 5.0).withColumn(
+        "lat_c", -85.0 + (F.col("iy") + 0.5) * 5.0
+    )
+    # zones = rect envelopes buffered by 3° (a catchment margin — and it
+    # keeps the zonal result non-trivially populated against the sparse
+    # 5° cell lattice at sf0.01; exact double arithmetic both engines)
+    zones = rect_layer(spark, N_RECTS).select(
+        "rect_id",
+        (F.col("min_lon") - 3.0).alias("min_lon"),
+        (F.col("min_lat") - 3.0).alias("min_lat"),
+        (F.col("max_lon") + 3.0).alias("max_lon"),
+        (F.col("max_lat") + 3.0).alias("max_lat"),
+    )
+    return zonal_stats(dens, zones, zone_id="rect_id", value_col="cnt")
+
+
+def q_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-track great-circle length (TrackLabel/track-statistics
+    analogue): consecutive-leg haversine summed in time order, legs
+    cast to DECIMAL(18,6) so the total is aggregation-order exact."""
+    from geomesa_spark.operators.tracks import track_length
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    return track_length(canonical_layer(spark, 2000), track_col="name")
+
+
+def q_extent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_extent bounding-box aggregate per group (the reference's
+    MinMax-over-geometry stat): exact min/max envelope + count per
+    track name — map-side partials, |groups| rows shuffle."""
+    from geomesa_spark.operators.stats import extent
+    from geomesa_spark.tables import canonical_layer
+
+    return extent(canonical_layer(spark, 2000), group_cols=["name"])
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms. idf as the raw N/df ratio (ln
+    is monotonic — identical ranking, zero transcendentals), so the
+    score is one exact-integer double division: bit-stable in DuckDB."""
+    from geomesa_spark.operators.text import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=3)
+
+
+def q_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius similarity search (range-query dual of ann_cosine): all
+    corpus vectors with rounded cosine ≥ 0.25 per probe, probes
+    broadcast, zero shuffle."""
+    from geomesa_spark.operators.ann import range_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return range_search(emb, emb.where(F.col("vec_id") < 5), tau=0.25)
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP counts over (event_type, day): every prefix level +
+    grand total in ONE Expand+hash-aggregate pass; gid is Catalyst's
+    grouping_id ≡ ANSI GROUPING() bitmask."""
+    from geomesa_spark.operators.stats import rollup_counts
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    r = rollup_counts(ev, ["event_type", "day"])
+    # subtotal rows carry NULL group keys; stringify + sentinel so the
+    # cross-engine compare isn't at the mercy of None-vs-NaT semantics
+    # (gid already disambiguates subtotals from null data values)
+    return r.select(
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+        F.coalesce(F.col("day").cast("string"), F.lit("<all>")).alias("day"),
+        "n",
+        "gid",
+    )
+
+
+def q_self_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity SELF-join (reference ProximitySearchProcess on one
+    layer): unordered point pairs within 75 km, cell-cover equi-join +
+    exact haversine refine, pair de-dup by id order."""
+    from geomesa_spark.operators.joins import distance_join
+
+    pts = _points(spark, sf_dir)
+    pid = F.concat_ws(":", F.col("doc_id"), F.col("span_offset").cast("string"))
+    probes = pts.select(
+        pid.alias("q_id"),
+        "lon",
+        "lat",
+        F.lit(75000.0).alias("radius_m"),
+    )
+    pairs = distance_join(pts.withColumn("pid", pid), probes, bits=6)
+    return pairs.where(F.col("pid") < F.col("q_id")).select(
+        F.col("pid").alias("a_id"), F.col("q_id").alias("b_id"), "dist_m"
+    )
+
+
+def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence analytics on the interleaved documents: per doc
+    the span count by kind and the first media offset — the span-order
+    invariant surfaced as queryable columns (one explode + one hash
+    aggregate)."""
+    from geomesa_spark.tables import documents_from_driver_table
+
+    docs = documents_from_driver_table(spark, sf_dir)
+    s = docs.select("doc_id", F.explode("spans").alias("s"))
+    kind = F.col("s.kind")
+    return s.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum(F.when(kind == "text", 1).otherwise(0)).cast("int").alias("n_text"),
+        F.sum(F.when(kind == "geo", 1).otherwise(0)).cast("int").alias("n_geo"),
+        F.sum(F.when(kind.isin("image", "audio"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_media"),
+        F.min(F.when(kind.isin("image", "audio"), F.col("s.offset"))).alias(
+            "first_media_offset"
+        ),
+    )
+
+
+def q_bucketed_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout durability end-to-end: write two co-bucketed
+    tables, DROP them from the catalog (a fresh session's view of the
+    world), re-register from the data-side _bucket_spec.json manifests,
+    and the join still plans with NO shuffle Exchange (verified) —
+    matching the plain SQL join row-for-row."""
+    import os
+    import tempfile
+
+    from geomesa_spark.sources.bucketed import (
+        bucketed_join_is_colocated,
+        restore_bucketed,
+        write_bucketed,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("value").alias("max_value"),
+    )
+    tmp = os.path.join(tempfile.gettempdir(), "geomesa_spark_bucketed_restore")
+    write_bucketed(ev.select("event_id", "user_id", "value"), "br_events",
+                   n_buckets=8, bucket_col="user_id", path=f"{tmp}/ev")
+    write_bucketed(agg, "br_users", n_buckets=8, bucket_col="user_id",
+                   path=f"{tmp}/agg")
+    # catalog loss: only the files + manifests survive
+    spark.sql("DROP TABLE br_events")
+    spark.sql("DROP TABLE br_users")
+    left = restore_bucketed(spark, f"{tmp}/ev", "br_events")
+    right = restore_bucketed(spark, f"{tmp}/agg", "br_users")
+    j = left.hint("merge").join(right.hint("merge"), "user_id")
+    if not bucketed_join_is_colocated(j):  # not assert: survives python -O
+        raise RuntimeError("restored bucketed join planned a shuffle")
+    return j.select("event_id", "user_id", "value", "n_events", "max_value")
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial-join + tiling pipeline at sf0.001 — extract
@@ -2195,73 +2380,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the round driver's CORRECTNESS artifact records the
-    # FIRST 50 entries in dict order.  The first 50 below are therefore the
-    # certification window — one flagship per SURVEY §2 component plus the
-    # full 21-query training-data suite — and the remaining entries (variant
-    # paths, TPC-H breadth, extra ECQL/stats shapes) follow.  The standalone
-    # gate (tools/check_correctness.py) always runs ALL entries.
+    # FIRST 50 entries in dict order.  Round 5 ROTATES the window (r4 verdict
+    # item 1): 10 stable flagships stay as cross-round canaries, the other 40
+    # are queries that had NO driver row in any prior round — 30 from the
+    # rounds-1-4 tail plus the 10 new round-5 operators.  COVERAGE.md records
+    # which round driver-certified each query.  The standalone gate
+    # (tools/check_correctness.py) always runs ALL entries.
     return {
-        # --- spatial index / planner flagships (S1-S3, P3, curves) ---
+        # ---- r5 certification window: 10 stable canaries ----
         "extract_points": q_extract_points,
-        "bbox_filter": q_bbox_filter,
-        "z3_select": q_z3_select,
-        "xz2_select": q_xz2_select,
-        "tile_scan": q_tile_scan,
-        # --- joins (J1-J6, P4-P5) ---
         "pip_join": q_pip_join,
-        "pip_join_salted": q_pip_join_salted,
-        "geom_join": q_geom_join,
-        "geom_join_sql": q_geom_join_sql,
-        "dwithin_join": q_dwithin_join,
         "knn": q_knn,
-        "attr_join": q_attr_join,
-        "tube_select": q_tube_select,
-        "lambda_merge": q_lambda_merge,
-        # --- tiling / density (A9) ---
+        "dwithin_join": q_dwithin_join,
         "density_grid": q_density_grid,
-        "tile_assign": q_tile_assign,
-        # --- sources / sinks / writers (S4, S6, S7) ---
-        "csv_ingest": q_csv_ingest,
-        "orc_export": q_orc_export,
-        "upsert_asof": q_upsert_asof,
-        # --- filter surface (P8, P9) + ECQL facade (§3.1) ---
-        "sampling": q_sampling,
-        "visibility": q_visibility,
         "ecql_select": q_ecql_select,
-        "ecql_transform": q_ecql_transform,
-        # --- stats / aggregations (A1-A10) ---
-        "stats_dsl": q_stats_dsl,
-        "bin_records": q_bin_records,
-        # --- temporal / tracks (§2.3-proc) ---
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "track_label": q_track_label,
-        # --- interleaved-document media path ---
-        "media_decode": q_media_decode,
-        # --- training-data pipeline (full 21-query suite) ---
-        "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "bpe_tokens": q_bpe_tokens,
-        "langid": q_langid,
-        "quality": q_quality,
-        "fingerprint": q_fingerprint,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
+        "lambda_merge": q_lambda_merge,
         "minhash_lsh": q_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "jaccard_pairs": q_jaccard_pairs,
-        "corpus_select": q_corpus_select,
-        "stratified_sample": q_stratified_sample,
-        "shard_assign": q_shard_assign,
         "contamination": q_contamination,
-        "chunk_dedup": q_chunk_dedup,
-        "vocab_topk": q_vocab_topk,
-        "cosine_dup": q_cosine_dup,
-        "ann_cosine": q_ann_cosine,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        # ==== end of the driver's 50-row certification window ====
-        # --- tail: variants, breadth, remaining shapes ---
+        "media_decode": q_media_decode,
+        # ---- 30 queries with no driver row in rounds 1-4 ----
         "ecql_within_boundary": q_ecql_within_boundary,
         "ecql_or_interval": q_ecql_or_interval,
         "sampling_k1": q_sampling_k1,
@@ -2271,6 +2408,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "bucketed_join": q_bucketed_join,
         "geohash_cells": q_geohash_cells,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "moving_avg": q_moving_avg,
+        "lag_delta": q_lag_delta,
+        "track_lines": q_track_lines,
+        "ecql_polygon": q_ecql_polygon,
+        "ecql_dwithin": q_ecql_dwithin,
+        "ecql_events": q_ecql_events,
+        "route_search": q_route_search,
+        "enumeration": q_enumeration,
+        "hash_attribute": q_hash_attribute,
+        # ---- 10 new round-5 operators (first driver rows) ----
+        "web_tiles": q_web_tiles,
+        "zonal_stats": q_zonal_stats,
+        "track_length": q_track_length,
+        "extent_agg": q_extent_agg,
+        "tfidf_topk": q_tfidf_topk,
+        "ann_range": q_ann_range,
+        "rollup_counts": q_rollup_counts,
+        "self_dwithin": q_self_dwithin,
+        "span_stats": q_span_stats,
+        "bucketed_restore": q_bucketed_restore,
+        # ==== end of the driver's 50-row certification window ====
+        # --- tail: previously-certified queries (rounds 1-4 rows; the
+        # --- standalone gate tools/check_correctness.py runs ALL) ---
+        "bbox_filter": q_bbox_filter,
+        "z3_select": q_z3_select,
+        "xz2_select": q_xz2_select,
+        "tile_scan": q_tile_scan,
+        "pip_join_salted": q_pip_join_salted,
+        "geom_join": q_geom_join,
+        "geom_join_sql": q_geom_join_sql,
+        "attr_join": q_attr_join,
+        "tube_select": q_tube_select,
+        "tile_assign": q_tile_assign,
+        "csv_ingest": q_csv_ingest,
+        "orc_export": q_orc_export,
+        "upsert_asof": q_upsert_asof,
+        "sampling": q_sampling,
+        "visibility": q_visibility,
+        "ecql_transform": q_ecql_transform,
+        "stats_dsl": q_stats_dsl,
+        "bin_records": q_bin_records,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "track_label": q_track_label,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
+        "langid": q_langid,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "jaccard_pairs": q_jaccard_pairs,
+        "corpus_select": q_corpus_select,
+        "stratified_sample": q_stratified_sample,
+        "shard_assign": q_shard_assign,
+        "chunk_dedup": q_chunk_dedup,
+        "vocab_topk": q_vocab_topk,
+        "cosine_dup": q_cosine_dup,
+        "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         "cms_estimates": q_cms_estimates,
         "window_latest": q_window_latest,
         "tpch_q1": q_tpch_q1,
@@ -2301,62 +2513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "or_union_dedup": q_or_union_dedup,
         "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "moving_avg": q_moving_avg,
-        "lag_delta": q_lag_delta,
-        "bin_records": q_bin_records,
         "set_ops": q_set_ops,
         "sorted_topn": q_sorted_topn,
-        "attr_join": q_attr_join,
-        "tube_select": q_tube_select,
-        "track_lines": q_track_lines,
-        "geohash_cells": q_geohash_cells,
-        "ecql_select": q_ecql_select,
-        "ecql_polygon": q_ecql_polygon,
-        "ecql_dwithin": q_ecql_dwithin,
-        "ecql_events": q_ecql_events,
-        "ecql_transform": q_ecql_transform,
-        "track_label": q_track_label,
-        "route_search": q_route_search,
-        "enumeration": q_enumeration,
-        "hash_attribute": q_hash_attribute,
         "upsert_latest": q_upsert_latest,
-        "upsert_asof": q_upsert_asof,
-        "visibility": q_visibility,
-        # training-data pipeline
-        "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "bpe_tokens": q_bpe_tokens,
-        "langid": q_langid,
-        "quality": q_quality,
-        "fingerprint": q_fingerprint,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "minhash_lsh": q_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "jaccard_pairs": q_jaccard_pairs,
-        "corpus_select": q_corpus_select,
-        "stratified_sample": q_stratified_sample,
-        "shard_assign": q_shard_assign,
-        "contamination": q_contamination,
-        "chunk_dedup": q_chunk_dedup,
-        "vocab_topk": q_vocab_topk,
-        "cosine_dup": q_cosine_dup,
-        "ann_cosine": q_ann_cosine,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -3865,5 +4025,139 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q_vec_id ORDER BY round(sim, 6) DESC, vec_id ASC) AS rnk
               FROM sims
             ) WHERE rnk <= 5
+        """,
+        # ---------------- round-5 operators ----------------
+        "web_tiles": f"""
+            WITH {SQL_PTS},
+            t AS (
+              SELECT
+                CAST(least(greatest(floor((lon + 180.0) / 360.0 * 64), 0), 63) AS BIGINT) AS zx,
+                CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.05112878), 85.05112878)))
+                   + 1.0 / cos(radians(least(greatest(lat, -85.05112878), 85.05112878)))) / pi()) / 2.0 * 64), 0), 63) AS BIGINT) AS zy
+              FROM pts
+            )
+            SELECT zx, zy,
+                   array_to_string(list_transform(generate_series(5, 0, -1),
+                     i -> CAST(((zx >> i) & 1) + 2 * ((zy >> i) & 1) AS VARCHAR)), '') AS quadkey,
+                   count(*) AS n
+            FROM t GROUP BY zx, zy
+        """,
+        "zonal_stats": f"""
+            WITH {SQL_PTS}, {SQL_RECTS},
+            dens AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     count(*) AS cnt
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            cent AS (
+              SELECT cnt, -180.0 + (ix + 0.5) * 5.0 AS lon_c, -85.0 + (iy + 0.5) * 5.0 AS lat_c
+              FROM dens
+            )
+            SELECT r.rect_id, count(*) AS n_cells,
+                   CAST(sum(CAST(c.cnt AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   CAST(min(c.cnt) AS DOUBLE) AS min_value,
+                   CAST(max(c.cnt) AS DOUBLE) AS max_value
+            FROM cent c JOIN rects_env r
+              ON c.lon_c >= r.min_lon - 3.0 AND c.lon_c <= r.max_lon + 3.0
+             AND c.lat_c >= r.min_lat - 3.0 AND c.lat_c <= r.max_lat + 3.0
+            GROUP BY r.rect_id
+        """,
+        "track_length": f"""
+            WITH c AS (
+              SELECT printf('name%d', t.i % 10) AS track, t.i AS i,
+                     CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                     CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+              FROM range(0, 2000) t(i)
+            ),
+            legs AS (
+              SELECT track, lon, lat,
+                     lead(lon) OVER (PARTITION BY track ORDER BY i) AS nlon,
+                     lead(lat) OVER (PARTITION BY track ORDER BY i) AS nlat
+              FROM c
+            )
+            SELECT track, CAST(count(*) AS INT) AS n_points,
+                   CAST(coalesce(sum(CAST({_sql_haversine('lon', 'lat', 'nlon', 'nlat')}
+                        AS DECIMAL(18,6))), 0) AS DOUBLE) AS length_m
+            FROM legs GROUP BY track
+        """,
+        "extent_agg": """
+            SELECT printf('name%d', t.i % 10) AS name,
+                   count(*) AS n,
+                   min(CAST((t.i % 360) - 180 + 0.5 AS DOUBLE)) AS min_lon,
+                   min(CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE)) AS min_lat,
+                   max(CAST((t.i % 360) - 180 + 0.5 AS DOUBLE)) AS max_lon,
+                   max(CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE)) AS max_lat
+            FROM range(0, 2000) t(i)
+            GROUP BY 1
+        """,
+        "tfidf_topk": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_corpus FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.term, t.tf, d.df, (t.tf * n.n_corpus) / d.df AS score
+              FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
+        """,
+        "ann_range": f"""
+            WITH {SQL_COSINE}
+            SELECT q_vec_id, vec_id, round(sim, 6) AS sim_r
+            FROM sims WHERE round(sim, 6) >= 0.25
+        """,
+        "rollup_counts": """
+            SELECT coalesce(event_type, '<all>') AS event_type,
+                   coalesce(CAST(day AS VARCHAR), '<all>') AS day,
+                   count(*) AS n,
+                   CAST(grouping(event_type, day) AS BIGINT) AS gid
+            FROM (SELECT event_type, CAST(ts AS DATE) AS day FROM events)
+            GROUP BY ROLLUP (event_type, day)
+        """,
+        "self_dwithin": f"""
+            WITH {SQL_PTS},
+            p AS (
+              SELECT doc_id || ':' || CAST(span_offset AS VARCHAR) AS pid, lon, lat
+              FROM pts
+            )
+            SELECT a.pid AS a_id, b.pid AS b_id,
+                   {_sql_haversine('a.lon', 'a.lat', 'b.lon', 'b.lat')} AS dist_m
+            FROM p a JOIN p b ON a.pid < b.pid
+            WHERE {_sql_haversine('a.lon', 'a.lat', 'b.lon', 'b.lat')} <= 75000.0
+        """,
+        "span_stats": """
+            WITH spans AS (
+              SELECT d.doc_id AS i, g.j AS j,
+                     ['text','geo','image','text','geo','audio','text'][g.j + 1] AS kind
+              FROM documents d CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) AS g(j)
+              WHERE g.j < 1 + (d.doc_id * 2654435761) % 7
+            )
+            SELECT printf('doc-%012d', i) AS doc_id,
+                   CAST(count(*) AS INT) AS n_spans,
+                   CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS INT) AS n_text,
+                   CAST(sum(CASE WHEN kind = 'geo' THEN 1 ELSE 0 END) AS INT) AS n_geo,
+                   CAST(sum(CASE WHEN kind IN ('image','audio') THEN 1 ELSE 0 END) AS INT) AS n_media,
+                   min(CASE WHEN kind IN ('image','audio') THEN CAST(j AS INT) END) AS first_media_offset
+            FROM spans GROUP BY i
+        """,
+        "bucketed_restore": """
+            WITH agg AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, max(value) AS max_value
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id, e.value, a.n_events, a.max_value
+            FROM events e JOIN agg a USING (user_id)
+            WHERE e.user_id IS NOT NULL
         """,
     }

@@ -23,6 +23,7 @@ __all__ = [
     "dot",
     "norm",
     "cosine_topk",
+    "range_search",
     "with_lsh_bucket",
     "lsh_cosine_topk",
     "ivf_assign",
@@ -87,6 +88,45 @@ def cosine_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_vec_id", id_col, "sim_r", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Radius similarity search: every corpus vector with cosine ≥ tau
+    per query (the range-query dual of cosine_topk — near-duplicate
+    harvesting, contamination sweeps, cluster seeding).
+
+    Baseline tier: broadcast the (small) query side and stream the
+    corpus through one codegen stage — no shuffle at all; the LSH-
+    bucketed path (with_lsh_bucket + a bucket equi-join) is the scale
+    remedy when the query side is large, exactly as for top-k. The
+    threshold compares the ROUNDED similarity (same contract as
+    cosine_topk) so the selected set is engine-independent.
+
+    Output: (q_vec_id, vec_id, sim_r), self-pairs excluded."""
+    q = queries.select(
+        F.col(id_col).alias("q_vec_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    cand = c.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("q_vec_id"))
+    sim = dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_norm") * F.col("q_norm"))
+    return (
+        cand.withColumn("sim_r", F.round(sim, round_digits))
+        .where(F.col("sim_r") >= tau)
+        .select("q_vec_id", id_col, "sim_r")
     )
 
 

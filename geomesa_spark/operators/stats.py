@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "minmax",
+    "extent",
+    "rollup_counts",
     "descriptive_stats",
     "histogram",
     "topk",
@@ -39,6 +41,39 @@ def minmax(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return df.agg(*aggs)
+
+
+def extent(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Bounding-box aggregate (the reference's st_extent / MinMax-over-
+    geometry stat): per group — or globally — the envelope of all
+    points plus the count. min/max are exact and order-independent, so
+    the result is oracle-stable; map-side partial aggregation means
+    only |groups| rows shuffle at any scale."""
+    aggs = [
+        F.count("*").alias("n"),
+        F.min(lon).alias("min_lon"),
+        F.min(lat).alias("min_lat"),
+        F.max(lon).alias("max_lon"),
+        F.max(lat).alias("max_lat"),
+    ]
+    return df.groupBy(*(group_cols or [])).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def rollup_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """OLAP ROLLUP counts (the hierarchical-grouping-sets analogue of
+    the reference's layered stat scans): one pass emits counts at every
+    prefix level of ``cols`` plus the grand total, with ``gid`` the
+    grouping-set id (Catalyst's grouping_id == the ANSI GROUPING()
+    bitmask DuckDB computes, so the oracle matches structurally). A
+    single Expand+hash-aggregate — no per-level rescan."""
+    return df.rollup(*cols).agg(
+        F.count("*").alias("n"), F.grouping_id().cast("long").alias("gid")
+    )
 
 
 def cardinality(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:

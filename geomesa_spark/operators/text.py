@@ -11,11 +11,12 @@ per the build brief's training-data requirements.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "tokens",
+    "tfidf_topk",
     "with_token_stats",
     "with_language_id",
     "with_quality_score",
@@ -57,6 +58,48 @@ def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     token count — real BPE merges only ever SPLIT pretokens further, so
     this lower-bounds the billed token count with zero vocab state."""
     return df.withColumn("n_bpe_tokens", F.size(bpe_tokens(F.col(text_col))))
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the term-salience primitive
+    of corpus analytics (keyword extraction, near-dup triage, topic
+    sharding).
+
+    Cross-engine exactness without transcendentals: the classic
+    ln(N/df) idf ranks documents identically to the raw ratio N/df
+    (ln is monotonic), so the score is tf·N/df — ONE correctly-rounded
+    double division of exact integers, bit-identical in any engine.
+    Shapes: tokenize+explode → (doc,term) count [shuffle 1] → term df
+    [rides the same term partitioning] → join back on term [shuffle on
+    term] → per-doc top-k window [shuffle on doc]. All built-ins; at
+    100 TB the term dimension is the natural bucketing key."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    # corpus size as a broadcast 1-row aggregate, not a driver count():
+    # the operator stays plan-only (zero jobs until the caller acts)
+    n_corpus = docs.agg(F.count("*").cast("double").alias("__n_corpus"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_corpus))
+        .withColumn("score", (F.col("tf") * F.col("__n_corpus")) / F.col("df"))
+        .drop("__n_corpus")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", F.col("rank").cast("int").alias("rank"))
+    )
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -15,6 +15,8 @@ lineage + metrics (sources/catalog.py) so jobs are checkpoint-resumable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -27,7 +29,97 @@ __all__ = [
     "write_tiles",
     "read_tiles",
     "vectorize_density",
+    "web_mercator_tiles",
+    "quadkey_col",
+    "zonal_stats",
 ]
+
+# web-mercator valid latitude (slippy-map convention)
+_MERC_MAX_LAT = 85.05112878
+
+
+def web_mercator_tiles(
+    points: DataFrame,
+    zoom: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """XYZ (slippy-map) tile assignment at ``zoom`` — the web-mercator
+    analogue of the reference's gridded density keys (DensityScan's
+    envelope grid rendered into the tiling every map client consumes).
+
+    Adds ``zx``/``zy`` (tile indices, clamped to the valid range) and
+    ``quadkey`` (Bing-style digit string, one char per zoom level — the
+    prefix-orderable tile key: a tile's ancestors are its quadkey
+    prefixes, so prefix ranges select whole subtrees, the same property
+    the Z-curve keys exploit). Pure codegen column math — floor/ln/tan
+    — no UDF; groups/joins on (zx, zy) shuffle exactly like any other
+    cell key and the quadkey prefix is the bucketing key at scale."""
+    n = 1 << zoom
+    latc = F.least(F.greatest(F.col(lat), F.lit(-_MERC_MAX_LAT)), F.lit(_MERC_MAX_LAT))
+    r = F.radians(latc)
+    zx = F.least(
+        F.greatest(F.floor((F.col(lon) + 180.0) / 360.0 * n), F.lit(0)), F.lit(n - 1)
+    ).cast("long")
+    zy = F.least(
+        F.greatest(
+            F.floor(
+                (F.lit(1.0) - F.log(F.tan(r) + F.lit(1.0) / F.cos(r)) / F.lit(math.pi))
+                / 2.0
+                * n
+            ),
+            F.lit(0),
+        ),
+        F.lit(n - 1),
+    ).cast("long")
+    out = points.withColumn("zx", zx).withColumn("zy", zy)
+    return out.withColumn("quadkey", quadkey_col(F.col("zx"), F.col("zy"), zoom))
+
+
+def quadkey_col(zx, zy, zoom: int):
+    """Bing quadkey digits, most-significant level first:
+    digit_i = bit i of x + 2·bit i of y, i = zoom-1 … 0."""
+    digits = [
+        (
+            F.shiftright(zx, i).bitwiseAND(F.lit(1))
+            + F.shiftright(zy, i).bitwiseAND(F.lit(1)) * 2
+        ).cast("string")
+        for i in range(zoom - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def zonal_stats(
+    density: DataFrame,
+    zones: DataFrame,
+    zone_id: str = "zone_id",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Raster→vector zonal statistics (the RasterQuery/summary side of
+    the reference's raster↔vector surface): aggregate a rasterized
+    density grid per vector zone.
+
+    ``density`` carries cell-center coords (lon_c, lat_c) + a value
+    column; ``zones`` carries envelopes (zone_id, min_lon, min_lat,
+    max_lon, max_lat). The zone layer is the small dim side — broadcast
+    envelope join (no shuffle on the raster side), then one hash
+    aggregate per zone: n_cells, decimal-exact sum, min/max. At 100 TB
+    the raster side streams through map-side partial aggregation; only
+    |zones| rows shuffle."""
+    cond = (
+        (density["lon_c"] >= zones["min_lon"])
+        & (density["lon_c"] <= zones["max_lon"])
+        & (density["lat_c"] >= zones["min_lat"])
+        & (density["lat_c"] <= zones["max_lat"])
+    )
+    j = density.join(F.broadcast(zones), cond, "inner")
+    s = F.sum(F.col(value_col).cast("decimal(18,6)"))
+    return j.groupBy(zone_id).agg(
+        F.count("*").alias("n_cells"),
+        s.cast("double").alias("sum_value"),
+        F.min(value_col).cast("double").alias("min_value"),
+        F.max(value_col).cast("double").alias("max_value"),
+    )
 
 
 def density_grid(

@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.operators.joins import haversine_m_col
 
-__all__ = ["track_segments", "track_lines", "track_label", "route_search"]
+__all__ = [
+    "track_segments",
+    "track_lines",
+    "track_label",
+    "track_length",
+    "route_search",
+]
 
 
 def track_segments(
@@ -90,6 +96,36 @@ def track_lines(
             F.lit(")"),
         ).alias("wkt"),
     )
+
+def track_length(
+    df: DataFrame,
+    track_col: str = "track",
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str = "dtg",
+) -> DataFrame:
+    """Great-circle length per track (reference TrackLabelProcess /
+    track statistics): consecutive-leg haversine distances summed in
+    time order — (track, n_points, length_m).
+
+    Cross-engine exactness: each leg's haversine double is computed by
+    the SAME expression both engines run bit-identically; legs are cast
+    to DECIMAL(18,6) before summing, so the per-track total is exact
+    and independent of aggregation order (a raw double sum would depend
+    on partial-aggregate ordering). One window + one hash aggregate,
+    both partitioned on the track key — a single shuffle."""
+    w = Window.partitionBy(track_col).orderBy(F.col(dtg).asc())
+    leg = haversine_m_col(
+        F.col(lon), F.col(lat), F.lead(lon).over(w), F.lead(lat).over(w)
+    )
+    t = df.withColumn("__leg", leg.cast("decimal(18,6)"))
+    return t.groupBy(F.col(track_col).alias("track")).agg(
+        F.count("*").cast("int").alias("n_points"),
+        F.coalesce(F.sum("__leg"), F.lit(0).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("length_m"),
+    )
+
 
 def track_label(
     df: DataFrame,

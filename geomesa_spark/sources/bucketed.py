@@ -58,6 +58,8 @@ def _local_path(p: str | None) -> str | None:
 
 def _table_location(spark: SparkSession, name: str) -> str | None:
     try:
+        if not spark.catalog.tableExists(name):
+            return None  # quiet: DESCRIBE on a missing table ERROR-logs
         rows = spark.sql(f"DESCRIBE FORMATTED `{name}`").collect()
     except Exception:
         return None

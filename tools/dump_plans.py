@@ -262,6 +262,61 @@ def main() -> int:
             plan_str(kd),
         ))
 
+        # round 5: zonal statistics (raster density x zone envelopes)
+        from geomesa_spark.operators.tiles import web_mercator_tiles, zonal_stats
+        from geomesa_spark.tables import rect_layer
+
+        dens = density_grid(
+            extract_geo_points(docs), (-180.0, -85.0, 180.0, 85.0), 72, 34
+        )
+        dens = dens.withColumn(
+            "lon_c", -180.0 + (F.col("ix") + 0.5) * 5.0
+        ).withColumn("lat_c", -85.0 + (F.col("iy") + 0.5) * 5.0)
+        zones = rect_layer(spark, 500).select(
+            "rect_id", "min_lon", "min_lat", "max_lon", "max_lat"
+        )
+        zs = zonal_stats(dens, zones, zone_id="rect_id", value_col="cnt")
+        sections.append((
+            "Zonal statistics (A9 raster→vector, round 5)",
+            "the raster side reduces FIRST (map-side partial HashAggregate "
+            "into the sparse density grid), then a BroadcastNestedLoopJoin "
+            "against the broadcast zone envelopes and one final hash "
+            "aggregate on zone_id — the big side never shuffles; only "
+            "|zones| result rows move.",
+            plan_str(zs),
+        ))
+
+        # round 5: web-mercator tiling — pure codegen agg, no join
+        wt = (
+            web_mercator_tiles(extract_geo_points(docs), zoom=6)
+            .groupBy("zx", "zy", "quadkey")
+            .agg(F.count("*").alias("n"))
+        )
+        sections.append((
+            "Web-mercator XYZ tiles + quadkey (A9, round 5)",
+            "floor/ln/tan tile math and the quadkey digit concat all sit "
+            "inside ONE WholeStageCodegen span feeding a partial/final hash "
+            "aggregate — zero UDFs, one shuffle of |tiles| rows.",
+            plan_str(wt),
+        ))
+
+        # round 5: TF-IDF top-k — corpus-size as broadcast scalar
+        from geomesa_spark.operators.text import tfidf_topk
+
+        tfidf = tfidf_topk(docs.select(
+            F.col("doc_id"),
+            F.concat_ws(" ", F.transform(F.col("spans"), lambda s: s["text"])).alias("text"),
+        ), k=3)
+        sections.append((
+            "TF-IDF top-k terms (round 5)",
+            "tokenize/explode -> (doc,term) count -> term df riding the "
+            "same term-hash partitioning -> join back on term -> per-doc "
+            "top-k window. The corpus size joins in as a BROADCAST 1-row "
+            "aggregate (no driver count(): the operator stays plan-only); "
+            "score = tf*N/df is one exact integer division, no ln().",
+            plan_str(tfidf),
+        ))
+
     out = ["# PLANS — physical-plan evidence\n",
            "Generated by tools/dump_plans.py; re-run after operator changes.\n"]
     for title, why, plan in sections:
