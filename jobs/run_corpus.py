@@ -59,6 +59,9 @@ def main() -> int:
     ap.add_argument("--seq-tokens", type=int, default=2048,
                     help="token budget per packed training sequence")
     ap.add_argument("--force", action="store_true", help="recompute all stages")
+    ap.add_argument("--spill-report", action="store_true",
+                    help="write _spill.json (total shuffle/aggregate spill bytes "
+                         "from the UI REST API) into --out at job end")
     args = ap.parse_args()
 
     from pyspark.sql import Observation, SparkSession
@@ -231,6 +234,28 @@ def main() -> int:
     wall = time.monotonic() - t_all
     n_docs = (latest_manifest(docs_path) or {}).get("total_rows") or docs.count()
     print(f"[corpus] complete in {wall:.1f}s ({n_docs / max(wall, 1e-9):.0f} docs/sec incl. skipped stages)")
+
+    if args.spill_report:
+        # memory-pressure evidence (BENCH.md spill experiment): total
+        # Tungsten spill across all completed stages, from the app's own
+        # UI REST endpoint — zero-instrumentation, works under any config
+        import json as _json
+        import urllib.request
+
+        spill = {"memoryBytesSpilled": 0, "diskBytesSpilled": 0, "stages": 0}
+        ui = spark.sparkContext.uiWebUrl
+        if ui:
+            app_id = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+            ) as r:
+                for st in _json.load(r):
+                    spill["memoryBytesSpilled"] += int(st.get("memoryBytesSpilled", 0))
+                    spill["diskBytesSpilled"] += int(st.get("diskBytesSpilled", 0))
+                    spill["stages"] += 1
+        with open(os.path.join(args.out, "_spill.json"), "w") as fh:
+            _json.dump(spill, fh)
+        print(f"[spill] {_json.dumps(spill)}")
     return 0
 
 
