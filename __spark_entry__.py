@@ -4079,8 +4079,8 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT track, CAST(count(*) AS INT) AS n_points,
-                   CAST(coalesce(sum(CAST({_sql_haversine('lon', 'lat', 'nlon', 'nlat')}
-                        AS DECIMAL(18,6))), 0) AS DOUBLE) AS length_m
+                   CAST(coalesce(sum(CAST(CASE WHEN nlon IS NULL THEN NULL ELSE {_sql_haversine('lon', 'lat', 'nlon', 'nlat')}
+                        END AS DECIMAL(18,6))), 0) AS DOUBLE) AS length_m
             FROM legs GROUP BY track
         """,
         "extent_agg": """

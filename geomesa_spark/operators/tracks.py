@@ -115,8 +115,14 @@ def track_length(
     on partial-aggregate ordering). One window + one hash aggregate,
     both partitioned on the track key — a single shuffle."""
     w = Window.partitionBy(track_col).orderBy(F.col(dtg).asc())
-    leg = haversine_m_col(
-        F.col(lon), F.col(lat), F.lead(lon).over(w), F.lead(lat).over(w)
+    nlon = F.lead(lon).over(w)
+    # explicit NULL guard: the haversine kernel clamps with least(x, 1)
+    # and Spark's (and DuckDB's) least/greatest IGNORE nulls, so a NULL
+    # next-point would otherwise collapse to asin(1) — half the Earth's
+    # circumference added per trailing point (caught by the unit test)
+    leg = F.when(
+        nlon.isNotNull(),
+        haversine_m_col(F.col(lon), F.col(lat), nlon, F.lead(lat).over(w)),
     )
     t = df.withColumn("__leg", leg.cast("decimal(18,6)"))
     return t.groupBy(F.col(track_col).alias("track")).agg(

@@ -986,3 +986,105 @@ class TestKnnCacheLifecycle:
         monkeypatch.setattr(decider, "auto_broadcast", spy)
         knn(pts, probes, bits=5, ring_cells=r)  # plan-only: decider runs at build
         assert seen == [f1, f2, 1.0]
+
+
+class TestRound5Operators:
+    def test_web_mercator_known_tiles(self, spark):
+        """Golden slippy-map values: openstreetmap.org tile references —
+        (0,0,z0) whole world; London (51.5074,-0.1278) at z=10 is tile
+        (511, 340); lat beyond ±85.05 clamps into the valid range."""
+        from pyspark.sql import functions as F
+
+        from geomesa_spark.operators.tiles import web_mercator_tiles
+
+        df = spark.createDataFrame(
+            [("london", -0.1278, 51.5074), ("origin", 0.0, 0.0),
+             ("pole", 10.0, 89.9), ("southpole", 10.0, -89.9)],
+            "name string, lon double, lat double",
+        )
+        z10 = {r.name: (r.zx, r.zy) for r in web_mercator_tiles(df, 10).collect()}
+        assert z10["london"] == (511, 340)
+        assert z10["origin"] == (512, 512)
+        assert z10["pole"][1] == 0 and z10["southpole"][1] == 1023
+        z0 = web_mercator_tiles(df, 1).select("zx", "zy").collect()
+        assert all(0 <= r.zx <= 1 and 0 <= r.zy <= 1 for r in z0)
+
+    def test_quadkey_prefix_property(self, spark):
+        """A tile's quadkey at z is PREFIXED by its parent's quadkey at
+        z-1 (the subtree-selection property), and matches the Bing
+        digit construction."""
+        from pyspark.sql import functions as F
+
+        from geomesa_spark.operators.tiles import web_mercator_tiles
+
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x in range(-170, 171, 37) for y in range(-80, 81, 23)],
+            "lon double, lat double",
+        )
+        t = (
+            web_mercator_tiles(df, 8)
+            .withColumnRenamed("quadkey", "qk8")
+            .drop("zx", "zy")
+        )
+        t = web_mercator_tiles(t, 7).withColumnRenamed("quadkey", "qk7")
+        bad = t.where(~F.col("qk8").startswith(F.col("qk7"))).count()
+        assert bad == 0
+        # Bing reference value: tile (x=3, y=5, z=3) -> quadkey "213"
+        one = spark.createDataFrame([(3, 5)], "zx long, zy long")
+        from geomesa_spark.operators.tiles import quadkey_col
+
+        got = one.select(quadkey_col(F.col("zx"), F.col("zy"), 3).alias("q")).first().q
+        assert got == "213"
+
+    def test_track_length_exact_sum(self, spark):
+        """Two-point track ≈ haversine of the pair; single-point track
+        has length 0 (NULL leg skipped, coalesce keeps the row)."""
+        from geomesa_spark.operators.tracks import track_length
+
+        df = spark.createDataFrame(
+            [("a", 0.0, 0.0, "2024-01-01 00:00:00"),
+             ("a", 1.0, 0.0, "2024-01-01 01:00:00"),
+             ("b", 10.0, 10.0, "2024-01-01 00:00:00")],
+            "track string, lon double, lat double, dtg string",
+        )
+        out = {r.track: (r.n_points, r.length_m) for r in track_length(df).collect()}
+        assert out["b"] == (1, 0.0)
+        assert out["a"][0] == 2
+        assert abs(out["a"][1] - 111_195.0) < 200  # 1 deg lon at equator
+
+    def test_extent_and_rollup(self, spark):
+        from geomesa_spark.operators.stats import extent, rollup_counts
+
+        df = spark.createDataFrame(
+            [("x", 1.0, 2.0), ("x", -3.0, 5.0), ("y", 0.0, 0.0)],
+            "g string, lon double, lat double",
+        )
+        e = {r.g: r for r in extent(df, ["g"]).collect()}
+        assert (e["x"].min_lon, e["x"].max_lon, e["x"].min_lat, e["x"].max_lat) == (-3.0, 1.0, 2.0, 5.0)
+        r = rollup_counts(df.withColumn("sub", df.lon > 0), ["g", "sub"]).collect()
+        # levels: (g,sub) rows + per-g subtotals + grand total
+        gids = sorted({row.gid for row in r})
+        assert gids == [0, 1, 3]
+        total = [row for row in r if row.gid == 3]
+        assert len(total) == 1 and total[0].n == 3
+
+    def test_range_search_matches_topk_frontier(self, spark):
+        """range_search at tau returns exactly the cosine_topk rows with
+        sim_r >= tau (same rounding contract)."""
+        from geomesa_spark.operators.ann import cosine_topk, range_search
+
+        emb = spark.createDataFrame(
+            [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(30)],
+            "vec_id long, embedding array<float>",
+        )
+        probes = emb.where("vec_id < 3")
+        tau = 0.5
+        got = {
+            (r.q_vec_id, r.vec_id)
+            for r in range_search(emb, probes, tau=tau).collect()
+        }
+        want = {
+            (r.q_vec_id, r.vec_id)
+            for r in cosine_topk(emb, probes, k=30).where(f"sim_r >= {tau}").collect()
+        }
+        assert got == want and len(want) > 0
