@@ -542,7 +542,14 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probes = query_points(spark, N_KNN_PROBES).drop("radius_m")
     r = knn(_points(spark, sf_dir), probes, bits=6, k_max=20)
-    return r.select("q_id", "doc_id", "span_offset", F.col("rank").cast("int").alias("rank"))
+    out = r.select("q_id", "doc_id", "span_offset", F.col("rank").cast("int").alias("rank"))
+    # keep the result alive for the driver's later action: knn's pass
+    # caches are scoped to r's Python lifetime, and a derived frame
+    # holds no reference to its parent (review finding r5 — without
+    # this the caches released at return and the 3-scan plan reverted
+    # to the measured 14-scan shape)
+    out._knn_scope = r
+    return out
 
 
 def q_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1932,7 +1939,11 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh mkdtemp per call would leak two table copies per invocation
     # (saveAsTable overwrite repoints the catalog without deleting the
     # old external path)
-    tmp = os.path.join(tempfile.gettempdir(), "geomesa_spark_bucketed_join")
+    # per-process path: stable across repeated invocations in ONE
+    # process (no leak per call), isolated across concurrent processes
+    # (driver + standalone gate) that would otherwise clobber each
+    # other's buckets mid-query
+    tmp = os.path.join(tempfile.gettempdir(), f"geomesa_spark_bucketed_join_{os.getpid()}")
     write_bucketed(ev.select("event_id", "user_id", "value"), "bj_events",
                    n_buckets=8, bucket_col="user_id", path=f"{tmp}/ev")
     write_bucketed(agg, "bj_users", n_buckets=8, bucket_col="user_id",
@@ -2336,7 +2347,7 @@ def q_bucketed_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.max("value").alias("max_value"),
     )
-    tmp = os.path.join(tempfile.gettempdir(), "geomesa_spark_bucketed_restore")
+    tmp = os.path.join(tempfile.gettempdir(), f"geomesa_spark_bucketed_restore_{os.getpid()}")
     write_bucketed(ev.select("event_id", "user_id", "value"), "br_events",
                    n_buckets=8, bucket_col="user_id", path=f"{tmp}/ev")
     write_bucketed(agg, "br_users", n_buckets=8, bucket_col="user_id",

@@ -60,7 +60,11 @@ __all__ = ["knn", "clear_knn_cache"]
 #: stale cache cannot outlive the result that was built from it. Guarded
 #: by a lock: concurrent knn() calls register/release safely.
 _CACHED_PASSES: list = []
-_CACHE_LOCK = threading.Lock()
+# RLock, and the py4j unpersist calls happen OUTSIDE the lock: the
+# release path runs from a weakref.finalize callback, which cyclic GC
+# may fire synchronously in a thread that already holds the lock — a
+# plain Lock would self-deadlock there
+_CACHE_LOCK = threading.RLock()
 
 
 def _register_pass_caches(result: DataFrame, frames: list) -> None:
@@ -68,22 +72,26 @@ def _register_pass_caches(result: DataFrame, frames: list) -> None:
 
     weakref.finalize fires when the caller drops the returned DataFrame
     (or at interpreter exit) and unpersists the pass-boundary caches.
-    A frame DERIVED from the result that outlives it simply recomputes
-    from lineage — correct, just uncached (documented in knn())."""
+    The frames also ride on the result as ``_knn_pass_caches`` so a
+    caller deriving a new frame can extend the scope (see knn())."""
     with _CACHE_LOCK:
         _CACHED_PASSES.extend(frames)
+    result._knn_pass_caches = frames
 
     def _release(frames=frames):
+        to_drop = []
         with _CACHE_LOCK:
             for f in frames:
                 try:
-                    f.unpersist()
-                except Exception:
-                    pass
-                try:
                     _CACHED_PASSES.remove(f)
+                    to_drop.append(f)
                 except ValueError:
-                    pass
+                    pass  # already released by clear_knn_cache()
+        for f in to_drop:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
 
     weakref.finalize(result, _release)
 
@@ -94,15 +102,15 @@ def clear_knn_cache() -> int:
     returned DataFrame is garbage-collected — but a service holding
     many results can force an early release (their plans then recompute
     from lineage on the next action). Returns entries released."""
-    n = 0
     with _CACHE_LOCK:
-        while _CACHED_PASSES:
-            df = _CACHED_PASSES.pop()
-            try:
-                df.unpersist()
-                n += 1
-            except Exception:
-                pass
+        drained, _CACHED_PASSES[:] = list(_CACHED_PASSES), []
+    n = 0
+    for df in drained:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
     return n
 
 _M_PER_DEG = 111_195.0
@@ -139,7 +147,7 @@ def _ring_pass(
     k_col: str,
     order_cols: tuple,
     bc_probes: bool,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ring-window join at radius ``r``: returns (ranked candidates,
     resolved q_ids). A probe resolves when it found k neighbors and the
     k-th distance provably beats any unexplored cell (the guard)."""
@@ -327,7 +335,12 @@ def knn(
     result = out1.unionByName(out2).unionByName(out3)
     # scope the pass caches to the result's lifetime: dropping the
     # returned DataFrame (after the consuming action) unpersists both.
-    # A frame DERIVED from the result that outlives it recomputes from
-    # lineage — correct, just uncached.
+    # CALLERS THAT DERIVE: a frame built from the result does NOT hold
+    # a Python reference to it — if you derive and drop the result
+    # before acting (``knn(...).select(...)``), extend the scope by
+    # attaching it (``out = res.select(...); out._knn_scope = res``) or
+    # act while holding the result; otherwise the caches release early
+    # and the plan recomputes per consumer (correct, measured ~10x
+    # slower).
     _register_pass_caches(result, [cache1, cache2])
     return result

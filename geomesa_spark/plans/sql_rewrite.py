@@ -134,6 +134,19 @@ def _count_spatial_join_predicates(sql: str) -> int:
     return n
 
 
+def _spatial_on_join_count(sql: str) -> int:
+    """Two-alias spatial call sites inside ON conditions only — the
+    JOIN-MECHANISM sites. Once the top-level join has been spliced onto
+    the cell key, a two-alias spatial call OUTSIDE every ON clause
+    (e.g. a WHERE refine over the already-keyed pair) is a per-row
+    filter, not a cartesian risk — strict mode must not raise on it."""
+    n = 0
+    for m in _JOIN_RE.finditer(sql):
+        cond, _ = _scan_condition(sql, m.end())
+        n += _count_spatial_join_predicates(cond)
+    return n
+
+
 def _scan_condition(sql: str, start: int) -> tuple[str, int]:
     """Extract the ON condition from ``start`` to the next top-level
     clause keyword (paren-depth aware)."""
@@ -237,16 +250,20 @@ def rewrite_spatial_sql(
         # Gate on the JOIN stage specifically: comparing the FINAL output
         # to the input would let an unrelated literal-filter rewrite mask
         # an unrewritten spatial join (e.g. inside a CTE/subquery). The
-        # rewriter handles at most ONE join per call, so strict mode
-        # raises whenever the input carries more two-alias spatial call
-        # sites than the join stage consumed (0 if it took the identity
-        # path, 1 if it spliced) — a second join predicate in a CTE
-        # raises even though the top-level one rewrote. Counting the
+        # rewriter handles at most ONE join per call, so strict raises
+        # whenever the input carries more JOIN-MECHANISM spatial call
+        # sites than the stage consumed. When a splice happened, only
+        # ON-clause sites count — a two-alias spatial call in a WHERE
+        # over the already-keyed pair is a refine, not a cartesian (a
+        # false positive the first version of this gate raised on). When
+        # nothing was consumed, ANY two-alias site (incl. comma-join
+        # WHERE predicates) means the cartesian fallback. Counting the
         # INPUT sidesteps the residual: a successful splice re-emits the
         # original predicate as the refine conjunct, so the output text
         # always still "contains" a spatial join.
         consumed = 0 if joined == sql else 1
-        if _count_spatial_join_predicates(sql) > consumed:
+        risk = _spatial_on_join_count(sql) if consumed else _count_spatial_join_predicates(sql)
+        if risk > consumed:
             raise ValueError(
                 "rewrite_spatial_sql(strict=True): SQL contains a spatial "
                 "join predicate that no supported top-level join/filter "

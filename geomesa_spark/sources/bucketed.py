@@ -104,12 +104,19 @@ def write_bucketed(
     rotating paths would silently leak full table copies. When the
     catalog already holds ``name`` at a DIFFERENT local location that
     carries this module's ``_bucket_spec.json`` marker, the prior
-    directory is removed; locations without the marker (not written by
+    directory is removed AFTER the new write succeeds (never before —
+    a failed write must not destroy the previous copy, and ``df`` may
+    legitimately read from it); locations without the marker (not written by
     this module) are left untouched and a leak is the caller's to
     manage. An external ``path`` also gains the spec manifest, which
     ``restore_bucketed`` uses to re-register the layout in a fresh
     session."""
     spark = df.sparkSession
+    # capture the PRIOR location now, clean it only AFTER the new write
+    # SUCCEEDS: deleting first would destroy the only copy on a failed
+    # write, and would pull the files out from under a df whose lineage
+    # reads the old table (review finding r5)
+    prior = None
     if mode == "overwrite":
         old = _local_path(_table_location(spark, name))
         new = _local_path(path)
@@ -119,7 +126,7 @@ def write_bucketed(
             and os.path.isfile(os.path.join(old, _SPEC_FILE))
             and (new is None or os.path.abspath(old) != os.path.abspath(new))
         ):
-            shutil.rmtree(old, ignore_errors=True)
+            prior = old
     if align_tasks:
         # spark's bucket id = pmod(hash(col), n) — repartitioning on the
         # same expression makes task id ≡ bucket id, one file per bucket
@@ -135,6 +142,8 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(name)
+    if prior:
+        shutil.rmtree(prior, ignore_errors=True)
     local = _local_path(path)
     if local:
         spec = {
@@ -176,14 +185,26 @@ def restore_bucketed(spark: SparkSession, path: str, name: str | None = None) ->
     with open(os.path.join(local, _SPEC_FILE)) as fh:
         spec = json.load(fh)
     name = name or spec["name"]
+
+    # identifiers and the path are spliced into SQL text: reject
+    # backticks in identifiers and escape quotes in the path so a legal
+    # POSIX path (or a hand-edited manifest) can't break out of the
+    # statement (review finding r5)
+    def ident(v: str) -> str:
+        v = str(v)
+        if "`" in v:
+            raise ValueError(f"invalid identifier in bucket spec: {v!r}")
+        return f"`{v}`"
+
     schema = spark.read.parquet(path).schema
-    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
-    sort = ", ".join(f"`{c}`" for c in spec["sort_cols"])
-    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    cols = ", ".join(f"{ident(f.name)} {f.dataType.simpleString()}" for f in schema.fields)
+    sort = ", ".join(ident(c) for c in spec["sort_cols"])
+    loc = path.replace("'", "''")
+    spark.sql(f"DROP TABLE IF EXISTS {ident(name)}")
     spark.sql(
-        f"CREATE TABLE `{name}` ({cols}) USING parquet "
-        f"CLUSTERED BY (`{spec['bucket_col']}`) SORTED BY ({sort}) "
-        f"INTO {spec['n_buckets']} BUCKETS LOCATION '{path}'"
+        f"CREATE TABLE {ident(name)} ({cols}) USING parquet "
+        f"CLUSTERED BY ({ident(spec['bucket_col'])}) SORTED BY ({sort}) "
+        f"INTO {int(spec['n_buckets'])} BUCKETS LOCATION '{loc}'"
     )
     return spark.table(name)
 

@@ -247,7 +247,8 @@ def main() -> int:
         if ui:
             app_id = spark.sparkContext.applicationId
             with urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+                f"{ui}/api/v1/applications/{app_id}/stages?status=COMPLETE",
+                timeout=60,
             ) as r:
                 for st in _json.load(r):
                     spill["memoryBytesSpilled"] += int(st.get("memoryBytesSpilled", 0))

@@ -1088,3 +1088,32 @@ class TestRound5Operators:
             for r in cosine_topk(emb, probes, k=30).where(f"sim_r >= {tau}").collect()
         }
         assert got == want and len(want) > 0
+
+    def test_knn_scope_rides_derived_frame(self, spark):
+        """q_knn pattern (review finding r5): deriving from the result
+        and dropping it releases the caches — unless the caller attaches
+        the result to the derived frame, which extends the scope until
+        the DERIVED frame dies."""
+        import gc
+        import importlib
+
+        knn_mod = importlib.import_module("geomesa_spark.operators.knn")
+        from geomesa_spark.operators.knn import knn
+
+        pts, probes = TestKnnCacheLifecycle._fixtures(spark)
+
+        def build():
+            r = knn(pts, probes, bits=5)
+            out = r.select("q_id", "rank")
+            out._knn_scope = r
+            return out
+
+        out = build()
+        gc.collect()
+        # the parent result died at build() return, but the attached
+        # scope keeps its caches registered for the pending action
+        assert len(knn_mod._CACHED_PASSES) == 2
+        assert out.count() == 4
+        del out
+        gc.collect()
+        assert knn_mod._CACHED_PASSES == []

@@ -792,3 +792,58 @@ class TestFooterStats:
 
         assert partition_footer_stats("s3a://bucket/tiles", "bucket") is None
         assert partition_footer_stats("hdfs://nn/tiles", "bucket") is None
+
+
+class TestBucketedOverwriteSafety:
+    def test_failed_overwrite_preserves_prior_location(self, spark, tmp_path):
+        """Review finding r5: the prior external location must be
+        cleaned AFTER the new write succeeds — a failing write job must
+        not destroy the only existing copy."""
+        import os
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        from geomesa_spark.sources.bucketed import write_bucketed
+
+        df = spark.range(50).selectExpr("id AS cell", "id AS v")
+        pa = str(tmp_path / "keep")
+        try:
+            write_bucketed(df, "ow_safe", n_buckets=4, path=pa)
+            assert os.path.isfile(os.path.join(pa, "_bucket_spec.json"))
+
+            boom = F.udf(lambda v: (_ for _ in ()).throw(RuntimeError("boom")), LongType())
+            bad = df.withColumn("v", boom("v"))
+            import pytest as _pytest
+
+            with _pytest.raises(Exception):
+                write_bucketed(bad, "ow_safe", n_buckets=4, path=str(tmp_path / "new"))
+            # the failed write must NOT have removed the prior data —
+            # it remains fully restorable (Spark's own failed overwrite
+            # already dropped/repointed the catalog entry, so the prior
+            # location survives as a recoverable orphan rather than
+            # being rmtree'd mid-flight)
+            assert os.path.isfile(os.path.join(pa, "_bucket_spec.json"))
+            from geomesa_spark.sources.bucketed import restore_bucketed
+
+            spark.sql("DROP TABLE IF EXISTS ow_safe")
+            assert restore_bucketed(spark, pa, "ow_safe").count() == 50
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ow_safe")
+
+    def test_restore_escapes_path_quote(self, spark, tmp_path):
+        import os
+
+        from geomesa_spark.sources.bucketed import restore_bucketed, write_bucketed
+
+        quoted = tmp_path / "user's tables"
+        quoted.mkdir()
+        df = spark.range(20).selectExpr("id AS cell", "id AS v")
+        p = str(quoted / "t")
+        try:
+            write_bucketed(df, "rq_t", n_buckets=2, path=p)
+            spark.sql("DROP TABLE rq_t")
+            got = restore_bucketed(spark, p, "rq_t")
+            assert got.count() == 20
+        finally:
+            spark.sql("DROP TABLE IF EXISTS rq_t")

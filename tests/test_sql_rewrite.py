@@ -457,6 +457,23 @@ class TestStrictMode:
         with pytest.raises(ValueError, match="cartesian fallback"):
             rewrite_spatial_sql(sql, spark, strict=True)
 
+    def test_strict_quiet_on_where_refine_after_splice(self, spark, geo_views):
+        """A second two-alias spatial call in the WHERE of an already-
+        spliced join is a per-row refine over the keyed pair, NOT a
+        cartesian risk — strict must stay quiet (review finding r5: the
+        first version of the join-stage gate raised here)."""
+        sql = """
+        SELECT p.doc_id, q.poly_id
+        FROM rw_pts p JOIN rw_polys q
+          ON st_contains(q.wkt, st_point(p.lon, p.lat))
+        WHERE st_distanceSphere(st_point(p.lon, p.lat),
+                                st_point(q.min_lon, q.min_lat)) >= 0
+        """
+        out = rewrite_spatial_sql(sql, spark, strict=True)
+        assert "__cell" in out
+        # and it still runs (the refine predicate survives as a filter)
+        assert spark.sql(out).count() > 0
+
     def test_strict_raises_on_second_join_in_cte(self, spark, geo_views):
         """Top-level join rewrites, but a SECOND two-alias spatial join
         inside a CTE falls through — strict must still raise (the input
