@@ -2363,6 +2363,19 @@ def q_bucketed_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("event_id", "user_id", "value", "n_events", "max_value")
 
 
+def q_sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the embedding corpus (the 4x vector
+    compression step before ANN serving): per-dim min-max codes,
+    exploded to (vec_id, pos, code) for exact cross-engine compare."""
+    from geomesa_spark.operators.ann import scalar_quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = scalar_quantize(emb, bits=8)
+    return q.select(
+        "vec_id", F.posexplode("codes").alias("pos", "code")
+    ).select("vec_id", F.col("pos").cast("int").alias("pos"), "code")
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2528,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "sorted_topn": q_sorted_topn,
         "upsert_latest": q_upsert_latest,
+        "sq_codes": q_sq_codes,
     }
 
 
@@ -4161,6 +4175,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN kind IN ('image','audio') THEN 1 ELSE 0 END) AS INT) AS n_media,
                    min(CASE WHEN kind IN ('image','audio') THEN CAST(j AS INT) END) AS first_media_offset
             FROM spans GROUP BY i
+        """,
+        "sq_codes": """
+            WITH d AS (
+              SELECT e.vec_id, u.i AS pos, CAST(e.embedding[u.i] AS DOUBLE) AS x
+              FROM embeddings e
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) u(i)
+              WHERE u.i <= len(e.embedding)
+            ),
+            st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM d GROUP BY pos)
+            SELECT d.vec_id, CAST(d.pos - 1 AS INT) AS pos,
+                   CAST(CASE WHEN st.mx > st.mn
+                        THEN least(greatest(floor((d.x - st.mn) / (st.mx - st.mn) * 255.0), 0), 255)
+                        ELSE 0 END AS INT) AS code
+            FROM d JOIN st USING (pos)
         """,
         "bucketed_restore": """
             WITH agg AS (

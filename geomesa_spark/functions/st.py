@@ -388,6 +388,32 @@ st_translate = _st_translate
 
 
 @F.pandas_udf(T.StringType())
+def st_simplify(wkt: pd.Series, tolerance: pd.Series) -> pd.Series:
+    """Douglas–Peucker simplification (JTS DouglasPeuckerSimplifier /
+    upstream st_simplify parity): drop vertices whose perpendicular
+    distance to the retained chord is ≤ tolerance. LINESTRING /
+    MULTILINESTRING paths and POLYGON rings; rings keep closure and the
+    4-point minimum (bbox-corner fallback). Points pass through."""
+    out = []
+    for w, tol in zip(wkt, tolerance):
+        if w is None or tol is None:
+            out.append(None)
+            continue
+        try:
+            g = _parse(w)
+            t = float(tol)
+            if g.geom_type in ("POINT", "MULTIPOINT"):
+                out.append(w)
+                continue
+            closed = g.geom_type in ("POLYGON", "MULTIPOLYGON")
+            rings = [G.simplify_path(r, t, closed=closed) for r in g.rings]
+            out.append(G.to_wkt(G.Geometry(g.geom_type, rings, g.ring_poly)))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(T.StringType())
 def st_bufferPoint(wkt: pd.Series, radius_m: pd.Series) -> pd.Series:
     out = []
     for w, r in zip(wkt, radius_m):
@@ -750,6 +776,7 @@ ST_FUNCTIONS: dict = {
     "st_pointFromGeoHash": st_pointFromGeoHash,
     # processing
     "st_translate": st_translate,
+    "st_simplify": st_simplify,
     "st_bufferPoint": st_bufferPoint,
     "st_antimeridianSafeGeom": st_antimeridianSafeGeom,
     # upstream catalog ships both names for the same function

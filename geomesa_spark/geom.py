@@ -1673,3 +1673,54 @@ def point_buffer_wkt(lon: float, lat: float, radius_m: float, segments: int = 32
     pts = ", ".join(f"{x} {y}" for x, y in zip(vx, vy))
     first = f"{vx[0]} {vy[0]}"
     return f"POLYGON (({pts}, {first}))"
+
+
+def simplify_path(pts: np.ndarray, tol: float, closed: bool = False) -> np.ndarray:
+    """Douglas–Peucker path simplification (vectorized per segment).
+
+    Reference semantics: GeoTools/JTS DouglasPeuckerSimplifier as used
+    by the upstream engine's st_simplify for tile rendering. Iterative
+    (explicit stack — no recursion-depth limit on pathological paths);
+    the perpendicular distance of every interior vertex to the current
+    chord is computed as one NumPy expression per split. ``closed``
+    keeps first==last and enforces the 4-point polygon-ring minimum by
+    falling back to the ring's extreme vertices when over-simplified."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = pts[a + 1 : b]
+        d = pts[b] - pts[a]
+        L2 = float(d @ d)
+        if L2 == 0.0:
+            dist = np.hypot(seg[:, 0] - pts[a, 0], seg[:, 1] - pts[a, 1])
+        else:
+            # |cross((p-a), d)| / |d|
+            dist = np.abs(
+                (seg[:, 0] - pts[a, 0]) * d[1] - (seg[:, 1] - pts[a, 1]) * d[0]
+            ) / np.sqrt(L2)
+        i = int(np.argmax(dist))
+        if dist[i] > tol:
+            m = a + 1 + i
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    out = pts[keep]
+    if closed and len(out) < 4:
+        # ring collapsed below the POLYGON minimum: keep the extreme
+        # vertices (bbox corners of the original ring) so the output
+        # stays a valid closed ring
+        body = pts[:-1]
+        idx = sorted({
+            int(body[:, 0].argmin()), int(body[:, 0].argmax()),
+            int(body[:, 1].argmin()), int(body[:, 1].argmax()),
+        })
+        out = np.vstack([body[idx], body[idx[0]]])
+    return out

@@ -24,6 +24,7 @@ __all__ = [
     "norm",
     "cosine_topk",
     "range_search",
+    "scalar_quantize",
     "with_lsh_bucket",
     "lsh_cosine_topk",
     "ivf_assign",
@@ -127,6 +128,69 @@ def range_search(
         cand.withColumn("sim_r", F.round(sim, round_digits))
         .where(F.col("sim_r") >= tau)
         .select("q_vec_id", id_col, "sim_r")
+    )
+
+
+def scalar_quantize(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-dimension min-max scalar quantization (SQ8-style): float
+    embeddings → small-int codes, the 4× storage/bandwidth compression
+    a 100 TB embedding corpus applies before ANN serving (FAISS
+    ScalarQuantizer / SQfp semantics, public).
+
+    code_i = clamp(floor((x_i - min_i) / (max_i - min_i) * (2^bits-1)))
+    with a constant dimension (max == min) coding to 0. The per-dim
+    stats come from posexplode → groupBy(pos) min/max → ONE tiny
+    (dim-row) aggregate re-assembled into broadcast array literals —
+    the vector table itself never shuffles, and the quantize step is a
+    single codegen transform() with an index lambda. Arithmetic is
+    division/multiply of exact doubles in a fixed order, so the codes
+    are engine-exact (DuckDB oracle matches bit-for-bit).
+
+    Output: id_col, ``codes array<int>`` plus ``mins``/``maxs``
+    (array<double>) riding along for dequantization."""
+    levels = float((1 << bits) - 1)
+    pos = vectors.select(
+        F.posexplode(_dbl(F.col(vec_col))).alias("pos", "x")
+    )
+    stats = pos.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    # dim rows → two array literals in ONE row, ordered by pos
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda r: r["mn"]).alias("mins"),
+        F.transform("s", lambda r: r["mx"]).alias("maxs"),
+    )
+    q = F.transform(
+        _dbl(F.col(vec_col)),
+        lambda x, i: F.when(
+            F.element_at(F.col("maxs"), i + 1) > F.element_at(F.col("mins"), i + 1),
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (x - F.element_at(F.col("mins"), i + 1))
+                        / (
+                            F.element_at(F.col("maxs"), i + 1)
+                            - F.element_at(F.col("mins"), i + 1)
+                        )
+                        * levels
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(int(levels)),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return (
+        vectors.crossJoin(F.broadcast(packed))
+        .withColumn("codes", q)
+        .select(id_col, "codes", "mins", "maxs")
     )
 
 

@@ -270,3 +270,46 @@ class TestSpheroid:
         # one-degree equatorial segment
         got = sql("st_lengthSpheroid(l)", l="LINESTRING (0 0, 1 0)")
         assert got == pytest.approx(111319.491, abs=0.01)
+
+
+class TestSimplify:
+    def test_simplify_line_and_ring(self, spark):
+        from geomesa_spark.functions.st import register_st_functions
+
+        register_st_functions(spark)
+        df = spark.createDataFrame(
+            [
+                ("line", "LINESTRING (0 0, 1 0.01, 2 -0.01, 3 0.02, 4 0)", 0.1),
+                ("keep", "LINESTRING (0 0, 1 1, 2 0, 3 1, 4 0)", 0.5),
+                ("ring", "POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))", 0.1),
+                ("pt", "POINT (3 4)", 1.0),
+            ],
+            "name string, wkt string, tol double",
+        )
+        got = {
+            r.name: r.s
+            for r in spark.sql(
+                "SELECT name, st_simplify(wkt, tol) AS s FROM {df}", df=df
+            ).collect()
+        }
+        assert got["line"] == "LINESTRING (0 0, 4 0)"
+        # every vertex exceeds tolerance: nothing dropped
+        assert got["keep"] == "LINESTRING (0 0, 1 1, 2 0, 3 1, 4 0)"
+        # the near-collinear edge vertex goes; ring stays closed
+        assert got["ring"] == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        assert got["pt"] == "POINT (3 4)"
+
+    def test_simplify_ring_minimum(self, spark):
+        """Over-aggressive tolerance must not emit a degenerate ring:
+        the bbox-corner fallback keeps a valid closed POLYGON."""
+        from geomesa_spark.functions.st import st_simplify
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",)], "wkt string"
+        )
+        out = df.select(st_simplify("wkt", F.lit(100.0)).alias("s")).first().s
+        assert out.startswith("POLYGON ((") and out.count(",") >= 3
+        # first == last vertex (closed)
+        body = out[len("POLYGON (("):-2].split(", ")
+        assert body[0] == body[-1]
