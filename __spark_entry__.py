@@ -2376,6 +2376,16 @@ def q_sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("pos").cast("int").alias("pos"), "code")
 
 
+def q_quadkey_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup: per-tile point counts at zooms 4-6 in one
+    pass via quadkey-prefix aggregation (the post-ingest pyramid
+    materialization of a tile server)."""
+    from geomesa_spark.operators.tiles import quadkey_pyramid, web_mercator_tiles
+
+    t = web_mercator_tiles(_points(spark, sf_dir), zoom=6)
+    return quadkey_pyramid(t, zoom=6, min_zoom=4)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2542,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_topn": q_sorted_topn,
         "upsert_latest": q_upsert_latest,
         "sq_codes": q_sq_codes,
+        "quadkey_pyramid": q_quadkey_pyramid,
     }
 
 
@@ -4175,6 +4186,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN kind IN ('image','audio') THEN 1 ELSE 0 END) AS INT) AS n_media,
                    min(CASE WHEN kind IN ('image','audio') THEN CAST(j AS INT) END) AS first_media_offset
             FROM spans GROUP BY i
+        """,
+        "quadkey_pyramid": f"""
+            WITH {SQL_PTS},
+            t AS (
+              SELECT
+                CAST(least(greatest(floor((lon + 180.0) / 360.0 * 64), 0), 63) AS BIGINT) AS zx,
+                CAST(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.05112878), 85.05112878)))
+                   + 1.0 / cos(radians(least(greatest(lat, -85.05112878), 85.05112878)))) / pi()) / 2.0 * 64), 0), 63) AS BIGINT) AS zy
+              FROM pts
+            ),
+            qk AS (
+              SELECT array_to_string(list_transform(generate_series(5, 0, -1),
+                       i -> CAST(((zx >> i) & 1) + 2 * ((zy >> i) & 1) AS VARCHAR)), '') AS quadkey
+              FROM t
+            ),
+            lv AS (SELECT unnest(generate_series(4, 6)) AS level)
+            SELECT CAST(l.level AS INT) AS level, substr(q.quadkey, 1, l.level) AS qk, count(*) AS n
+            FROM qk q CROSS JOIN lv l
+            GROUP BY 1, 2
         """,
         "sq_codes": """
             WITH d AS (

@@ -31,6 +31,7 @@ __all__ = [
     "vectorize_density",
     "web_mercator_tiles",
     "quadkey_col",
+    "quadkey_pyramid",
     "zonal_stats",
 ]
 
@@ -87,6 +88,29 @@ def quadkey_col(zx, zy, zoom: int):
         for i in range(zoom - 1, -1, -1)
     ]
     return F.concat(*digits)
+
+
+def quadkey_pyramid(
+    tiles: DataFrame,
+    zoom: int,
+    min_zoom: int,
+    quadkey_col: str = "quadkey",
+) -> DataFrame:
+    """Tile-pyramid rollup on quadkey prefixes: per-tile counts at every
+    zoom in [min_zoom, zoom] in ONE pass — a tile's ancestors are its
+    quadkey prefixes, so level-L counts are a groupBy on
+    substring(quadkey, 1, L). The level sequence explodes per row
+    ((zoom-min_zoom+1)× expansion) into a single hash aggregate with
+    map-side partials — the pyramid materialization a tile server runs
+    after every ingest, without one scan per level.
+
+    Output: (level int, qk string, n long)."""
+    lv = F.explode(F.sequence(F.lit(min_zoom), F.lit(zoom))).alias("level")
+    return (
+        tiles.select(F.col(quadkey_col), lv)
+        .groupBy("level", F.expr(f"substring({quadkey_col}, 1, level)").alias("qk"))
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def zonal_stats(

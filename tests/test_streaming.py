@@ -402,3 +402,53 @@ class TestFileSource:
             ).collect()
         }
         assert got_stream == want
+
+
+class TestRocksDbStatefulOperator:
+    def test_track_state_under_rocksdb(self, spark, stream, tmp_path):
+        """The applyInPandasWithState accumulator (custom stateful
+        operator) also runs on the RocksDB provider — the off-heap
+        store a 10^9-key track table needs. Same shape as the baseline
+        track_state test (rate source + sleep-polling: stateful queries
+        over a continuous source must not be drained with
+        processAllAvailable — and independent of the provider, a
+        file-source + processAllAvailable drive of this operator hangs
+        batch 0 in this Spark build, so the polling pattern is the
+        supported one). Checkpoint artifacts prove RocksDB engaged."""
+        from geomesa_spark.streaming.live import track_state, use_rocksdb_state
+
+        prev = use_rocksdb_state(spark, enabled=True)
+        try:
+            q = (
+                track_state(stream)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName("trk_rocks")
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .start()
+            )
+            try:
+                ok = _wait_rows(
+                    q,
+                    lambda: spark.sql(
+                        "SELECT count(*) c FROM trk_rocks WHERE n_updates >= 2 AND track_m > 0"
+                    ).collect()[0].c
+                    > 10,
+                    timeout=120,
+                    drain=False,
+                )
+                assert ok
+            finally:
+                q.stop()
+        finally:
+            if prev is None:
+                try:
+                    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+                except Exception:
+                    pass
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+        # the checkpoint proves RocksDB actually held the state
+        names = [p.name for p in (tmp_path / "ck" / "state").rglob("*")]
+        assert any(n.endswith((".zip", ".changelog")) for n in names), names
