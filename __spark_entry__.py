@@ -2386,6 +2386,40 @@ def q_quadkey_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quadkey_pyramid(t, zoom=6, min_zoom=4)
 
 
+def _pq_setup(spark: SparkSession, sf_dir: str):
+    from geomesa_spark.operators.ann import pq_codebooks_from_rows
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # data-seeded codebooks (rows 0..15 per block) — the same
+    # centroids-are-data-rows device the ann_ivf oracle uses, so the
+    # encode/ADC mechanics are certified independently of training
+    return emb, pq_codebooks_from_rows(emb, m=8, k=16)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (m=8 blocks, k=16 codes): 64-dim
+    float vectors -> 8 small-int codes (~32x compression), one codegen
+    projection with the codebook as a nested array literal."""
+    from geomesa_spark.operators.ann import pq_encode
+
+    emb, cbs = _pq_setup(spark, sf_dir)
+    enc = pq_encode(emb, cbs)
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("block", "code")
+    ).select("vec_id", F.col("block").cast("int").alias("block"), "code")
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5: queries scored against the corpus
+    through its 8-byte codes only (codebook-lookup fold, broadcast
+    probes, no shuffle before the rank window)."""
+    from geomesa_spark.operators.ann import pq_adc_topk, pq_encode
+
+    emb, cbs = _pq_setup(spark, sf_dir)
+    enc = pq_encode(emb, cbs)
+    return pq_adc_topk(enc, emb.where(F.col("vec_id") < 3), cbs, k=5)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2553,6 +2587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_latest": q_upsert_latest,
         "sq_codes": q_sq_codes,
         "quadkey_pyramid": q_quadkey_pyramid,
+        "pq_codes": q_pq_codes,
+        "pq_adc": q_pq_adc,
     }
 
 
@@ -4205,6 +4241,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(l.level AS INT) AS level, substr(q.quadkey, 1, l.level) AS qk, count(*) AS n
             FROM qk q CROSS JOIN lv l
             GROUP BY 1, 2
+        """,
+        "pq_codes": """
+            WITH cbsrc AS (
+              SELECT e.vec_id AS code, b.b AS block,
+                     list_transform(generate_series(1, 8),
+                       i -> CAST(e.embedding[b.b * 8 + i] AS DOUBLE)) AS cent
+              FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b(b)
+              WHERE e.vec_id < 16
+            ),
+            subs AS (
+              SELECT e.vec_id, b.b AS block,
+                     list_transform(generate_series(1, 8),
+                       i -> CAST(e.embedding[b.b * 8 + i] AS DOUBLE)) AS sub
+              FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b(b)
+            ),
+            dists AS (
+              SELECT s.vec_id, s.block, c.code,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(generate_series(1, 8),
+                         i -> (s.sub[i] - c.cent[i]) * (s.sub[i] - c.cent[i]))),
+                       (a, x) -> a + x) AS dist
+              FROM subs s JOIN cbsrc c ON s.block = c.block
+            ),
+            enc AS (
+              SELECT vec_id, block, code FROM (
+                SELECT vec_id, block, code,
+                       row_number() OVER (PARTITION BY vec_id, block
+                                          ORDER BY dist ASC, code ASC) AS rn
+                FROM dists
+              ) WHERE rn = 1
+            )
+            SELECT vec_id, CAST(block AS INT) AS block, CAST(code AS INT) AS code
+            FROM enc
+        """,
+        "pq_adc": """
+            WITH cbsrc AS (
+              SELECT e.vec_id AS code, b.b AS block,
+                     list_transform(generate_series(1, 8),
+                       i -> CAST(e.embedding[b.b * 8 + i] AS DOUBLE)) AS cent
+              FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b(b)
+              WHERE e.vec_id < 16
+            ),
+            subs AS (
+              SELECT e.vec_id, b.b AS block,
+                     list_transform(generate_series(1, 8),
+                       i -> CAST(e.embedding[b.b * 8 + i] AS DOUBLE)) AS sub
+              FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b(b)
+            ),
+            dists AS (
+              SELECT s.vec_id, s.block, c.code,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(generate_series(1, 8),
+                         i -> (s.sub[i] - c.cent[i]) * (s.sub[i] - c.cent[i]))),
+                       (a, x) -> a + x) AS dist
+              FROM subs s JOIN cbsrc c ON s.block = c.block
+            ),
+            enc AS (
+              SELECT vec_id, block, code FROM (
+                SELECT vec_id, block, code,
+                       row_number() OVER (PARTITION BY vec_id, block
+                                          ORDER BY dist ASC, code ASC) AS rn
+                FROM dists
+              ) WHERE rn = 1
+            ),
+            terms AS (
+              SELECT q.vec_id AS q_vec_id, e.vec_id, e.block,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(generate_series(1, 8),
+                         i -> (CAST(q.embedding[e.block * 8 + i] AS DOUBLE) - c.cent[i])
+                            * (CAST(q.embedding[e.block * 8 + i] AS DOUBLE) - c.cent[i]))),
+                       (a, x) -> a + x) AS term
+              FROM enc e
+              JOIN cbsrc c ON c.block = e.block AND c.code = e.code
+              CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+              WHERE e.vec_id <> q.vec_id
+            ),
+            adc AS (
+              -- sequential fold in BLOCK ORDER, matching Spark's
+              -- aggregate over the block sequence (a plain SUM would be
+              -- order-dependent in the last ulp)
+              SELECT q_vec_id, vec_id,
+                     round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(term ORDER BY block)), (a, x) -> a + x), 6) AS adc_r
+              FROM terms GROUP BY q_vec_id, vec_id
+            )
+            SELECT q_vec_id, vec_id, adc_r, CAST(rnk AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                        ORDER BY adc_r ASC, vec_id ASC) AS rnk
+              FROM adc
+            ) WHERE rnk <= 5
         """,
         "sq_codes": """
             WITH d AS (

@@ -25,6 +25,9 @@ __all__ = [
     "cosine_topk",
     "range_search",
     "scalar_quantize",
+    "pq_codebooks_from_rows",
+    "pq_encode",
+    "pq_adc_topk",
     "with_lsh_bucket",
     "lsh_cosine_topk",
     "ivf_assign",
@@ -191,6 +194,130 @@ def scalar_quantize(
         vectors.crossJoin(F.broadcast(packed))
         .withColumn("codes", q)
         .select(id_col, "codes", "mins", "maxs")
+    )
+
+
+def pq_codebooks_from_rows(
+    vectors: DataFrame,
+    m: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Data-seeded PQ codebooks: per block, the sub-vectors of the first
+    ``k`` rows by id (deterministic — the same centroids-are-data-rows
+    device the IVF oracle uses, so encode/search mechanics are certified
+    independently of training; refine with train_ivf_centroids per block
+    when quality matters). Driver-bounded collect: k rows × dim floats."""
+    rows = (
+        vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    dim = len(rows[0][0])
+    d = dim // m
+    return [
+        [[float(x) for x in r[0][b * d : (b + 1) * d]] for r in rows]
+        for b in range(m)
+    ]
+
+
+def _pq_lit(codebooks: list) -> Column:
+    """m × k × d nested array literal (broadcast into codegen)."""
+    return F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in block])
+        for block in codebooks
+    ])
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 — deterministic order, oracle-stable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization encode (FAISS PQ semantics, public): split
+    each vector into m blocks, store per block the id of the nearest
+    codebook centroid (squared L2, first-minimum tie-break = lowest
+    code). dim → m bytes at k ≤ 256: the ~32× compression a 100 TB
+    embedding corpus stores and serves.
+
+    Spark shape: the m×k×d codebook rides as a nested array LITERAL, so
+    encoding is ONE codegen projection over the corpus — no join, no
+    shuffle, nothing collected. Output: id_col, ``codes array<int>``
+    (length m)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cb = _pq_lit(codebooks)
+    v = _dbl(F.col(vec_col))
+    code_b = lambda b: (  # noqa: E731
+        F.array_position(
+            F.transform(
+                F.element_at(cb, b + 1),
+                lambda c: _l2(F.slice(v, b * d + 1, d), c),
+            ),
+            F.array_min(
+                F.transform(
+                    F.element_at(cb, b + 1),
+                    lambda c: _l2(F.slice(v, b * d + 1, d), c),
+                )
+            ),
+        ).cast("int")
+        - 1
+    )
+    codes = F.array(*[code_b(b) for b in range(m)])
+    return vectors.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: approximate squared L2 from
+    a query to an ENCODED vector = Σ_b ‖q_b − centroid[code_b]‖² — the
+    corpus is touched only through its m-byte codes. Queries broadcast;
+    distance is a fold over blocks of literal-codebook lookups — one
+    codegen stage over |corpus|×|queries|, no shuffle but the final
+    top-k window. Ranking uses the ROUNDED distance with the corpus id
+    tie-break (cross-engine deterministic, as cosine_topk).
+
+    Output: (q_vec_id, vec_id, adc_r, rank)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cb = _pq_lit(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("q_vec_id"), _dbl(F.col(vec_col)).alias("q_vec")
+    )
+    cand = encoded.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("q_vec_id"))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, b: acc
+        + _l2(
+            F.slice(F.col("q_vec"), b * d + 1, F.lit(d)),
+            F.element_at(
+                F.element_at(cb, b + 1), F.element_at(F.col("codes"), b + 1) + 1
+            ),
+        ),
+    )
+    cand = cand.withColumn("adc_r", F.round(adc, round_digits))
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("adc_r").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_vec_id", id_col, "adc_r", F.col("rank").cast("int").alias("rank"))
     )
 
 

@@ -1117,3 +1117,30 @@ class TestRound5Operators:
         del out
         gc.collect()
         assert knn_mod._CACHED_PASSES == []
+
+    def test_pq_encode_selfcodes_and_adc_bound(self, spark):
+        """Seed rows ARE codebook centroids: each encodes to its own
+        code with ADC self-distance 0; and for any vector, ADC distance
+        through the codes lower-approximates within the quantization
+        error (sanity: ADC(q, q's own codes) <= true L2 to the nearest
+        seeds per block)."""
+        from geomesa_spark.operators.ann import (
+            pq_adc_topk, pq_codebooks_from_rows, pq_encode,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float((i * 13 + j * 5) % 17 - 8) for j in range(16)]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        cbs = pq_codebooks_from_rows(emb, m=4, k=8)
+        enc = pq_encode(emb, cbs)
+        codes = {r.vec_id: list(r.codes) for r in enc.collect()}
+        for i in range(8):  # seed rows must self-encode (dist 0, first-min tiebreak)
+            assert codes[i] == [i, i, i, i], (i, codes[i])
+        # ADC of a seed row against itself is excluded (self-pair), but
+        # rank-1 for a seed row's duplicate coordinates stays exact: the
+        # top-1 ADC distance is 0 when another row shares its codes
+        top = pq_adc_topk(enc, emb.where("vec_id < 2"), cbs, k=3)
+        rows = top.collect()
+        assert {r.q_vec_id for r in rows} == {0, 1}
+        assert all(r.adc_r >= 0.0 for r in rows)
