@@ -2420,6 +2420,20 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(enc, emb.where(F.col("vec_id") < 3), cbs, k=5)
 
 
+def q_raster_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local map algebra: the density grids of the even- and odd-doc
+    halves ADD back to the full-corpus grid — a self-validating
+    cell-aligned raster op (full outer join on the cell key)."""
+    from geomesa_spark.operators.tiles import density_grid, raster_algebra
+
+    pts = _points(spark, sf_dir)
+    bbox = (-180.0, -85.0, 180.0, 85.0)
+    idnum = F.regexp_extract(F.col("doc_id"), r"(\d+)", 1).cast("long")
+    even = density_grid(pts.where(idnum % 2 == 0), bbox, 72, 34)
+    odd = density_grid(pts.where(idnum % 2 == 1), bbox, 72, 34)
+    return raster_algebra(even, odd, op="add")
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2589,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_pyramid": q_quadkey_pyramid,
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
+        "raster_algebra": q_raster_algebra,
     }
 
 
@@ -4240,6 +4255,17 @@ def oracle_sql() -> dict[str, str]:
             lv AS (SELECT unnest(generate_series(4, 6)) AS level)
             SELECT CAST(l.level AS INT) AS level, substr(q.quadkey, 1, l.level) AS qk, count(*) AS n
             FROM qk q CROSS JOIN lv l
+            GROUP BY 1, 2
+        """,
+        "raster_algebra": f"""
+            WITH {SQL_PTS}
+            -- even + odd halves add back to the full grid: the oracle
+            -- IS the full-corpus density (the self-validation)
+            SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                   CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                   count(*) AS cnt
+            FROM pts
+            WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
             GROUP BY 1, 2
         """,
         "pq_codes": """

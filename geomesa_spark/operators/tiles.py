@@ -32,6 +32,7 @@ __all__ = [
     "web_mercator_tiles",
     "quadkey_col",
     "quadkey_pyramid",
+    "raster_algebra",
     "zonal_stats",
 ]
 
@@ -111,6 +112,36 @@ def quadkey_pyramid(
         .groupBy("level", F.expr(f"substring({quadkey_col}, 1, level)").alias("qk"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def raster_algebra(
+    a: DataFrame,
+    b: DataFrame,
+    op: str = "add",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Local map algebra between two sparse rasters on the SAME grid
+    (the raster half of the reference's raster↔vector surface): cell-
+    aligned add / subtract / max / min, absent cells = 0.
+
+    Full outer equi-join on the (ix, iy) cell key + coalesce — both
+    sides shuffle once on the cell key (or co-locate for free when the
+    rasters are bucketed by cell, sources/bucketed.py), and the result
+    stays sparse: only cells present in either input appear."""
+    ops = {
+        "add": lambda x, y: x + y,
+        "subtract": lambda x, y: x - y,
+        "max": F.greatest,
+        "min": F.least,
+    }
+    if op not in ops:
+        raise ValueError(f"raster_algebra op must be one of {sorted(ops)}, got {op!r}")
+    va = a.select("ix", "iy", F.col(value_col).alias("__va"))
+    vb = b.select("ix", "iy", F.col(value_col).alias("__vb"))
+    j = va.join(vb, ["ix", "iy"], "full_outer")
+    x = F.coalesce(F.col("__va"), F.lit(0)).cast("long")
+    y = F.coalesce(F.col("__vb"), F.lit(0)).cast("long")
+    return j.select("ix", "iy", ops[op](x, y).alias(value_col))
 
 
 def zonal_stats(
