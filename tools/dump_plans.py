@@ -317,6 +317,42 @@ def main() -> int:
             plan_str(tfidf),
         ))
 
+        # round 5: PQ ADC search — codes-only scoring, literal codebooks
+        from geomesa_spark.operators.ann import (
+            pq_adc_topk, pq_codebooks_from_rows, pq_encode,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float((i * 13 + j * 5) % 17 - 8) for j in range(16)]) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        cbs = pq_codebooks_from_rows(emb, m=4, k=8)
+        adc = pq_adc_topk(pq_encode(emb, cbs), emb.where("vec_id < 3"), cbs, k=5)
+        sections.append((
+            "PQ encode + ADC top-k (round 5)",
+            "pq_encode is ONE projection (the m x k x d codebook is a "
+            "nested array literal inside codegen — no join, no shuffle, "
+            "nothing collected); ADC scores the corpus through its codes "
+            "with a block-ordered lookup fold against broadcast probes; "
+            "the only Exchange is the final q_id rank window.",
+            plan_str(adc),
+        ))
+
+        # round 5: raster map algebra — full outer join on the cell key
+        from geomesa_spark.operators.tiles import raster_algebra
+
+        g1 = density_grid(extract_geo_points(docs).where("span_offset = 1"),
+                          (-180.0, -85.0, 180.0, 85.0), 72, 34)
+        g2 = density_grid(extract_geo_points(docs).where("span_offset = 4"),
+                          (-180.0, -85.0, 180.0, 85.0), 72, 34)
+        sections.append((
+            "Raster map algebra (A9, round 5)",
+            "both sparse grids reduce map-side first, then ONE full-outer "
+            "SortMergeJoin on the (ix, iy) cell key; bucketed-by-cell "
+            "rasters plan it Exchange-free.",
+            plan_str(raster_algebra(g1, g2, op="add")),
+        ))
+
     out = ["# PLANS — physical-plan evidence\n",
            "Generated by tools/dump_plans.py; re-run after operator changes.\n"]
     for title, why, plan in sections:
