@@ -2434,6 +2434,60 @@ def q_raster_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_algebra(even, odd, op="add")
 
 
+def q_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS-trace cleaning: per-ping ground speed over the time-ordered
+    track window with a plausibility flag (vmax 40 m/s) — the per-leg
+    dual of track_length. The canonical layer's 10-hour 10° legs sit
+    near 31·cos(lat) m/s with lat/antimeridian wraps supplying genuine
+    outliers, so both flag values occur."""
+    from geomesa_spark.operators.tracks import speed_legs
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    return speed_legs(canonical_layer(spark, 2000), track_col="name", vmax_ms=40.0)
+
+
+def q_od_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin–destination flow matrix: consecutive per-track cell
+    transitions over the 36×17 10° grid (DensityScan's movement dual —
+    flows between cells instead of mass per cell); self-transitions
+    dropped."""
+    from geomesa_spark.operators.tracks import od_matrix
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    return od_matrix(
+        canonical_layer(spark, 2000), (-180.0, -85.0, 180.0, 85.0), 36, 17,
+        track_col="name",
+    )
+
+
+def q_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence dwell episodes: maximal in-fence runs per track — the
+    batch form of the reference's Kafka geofencing pattern, as a
+    gaps-and-islands window + one aggregate. The fence spans the
+    canonical layer's whole latitude band (−84.5..−79.5) and lon
+    [−30, 30], so each track alternates in/out on its 10°-per-hop lon
+    cycle — multiple multi-ping episodes per track."""
+    from geomesa_spark.operators.tracks import dwell_episodes
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    return dwell_episodes(
+        canonical_layer(spark, 2000), (-30.0, -85.0, 30.0, -79.0), track_col="name"
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-repetition quality signals per document (top-word
+    fraction, distinct-word ratio, duplicate-bigram fraction) — pure
+    higher-order array expressions, zero shuffle."""
+    from geomesa_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2604,6 +2658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
         "raster_algebra": q_raster_algebra,
+        "speed_filter": q_speed_filter,
+        "od_cells": q_od_cells,
+        "dwell": q_dwell,
+        "repetition": q_repetition,
     }
 
 
@@ -4267,6 +4325,98 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
             WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
             GROUP BY 1, 2
+        """,
+        "speed_filter": f"""
+            WITH c AS (
+              SELECT printf('name%d', t.i % 10) AS track, t.i AS i,
+                     TIMESTAMP '2024-01-01 00:00:00' + t.i * INTERVAL 1 HOUR AS dtg,
+                     CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                     CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+              FROM range(0, 2000) t(i)
+            ),
+            legs AS (
+              SELECT track, dtg, lon, lat,
+                     lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+                     (i - lag(i) OVER w) * 3600 AS dt_s
+              FROM c WINDOW w AS (PARTITION BY track ORDER BY i)
+            )
+            SELECT track, dtg, lon, lat,
+                   CASE WHEN plon IS NOT NULL AND dt_s > 0
+                        THEN round({_sql_haversine('plon', 'plat', 'lon', 'lat')} / dt_s, 6)
+                   END AS speed_ms,
+                   coalesce(CASE WHEN plon IS NOT NULL AND dt_s > 0
+                        THEN round({_sql_haversine('plon', 'plat', 'lon', 'lat')} / dt_s, 6)
+                   END <= 40.0, TRUE) AS is_valid
+            FROM legs
+        """,
+        "od_cells": """
+            WITH c AS (
+              SELECT printf('name%d', t.i % 10) AS track, t.i AS i,
+                     CAST(floor((CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) - (-180.0)) / 10.0) AS INT) AS o_ix,
+                     CAST(floor((CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) - (-85.0)) / 10.0) AS INT) AS o_iy
+              FROM range(0, 2000) t(i)
+            ),
+            hops AS (
+              SELECT o_ix, o_iy,
+                     lead(o_ix) OVER w AS d_ix, lead(o_iy) OVER w AS d_iy
+              FROM c WINDOW w AS (PARTITION BY track ORDER BY i)
+            )
+            SELECT o_ix, o_iy, d_ix, d_iy, count(*) AS n_trips
+            FROM hops
+            WHERE d_ix IS NOT NULL AND (d_ix <> o_ix OR d_iy <> o_iy)
+            GROUP BY 1, 2, 3, 4
+        """,
+        "dwell": """
+            WITH c AS (
+              SELECT printf('name%d', t.i % 10) AS track, t.i AS i,
+                     TIMESTAMP '2024-01-01 00:00:00' + t.i * INTERVAL 1 HOUR AS dtg,
+                     CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                     CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+              FROM range(0, 2000) t(i)
+            ),
+            flag AS (
+              SELECT track, i, dtg,
+                     (lon >= -30.0 AND lon <= 30.0 AND lat >= -85.0 AND lat <= -79.0) AS inb
+              FROM c
+            ),
+            chg AS (
+              SELECT track, i, dtg, inb,
+                     CASE WHEN lag(inb) OVER w IS NULL OR lag(inb) OVER w <> inb
+                          THEN 1 ELSE 0 END AS c
+              FROM flag WINDOW w AS (PARTITION BY track ORDER BY i)
+            ),
+            runs AS (
+              SELECT track, dtg, inb,
+                     sum(c) OVER (PARTITION BY track ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING) AS run
+              FROM chg
+            )
+            SELECT track, CAST(run AS INT) AS episode,
+                   min(dtg) AS enter_dtg, max(dtg) AS exit_dtg,
+                   CAST(count(*) AS INT) AS n_pings
+            FROM runs WHERE inb GROUP BY track, run
+        """,
+        "repetition": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            m AS (
+              SELECT doc_id, w, len(w) AS n, list_distinct(w) AS dis,
+                     CASE WHEN len(w) >= 2
+                          THEN list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i + 1])
+                          ELSE [] END AS bg
+              FROM w
+            )
+            SELECT doc_id, CAST(n AS INT) AS n_words,
+                   CAST(len(dis) AS DOUBLE) / n AS distinct_ratio,
+                   CAST(list_reduce(list_prepend(0,
+                          list_transform(dis, x -> len(list_filter(w, y -> y = x)))),
+                        (a, x) -> greatest(a, x)) AS DOUBLE) / n AS top_word_frac,
+                   CASE WHEN len(bg) > 0
+                        THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM m
         """,
         "pq_codes": """
             WITH cbsrc AS (

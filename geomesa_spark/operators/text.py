@@ -20,6 +20,7 @@ __all__ = [
     "with_token_stats",
     "with_language_id",
     "with_quality_score",
+    "repetition_stats",
     "with_fingerprint",
     "scrub_pii",
     "PII_PATTERNS",
@@ -155,6 +156,48 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("mean_tok_len", mean_tok_len)
         .withColumn("punct_ratio", punct_ratio)
         .withColumn("quality", score)
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", Table A1): the fraction of tokens held
+    by the single most frequent word, the distinct-word ratio, and the
+    duplicate word-bigram fraction — the filters a pretraining pipeline
+    uses to drop boilerplate/spam before dedup.
+
+    Output: (key, n_words, distinct_ratio, top_word_frac,
+    dup_bigram_frac). Every ratio is exact-int / exact-int in one
+    double division — bit-stable across engines.
+
+    Scale: computed entirely with higher-order array expressions — NO
+    explode, NO shuffle, embarrassingly map-parallel. top-word counting
+    is O(distinct × n) per document, the right trade for web documents
+    (bounded length); for book-length outliers, pre-truncate or switch
+    to the explode + two-level-aggregate shape."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    dis = F.array_distinct(t)
+    top = F.aggregate(
+        dis,
+        F.lit(0),
+        lambda acc, x: F.greatest(acc, F.size(F.filter(t, lambda y: y == x))),
+    )
+    # guard n==1: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+    # returning empty, and element_at(t, 0) is an ANSI error
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    return df.select(
+        F.col(key_col),
+        n.cast("int").alias("n_words"),
+        (F.size(dis).cast("double") / n).alias("distinct_ratio"),
+        (top.cast("double") / n).alias("top_word_frac"),
+        F.when(n_bi > 0, F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n_bi)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
     )
 
 

@@ -31,6 +31,9 @@ __all__ = [
     "track_lines",
     "track_label",
     "track_length",
+    "speed_legs",
+    "dwell_episodes",
+    "od_matrix",
     "route_search",
 ]
 
@@ -130,6 +133,136 @@ def track_length(
         F.coalesce(F.sum("__leg"), F.lit(0).cast("decimal(18,6)"))
         .cast("double")
         .alias("length_m"),
+    )
+
+
+def speed_legs(
+    df: DataFrame,
+    track_col: str = "track",
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str = "dtg",
+    vmax_ms: float = 100.0,
+) -> DataFrame:
+    """Per-ping ground speed + plausibility flag (GPS-trace cleaning,
+    the per-leg dual of ``track_length``; reference: the query-time
+    track statistics of Point2PointProcess.scala's dt/length outputs).
+
+    speed_ms = haversine(prev → cur) / Δt over the time-ordered track
+    window (NULL on the first ping and on non-positive Δt); rows whose
+    speed exceeds ``vmax_ms`` are flagged, not dropped, so callers can
+    either filter or sessionize around the teleports. Rounded to 6 dp
+    so the double quotient hashes identically in the oracle.
+
+    Scale: one lag() window partitioned on the track key — a single
+    shuffle, whole-stage codegen, no Python."""
+    w = Window.partitionBy(track_col).orderBy(F.col(dtg).asc())
+    plon, plat = F.lag(lon).over(w), F.lag(lat).over(w)
+    dt_s = F.unix_timestamp(F.col(dtg)) - F.unix_timestamp(F.lag(dtg).over(w))
+    speed = F.when(
+        plon.isNotNull() & (dt_s > 0),
+        F.round(haversine_m_col(plon, plat, F.col(lon), F.col(lat)) / dt_s, 6),
+    )
+    return df.select(
+        F.col(track_col).alias("track"),
+        F.col(dtg).alias("dtg"),
+        F.col(lon).alias("lon"),
+        F.col(lat).alias("lat"),
+        speed.alias("speed_ms"),
+        (speed.isNull() | (speed <= F.lit(vmax_ms))).alias("is_valid"),
+    )
+
+
+def dwell_episodes(
+    df: DataFrame,
+    fence: tuple[float, float, float, float],
+    track_col: str = "track",
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str = "dtg",
+) -> DataFrame:
+    """Geofence dwell episodes: maximal runs of consecutive pings inside
+    the ``fence`` bbox (min_lon, min_lat, max_lon, max_lat) per track —
+    (track, episode, enter_dtg, exit_dtg, n_pings).
+
+    The classic GeoMesa Kafka geofencing pattern (live feature index +
+    CQL bbox trigger) expressed as a batch gaps-and-islands shape: an
+    inside/outside flag, a transition counter via a running sum of
+    flag-change markers, then one hash aggregate per (track, run).
+
+    Scale: both windows and the final aggregate share the track-key
+    partitioning — a single shuffle; pure built-ins end to end."""
+    lo_x, lo_y, hi_x, hi_y = fence
+    inside = (
+        (F.col(lon) >= lo_x) & (F.col(lon) <= hi_x)
+        & (F.col(lat) >= lo_y) & (F.col(lat) <= hi_y)
+    )
+    w = Window.partitionBy(track_col).orderBy(F.col(dtg).asc())
+    run = Window.partitionBy(track_col).orderBy(F.col(dtg).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = df.withColumn("__in", inside).withColumn(
+        "__chg",
+        F.when(F.lag("__in").over(w).isNull() | (F.lag("__in").over(w) != F.col("__in")), 1)
+        .otherwise(0),
+    )
+    t = t.withColumn("__run", F.sum("__chg").over(run)).where(F.col("__in"))
+    return t.groupBy(
+        F.col(track_col).alias("track"), F.col("__run").cast("int").alias("episode")
+    ).agg(
+        F.min(dtg).alias("enter_dtg"),
+        F.max(dtg).alias("exit_dtg"),
+        F.count("*").cast("int").alias("n_pings"),
+    )
+
+
+def od_matrix(
+    df: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    track_col: str = "track",
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str = "dtg",
+) -> DataFrame:
+    """Origin–destination flow matrix: count consecutive per-track cell
+    transitions over a width×height grid on ``bbox`` — (o_ix, o_iy,
+    d_ix, d_iy, n_trips). Same floor-binning as tiles.density_grid, so
+    OD cells line up with density/tile cells.
+
+    The aggregate-movement analogue of the reference's DensityScan
+    (flows between cells instead of mass per cell). Self-transitions
+    (origin cell == destination cell) are dropped — they are dwell, not
+    flow (``dwell_episodes`` covers those).
+
+    Scale: one lead() window on the track key, then one hash aggregate
+    on the (origin, destination) pair — two shuffles, both with
+    map-side partials; out-of-bbox pings are filtered before the
+    window so the shuffle carries only in-grid traffic."""
+    x0, y0, x1, y1 = bbox
+    dx = (x1 - x0) / width
+    dy = (y1 - y0) / height
+    inb = df.where(
+        (F.col(lon) >= x0) & (F.col(lon) < x1) & (F.col(lat) >= y0) & (F.col(lat) < y1)
+    )
+    t = inb.select(
+        F.col(track_col).alias("__trk"),
+        F.col(dtg).alias("__dtg"),
+        F.floor((F.col(lon) - x0) / dx).cast("int").alias("o_ix"),
+        F.floor((F.col(lat) - y0) / dy).cast("int").alias("o_iy"),
+    )
+    w = Window.partitionBy("__trk").orderBy(F.col("__dtg").asc())
+    t = (
+        t.withColumn("d_ix", F.lead("o_ix").over(w))
+        .withColumn("d_iy", F.lead("o_iy").over(w))
+        .where(
+            F.col("d_ix").isNotNull()
+            & ((F.col("d_ix") != F.col("o_ix")) | (F.col("d_iy") != F.col("o_iy")))
+        )
+    )
+    return t.groupBy("o_ix", "o_iy", "d_ix", "d_iy").agg(
+        F.count("*").alias("n_trips")
     )
 
 

@@ -1052,6 +1052,84 @@ class TestRound5Operators:
         assert out["a"][0] == 2
         assert abs(out["a"][1] - 111_195.0) < 200  # 1 deg lon at equator
 
+    def test_speed_legs_flags_teleport(self, spark):
+        """~31 m/s legs are valid; a 49-degree teleport is not; the
+        first ping and a zero-dt duplicate get NULL speed (valid)."""
+        from geomesa_spark.operators.tracks import speed_legs
+
+        df = spark.createDataFrame(
+            [("a", 0.0, 0.0, "2024-01-01 00:00:00"),
+             ("a", 1.0, 0.0, "2024-01-01 01:00:00"),
+             ("a", 50.0, 0.0, "2024-01-01 02:00:00"),
+             ("a", 50.0, 0.0, "2024-01-01 02:00:00")],
+            "track string, lon double, lat double, dtg string",
+        )
+        rows = sorted(
+            speed_legs(df, vmax_ms=100.0).collect(), key=lambda r: (r.dtg, r.lon)
+        )
+        assert rows[0].speed_ms is None and rows[0].is_valid
+        assert abs(rows[1].speed_ms - 111_195.0 / 3600) < 0.2 and rows[1].is_valid
+        assert rows[2].speed_ms > 1000 and not rows[2].is_valid
+        assert rows[3].speed_ms is None and rows[3].is_valid  # dt == 0
+
+    def test_dwell_episodes_runs(self, spark):
+        """in-in-out-in splits into a 2-ping and a 1-ping episode;
+        out-of-fence rows never appear."""
+        from geomesa_spark.operators.tracks import dwell_episodes
+
+        df = spark.createDataFrame(
+            [("a", 0.0, 0.0, "2024-01-01 00:00:00"),
+             ("a", 1.0, 1.0, "2024-01-01 01:00:00"),
+             ("a", 99.0, 0.0, "2024-01-01 02:00:00"),
+             ("a", 2.0, 2.0, "2024-01-01 03:00:00")],
+            "track string, lon double, lat double, dtg string",
+        )
+        eps = sorted(
+            dwell_episodes(df, (-10.0, -10.0, 10.0, 10.0)).collect(),
+            key=lambda r: r.enter_dtg,
+        )
+        assert len(eps) == 2
+        assert eps[0].n_pings == 2 and eps[0].enter_dtg != eps[0].exit_dtg
+        assert eps[1].n_pings == 1 and eps[1].enter_dtg == eps[1].exit_dtg
+
+    def test_od_matrix_counts_transitions(self, spark):
+        """Self-transitions are dropped; parallel tracks accumulate into
+        the same OD cell pair."""
+        from geomesa_spark.operators.tracks import od_matrix
+
+        df = spark.createDataFrame(
+            [("a", 0.5, 0.5, "2024-01-01 00:00:00"),
+             ("a", 1.5, 0.5, "2024-01-01 01:00:00"),
+             ("a", 1.6, 0.5, "2024-01-01 02:00:00"),   # same cell: dropped
+             ("a", 0.5, 0.5, "2024-01-01 03:00:00"),
+             ("b", 0.4, 0.4, "2024-01-01 00:00:00"),
+             ("b", 1.5, 0.4, "2024-01-01 01:00:00")],
+            "track string, lon double, lat double, dtg string",
+        )
+        out = {
+            ((r.o_ix, r.o_iy), (r.d_ix, r.d_iy)): r.n_trips
+            for r in od_matrix(df, (0.0, 0.0, 10.0, 10.0), 10, 10).collect()
+        }
+        assert out == {((0, 0), (1, 0)): 2, ((1, 0), (0, 0)): 1}
+
+    def test_repetition_stats_values(self, spark):
+        """Exact ratios on a handcrafted doc; the 1-word doc exercises
+        the sequence(1,0) guard (Spark would DESCEND, not return [])."""
+        from geomesa_spark.operators.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [(1, "a b a c a"), (2, "x x x"), (3, "solo")],
+            "doc_id int, text string",
+        )
+        out = {r.doc_id: r for r in repetition_stats(df).collect()}
+        assert out[1].n_words == 5 and abs(out[1].top_word_frac - 0.6) < 1e-12
+        assert abs(out[1].distinct_ratio - 0.6) < 1e-12
+        assert out[1].dup_bigram_frac == 0.0
+        # "x x x": bigrams ["x x", "x x"] -> dup fraction 0.5
+        assert abs(out[2].dup_bigram_frac - 0.5) < 1e-12
+        assert out[3].n_words == 1 and out[3].dup_bigram_frac == 0.0
+        assert out[3].top_word_frac == 1.0
+
     def test_extent_and_rollup(self, spark):
         from geomesa_spark.operators.stats import extent, rollup_counts
 
