@@ -2488,6 +2488,32 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (DescriptiveStats percentile
+    extension): p25/p50/p90 of event value per event_type — ANSI
+    linear interpolation, rounded 6 dp to pin the cross-engine
+    double."""
+    from geomesa_spark.operators.stats import quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return quantiles(ev, "value", (0.25, 0.5, 0.9), group_cols=["event_type"])
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvexHullProcess analogue: per-track convex hull as WKT via the
+    two-stage distributed hull (shuffle-free per-batch partial hulls →
+    tiny per-group merge). 1800 rows = 5 COMPLETE 360-wide lat rows, so
+    each track's points form a full rectangular lattice and the hull is
+    analytically its 4 corners — the oracle derives the same POLYGON
+    from min/max alone (the collinear edge points are dropped by the
+    strict monotone chain)."""
+    from geomesa_spark.operators.stats import convex_hull_agg
+    from geomesa_spark.tables import canonical_layer
+
+    out = convex_hull_agg(canonical_layer(spark, 1800), ["name"])
+    return out.withColumnRenamed("name", "track")
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2662,6 +2688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_cells": q_od_cells,
         "dwell": q_dwell,
         "repetition": q_repetition,
+        "convex_hull": q_convex_hull,
+        "quantiles": q_quantiles,
     }
 
 
@@ -4417,6 +4445,36 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
                         ELSE 0.0 END AS dup_bigram_frac
             FROM m
+        """,
+        "quantiles": """
+            SELECT event_type, count(*) AS n,
+                   round(quantile_cont(value, 0.25), 6) AS q25,
+                   round(quantile_cont(value, 0.50), 6) AS q50,
+                   round(quantile_cont(value, 0.90), 6) AS q90
+            FROM events GROUP BY event_type
+        """,
+        "convex_hull": """
+            WITH c AS (
+              SELECT printf('name%d', t.i % 10) AS track,
+                     CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                     CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+              FROM range(0, 1800) t(i)
+            ),
+            e AS (
+              SELECT track, count(*) AS n_points,
+                     min(lon) AS mnx, min(lat) AS mny,
+                     max(lon) AS mxx, max(lat) AS mxy
+              FROM c GROUP BY track
+            )
+            -- each track is a COMPLETE 36x5 lattice, so the hull is
+            -- exactly the 4 corners, CCW from the lexicographic min
+            SELECT track, n_points,
+                   'POLYGON ((' || printf('%.6f %.6f', mnx, mny) || ', '
+                                || printf('%.6f %.6f', mxx, mny) || ', '
+                                || printf('%.6f %.6f', mxx, mxy) || ', '
+                                || printf('%.6f %.6f', mnx, mxy) || ', '
+                                || printf('%.6f %.6f', mnx, mny) || '))' AS hull_wkt
+            FROM e
         """,
         "pq_codes": """
             WITH cbsrc AS (

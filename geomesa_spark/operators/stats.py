@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "minmax",
     "extent",
+    "convex_hull_agg",
     "rollup_counts",
     "descriptive_stats",
+    "quantiles",
     "histogram",
     "topk",
     "enumeration",
@@ -62,6 +64,78 @@ def extent(
         F.max(lat).alias("max_lat"),
     ]
     return df.groupBy(*(group_cols or [])).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def convex_hull_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Convex hull of each group's point set (reference:
+    geomesa-process/geomesa-process-vector/.../process/analytic/
+    ConvexHullProcess.scala — aggregates a feature collection into one
+    hull geometry). Output: (group cols, n_points, hull_wkt) with the
+    engine-wide %.6f WKT convention; degenerate sets emit POINT /
+    LINESTRING like JTS does.
+
+    Distributed shape — hull(hull(A) ∪ hull(B)) == hull(A ∪ B), so:
+      1. a SHUFFLE-FREE mapInPandas pass reduces every Arrow batch to
+         its per-group partial-hull vertices (+ the batch's point
+         count): at 100 TB only O(groups × hull-size) rows per batch
+         survive into the exchange, never the raw points;
+      2. one applyInPandas merge per group over those bounded vertex
+         sets computes the exact final hull.
+    The vertex order is Andrew monotone chain CCW from the
+    lexicographically smallest vertex (geom.convex_hull), closed for
+    POLYGON — deterministic, so the WKT is oracle-comparable."""
+    import pandas as pd
+
+    from geomesa_spark.geom import convex_hull
+
+    gtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    part_schema = ", ".join(
+        [f"`{g}` {gtypes[g]}" for g in group_cols]
+        + ["__lon double", "__lat double", "__cnt long"]
+    )
+
+    def _partial(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for key, grp in pdf.groupby(group_cols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                verts = convex_hull(grp[[lon, lat]].to_numpy(dtype="float64"))
+                out = pd.DataFrame(verts, columns=["__lon", "__lat"])
+                for g, v in zip(group_cols, key):
+                    out[g] = v
+                # carry the batch's raw count on the first vertex row
+                # (zero elsewhere) so n_points survives the reduction
+                out["__cnt"] = 0
+                out.loc[out.index[0], "__cnt"] = len(grp)
+                yield out[group_cols + ["__lon", "__lat", "__cnt"]]
+
+    def _wkt(verts) -> str:
+        pts = [f"{x:.6f} {y:.6f}" for x, y in verts]
+        if len(verts) == 1:
+            return f"POINT ({pts[0]})"
+        if len(verts) == 2:
+            return f"LINESTRING ({pts[0]}, {pts[1]})"
+        return "POLYGON ((" + ", ".join(pts + [pts[0]]) + "))"
+
+    out_schema = ", ".join(
+        [f"`{g}` {gtypes[g]}" for g in group_cols] + ["n_points long", "hull_wkt string"]
+    )
+
+    def _merge(key, pdf):
+        verts = convex_hull(pdf[["__lon", "__lat"]].to_numpy(dtype="float64"))
+        return pd.DataFrame(
+            [list(key) + [int(pdf["__cnt"].sum()), _wkt(verts)]],
+            columns=group_cols + ["n_points", "hull_wkt"],
+        )
+
+    partials = df.select(*group_cols, lon, lat).mapInPandas(_partial, schema=part_schema)
+    return partials.groupBy(*group_cols).applyInPandas(_merge, schema=out_schema)
 
 
 def rollup_counts(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -186,6 +260,31 @@ def descriptive_stats(df: DataFrame, cols: list[str], covariance: bool = True) -
             for b in cols[i + 1:]:
                 aggs.append(F.covar_samp(a, b).alias(f"cov_{a}_{b}"))
     return df.agg(*aggs)
+
+
+def quantiles(
+    df: DataFrame,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    group_cols: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantiles of ``col`` (the percentile extension of the
+    reference's DescriptiveStats): ANSI linear interpolation at
+    p·(n−1), rounded to 6 dp so the interpolation double hashes
+    identically cross-engine.
+
+    ``approx=False`` uses Spark's exact ``percentile`` — a sort-based
+    aggregate that materializes each group's values, fine for bounded
+    per-group cardinality. At 100 TB groups, pass ``approx=True`` for
+    the mergeable t-digest-style ``percentile_approx`` sketch (constant
+    memory per group; no exact-SQL oracle, property-tested instead)."""
+    fn = "percentile_approx" if approx else "percentile"
+    aggs = [F.count("*").alias("n")] + [
+        F.round(F.expr(f"{fn}(`{col}`, {p!r})"), 6).alias(f"q{int(round(p * 100)):02d}")
+        for p in probs
+    ]
+    return df.groupBy(*(group_cols or [])).agg(*aggs) if group_cols else df.agg(*aggs)
 
 
 def run_stats_dsl(df: DataFrame, spec: str) -> dict[str, DataFrame]:

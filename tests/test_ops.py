@@ -1130,6 +1130,42 @@ class TestRound5Operators:
         assert out[3].n_words == 1 and out[3].dup_bigram_frac == 0.0
         assert out[3].top_word_frac == 1.0
 
+    def test_convex_hull_agg_shapes(self, spark):
+        """Non-rectangular hull: interior and collinear edge points are
+        dropped; the partial-hull/merge split (repartition(3)) gives the
+        same answer as a single pass; degenerate groups emit
+        POINT/LINESTRING."""
+        from geomesa_spark.operators.stats import convex_hull_agg
+
+        tri = [("t", 0.0, 0.0), ("t", 4.0, 0.0), ("t", 2.0, 3.0),
+               ("t", 2.0, 0.0),   # collinear on the bottom edge
+               ("t", 2.0, 1.0)]   # interior
+        rows = tri + [("p", 7.0, 7.0), ("l", 0.0, 0.0), ("l", 1.0, 2.0)]
+        df = spark.createDataFrame(rows, "g string, lon double, lat double")
+        out = {r.g: r for r in convex_hull_agg(df.repartition(3), ["g"]).collect()}
+        assert out["t"].n_points == 5
+        assert out["t"].hull_wkt == (
+            "POLYGON ((0.000000 0.000000, 4.000000 0.000000, "
+            "2.000000 3.000000, 0.000000 0.000000))"
+        )
+        assert out["p"].hull_wkt == "POINT (7.000000 7.000000)"
+        assert out["l"].hull_wkt == "LINESTRING (0.000000 0.000000, 1.000000 2.000000)"
+        single = {r.g: r.hull_wkt for r in convex_hull_agg(df.coalesce(1), ["g"]).collect()}
+        assert single == {g: r.hull_wkt for g, r in out.items()}
+
+    def test_quantiles_interpolation(self, spark):
+        """ANSI linear interpolation at p·(n−1): [0,1,2,3] → q25=0.75,
+        q50=1.5; the approx variant lands within the sketch tolerance."""
+        from geomesa_spark.operators.stats import quantiles
+
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in range(4)], "k string, v double"
+        )
+        r = quantiles(df, "v", (0.25, 0.5), group_cols=["k"]).first()
+        assert (r.n, r.q25, r.q50) == (4, 0.75, 1.5)
+        a = quantiles(df, "v", (0.5,), group_cols=["k"], approx=True).first()
+        assert 1.0 <= a.q50 <= 2.0
+
     def test_extent_and_rollup(self, spark):
         from geomesa_spark.operators.stats import extent, rollup_counts
 
