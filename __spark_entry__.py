@@ -2499,6 +2499,19 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles(ev, "value", (0.25, 0.5, 0.9), group_cols=["event_type"])
 
 
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 interpolation variant: radius-2 Shepard (1/d²) IDW surface of
+    span_offset over the 72×34 grid — samples pre-aggregated per cell,
+    per-target contributions folded in deterministic (d2, sx, sy) order
+    so the oracle's replayed fold is ulp-identical."""
+    from geomesa_spark.operators.tiles import idw_surface
+
+    return idw_surface(
+        _points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34,
+        value_col="span_offset", radius=2,
+    )
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConvexHullProcess analogue: per-track convex hull as WKT via the
     two-stage distributed hull (shuffle-free per-batch partial hulls →
@@ -2690,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "convex_hull": q_convex_hull,
         "quantiles": q_quantiles,
+        "idw": q_idw,
     }
 
 
@@ -4445,6 +4459,48 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
                         ELSE 0.0 END AS dup_bigram_frac
             FROM m
+        """,
+        "idw": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS sx,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS sy,
+                     CAST(sum(CAST(span_offset AS DOUBLE)) AS DOUBLE) AS sv,
+                     count(*) AS n
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            contrib AS (
+              SELECT CAST(g.sx + kx.v AS INT) AS ix, CAST(g.sy + ky.v AS INT) AS iy,
+                     CAST(kx.v * kx.v + ky.v * ky.v AS INT) AS d2,
+                     g.sx, g.sy, g.sv, g.n
+              FROM grid g
+              CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS v) kx
+              CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS v) ky
+              WHERE g.sx + kx.v >= 0 AND g.sx + kx.v < 72
+                AND g.sy + ky.v >= 0 AND g.sy + ky.v < 34
+            ),
+            agg AS (
+              SELECT ix, iy, CAST(count(*) AS INT) AS n_cells,
+                     max(CASE WHEN d2 = 0 THEN sv / CAST(n AS DOUBLE) END) AS zeroval,
+                     -- sequential fold in (d2, sx, sy) order, matching
+                     -- Spark's sort_array + aggregate (a plain SUM
+                     -- would be order-dependent in the last ulp)
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(sv / CAST(d2 AS DOUBLE) ORDER BY d2, sx, sy)
+                         FILTER (WHERE d2 > 0)),
+                       (a, x) -> a + x) AS num,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CAST(n AS DOUBLE) / CAST(d2 AS DOUBLE) ORDER BY d2, sx, sy)
+                         FILTER (WHERE d2 > 0)),
+                       (a, x) -> a + x) AS den
+              FROM contrib GROUP BY ix, iy
+            )
+            SELECT ix, iy, n_cells,
+                   round(CASE WHEN zeroval IS NOT NULL THEN zeroval
+                              ELSE num / den END, 6) AS idw
+            FROM agg
         """,
         "quantiles": """
             SELECT event_type, count(*) AS n,

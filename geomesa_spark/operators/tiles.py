@@ -25,6 +25,7 @@ from geomesa_spark.sources.catalog import write_manifest
 __all__ = [
     "density_grid",
     "smooth_density",
+    "idw_surface",
     "tile_pyramid",
     "write_tiles",
     "read_tiles",
@@ -254,6 +255,99 @@ def smooth_density(
     return (
         sm.groupBy(F.col("tx").cast("int").alias("ix"), F.col("ty").cast("int").alias("iy"))
         .agg(F.sum("contrib").alias("weight"))
+    )
+
+
+def idw_surface(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    value_col: str,
+    radius: int = 2,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation surface — the
+    raster-from-samples counterpart of A9 (density renders counts; IDW
+    renders a measured value field, the classic GIS gridding op next to
+    GeoMesa's DensityScan / GeoServer heatmap pipeline).
+
+    Scale shape: samples are FIRST reduced to per-cell (Σvalue, n) —
+    one hash aggregate over raw points, map-side partial — so the
+    kernel explode and the final shuffle run over |non-empty cells|·
+    (2r+1)² already-aggregated rows, never over raw points. Weights are
+    radius-bounded 1/d² in cell-index space (d² is an exact integer),
+    the Shepard power-2 kernel.
+
+    Float parity: per-target contributions are folded in a
+    DETERMINISTIC order — ``sort_array`` over struct(d2, sx, sy, …)
+    then one ``aggregate`` fold — so a DuckDB oracle replaying the same
+    fold (list(... ORDER BY d2, sx, sy) + list_reduce) is
+    ulp-identical; a plain SUM would drift in the last ulp across
+    engines. Arrays are bounded by (2r+1)² entries per target cell.
+
+    A cell containing samples (d2 = 0) takes their exact mean, the
+    Shepard zero-distance convention. Output: sparse
+    (ix, iy, n_cells, idw) — cells within ``radius`` of at least one
+    sample; idw rounded 6 dp.
+    """
+    r = radius
+    x0, y0, x1, y1 = bbox
+    dx = (x1 - x0) / width
+    dy = (y1 - y0) / height
+    inb = points.where(
+        (F.col(lon) >= x0) & (F.col(lon) < x1) & (F.col(lat) >= y0) & (F.col(lat) < y1)
+    )
+    grid = inb.groupBy(
+        F.floor((F.col(lon) - x0) / dx).cast("int").alias("sx"),
+        F.floor((F.col(lat) - y0) / dy).cast("int").alias("sy"),
+    ).agg(
+        F.sum(F.col(value_col).cast("double")).alias("sv"),
+        F.count("*").alias("n"),
+    )
+    kx = F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("kx")
+    ky = F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("ky")
+    contrib = (
+        grid.select("sx", "sy", "sv", "n", kx)
+        .select("sx", "sy", "sv", "n", "kx", ky)
+        .select(
+            (F.col("sx") + F.col("kx")).cast("int").alias("ix"),
+            (F.col("sy") + F.col("ky")).cast("int").alias("iy"),
+            (F.col("kx") * F.col("kx") + F.col("ky") * F.col("ky"))
+            .cast("int")
+            .alias("d2"),
+            "sx", "sy", "sv", "n",
+        )
+        .where(
+            (F.col("ix") >= 0) & (F.col("ix") < width)
+            & (F.col("iy") >= 0) & (F.col("iy") < height)
+        )
+    )
+    agg = contrib.groupBy("ix", "iy").agg(
+        F.sort_array(F.collect_list(F.struct("d2", "sx", "sy", "sv", "n"))).alias("arr")
+    )
+    zero = F.filter(F.col("arr"), lambda x: x["d2"] == 0)
+    nz = F.filter(F.col("arr"), lambda x: x["d2"] > 0)
+    fold = F.aggregate(
+        nz,
+        F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den")),
+        lambda a, x: F.struct(
+            (a["num"] + x["sv"] / x["d2"]).alias("num"),
+            (a["den"] + x["n"] / x["d2"]).alias("den"),
+        ),
+    )
+    z1 = F.element_at(zero, 1)
+    return agg.select(
+        "ix",
+        "iy",
+        F.size("arr").alias("n_cells"),
+        F.round(
+            F.when(F.size(zero) > 0, z1["sv"] / z1["n"]).otherwise(
+                fold["num"] / fold["den"]
+            ),
+            6,
+        ).alias("idw"),
     )
 
 

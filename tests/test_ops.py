@@ -1130,6 +1130,36 @@ class TestRound5Operators:
         assert out[3].n_words == 1 and out[3].dup_bigram_frac == 0.0
         assert out[3].top_word_frac == 1.0
 
+    def test_idw_surface_values(self, spark):
+        """Hand-computed Shepard 1/d² weights on a 4×4 unit grid:
+        sources at cells (0,0) [mean 15 of two samples] and (2,0)
+        [value 2]; zero-distance cells take the exact in-cell mean,
+        midpoints weight by inverse squared cell distance."""
+        from geomesa_spark.operators.tiles import idw_surface
+
+        rows = [
+            (0.5, 0.5, 10.0), (0.5, 0.5, 20.0),  # cell (0,0): sv=30, n=2
+            (2.5, 0.5, 2.0),                      # cell (2,0): sv=2, n=1
+        ]
+        df = spark.createDataFrame(rows, "lon double, lat double, v double")
+        out = {(r.ix, r.iy): r for r in
+               idw_surface(df, (0.0, 0.0, 4.0, 4.0), 4, 4, "v", radius=2).collect()}
+        assert out[(0, 0)].idw == 15.0 and out[(0, 0)].n_cells == 2
+        assert out[(2, 0)].idw == 2.0
+        # (1,0): d2=1 to both sources → (30/1 + 2/1) / (2/1 + 1/1)
+        assert out[(1, 0)].idw == round(32.0 / 3.0, 6)
+        # (1,1): d2=2 to both → (15 + 1) / (1 + 0.5)
+        assert out[(1, 1)].idw == round(16.0 / 1.5, 6)
+        # (0,2): the footprint is the Chebyshev box, so BOTH sources
+        # reach it — (0,0) at d2=4, (2,0) at d2=8:
+        # (30/4 + 2/8) / (2/4 + 1/8) = 7.75 / 0.625
+        assert out[(0, 2)].n_cells == 2 and out[(0, 2)].idw == 12.4
+        # (3,0): reached only by (2,0) (d2=1) — single-source IDW
+        # cancels the weights and returns that cell's mean
+        assert out[(3, 0)].n_cells == 1 and out[(3, 0)].idw == 2.0
+        # sparse: nothing beyond Chebyshev radius 2 of any source
+        assert (0, 3) not in out and (3, 2) in out
+
     def test_convex_hull_agg_shapes(self, spark):
         """Non-rectangular hull: interior and collinear edge points are
         dropped; the partial-hull/merge split (repartition(3)) gives the
