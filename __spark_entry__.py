@@ -2499,6 +2499,36 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles(ev, "value", (0.25, 0.5, 0.9), group_cols=["event_type"])
 
 
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality: per-event_type z-score anomaly filter
+    (|x−μ| > 2σ, population σ) — exact decimal moments in one hash
+    aggregate, broadcast-joined back; z bit-exact cross-engine."""
+    from geomesa_spark.operators.stats import zscore_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return zscore_outliers(ev, "value", ["event_type"], threshold=2.0)
+
+
+def q_date_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateOffsetProcess analogue: shift event timestamps by a calendar
+    interval (+7 DAY) — narrow codegen column arithmetic; compared as
+    exact epoch-micros integers (UTC session, so the calendar shift is
+    the same +604800 s DuckDB applies to the naive timestamp)."""
+    from geomesa_spark.operators.temporal import date_offset
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    out = date_offset(ev, "ts", "'7' DAY", out_col="ts_shifted")
+    return out.select(
+        "event_id",
+        # ts is TIMESTAMP_NTZ; the UTC session makes the cast the same
+        # wall-clock epoch DuckDB's epoch_us() reads off the naive value
+        F.unix_micros(F.col("ts_shifted").cast("timestamp")).alias("ts_shifted_us"),
+    )
+
+
 def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 interpolation variant: radius-2 Shepard (1/d²) IDW surface of
     span_offset over the 72×34 grid — samples pre-aggregated per cell,
@@ -2704,6 +2734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "quantiles": q_quantiles,
         "idw": q_idw,
+        "zscore_outliers": q_zscore_outliers,
+        "date_offset": q_date_offset,
     }
 
 
@@ -4459,6 +4491,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
                         ELSE 0.0 END AS dup_bigram_frac
             FROM m
+        """,
+        "zscore_outliers": """
+            WITH m AS (
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ssq
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round((e.value - sv / n)
+                         / sqrt(ssq / n - (sv / n) * (sv / n)), 6) AS z
+            FROM events e JOIN m USING (event_type)
+            WHERE sqrt(ssq / n - (sv / n) * (sv / n)) > 0
+              AND abs((e.value - sv / n)
+                      / sqrt(ssq / n - (sv / n) * (sv / n))) > 2.0
+        """,
+        "date_offset": """
+            SELECT event_id,
+                   epoch_us(ts + INTERVAL 7 DAY) AS ts_shifted_us
+            FROM events
         """,
         "idw": f"""
             WITH {SQL_PTS},

@@ -25,6 +25,7 @@ __all__ = [
     "rollup_counts",
     "descriptive_stats",
     "quantiles",
+    "zscore_outliers",
     "histogram",
     "topk",
     "enumeration",
@@ -285,6 +286,46 @@ def quantiles(
         for p in probs
     ]
     return df.groupBy(*(group_cols or [])).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def zscore_outliers(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group z-score anomaly filter — the outlier-removal stage of
+    a training-data quality pipeline (and the filtering counterpart of
+    A6 DescriptiveStats): keep rows with |x − μ| > t·σ of their group.
+
+    Scale shape: group moments come from ONE hash aggregate with
+    map-side partials (n, Σx, Σx² — Chan et al.'s mergeable moments),
+    then broadcast-join back onto the fact table: no second shuffle of
+    the raw rows, ever. Float parity: Σx / Σx² are EXACT decimal sums
+    (order-independent), so μ = Σx/n, σ² = Σx²/n − μ², z = (x−μ)/σ is
+    one fixed IEEE expression both engines evaluate identically —
+    the z column hashes bit-for-bit cross-engine after round(…, 6).
+    Population σ (ddof=0), matching the reference's Stat DSL variance.
+    """
+    from pyspark.sql.functions import broadcast
+
+    dec = F.col(col).cast("decimal(18,2)")
+    stats = df.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"),
+        F.sum(dec).alias("__sv"),
+        F.sum(dec * dec).alias("__ssq"),
+    )
+    m = F.col("__sv").cast("double") / F.col("__n")
+    var = F.col("__ssq").cast("double") / F.col("__n") - m * m
+    sd = F.sqrt(var)
+    joined = df.join(broadcast(stats), on=group_cols)
+    z = (F.col(col) - m) / sd
+    return (
+        joined.where(sd > 0)
+        .where(F.abs(z) > threshold)
+        .withColumn("z", F.round(z, 6))
+        .drop("__n", "__sv", "__ssq")
+    )
 
 
 def run_stats_dsl(df: DataFrame, spec: str) -> dict[str, DataFrame]:

@@ -22,7 +22,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_attach", "interval_join", "sessionize"]
+__all__ = ["asof_attach", "date_offset", "interval_join", "sessionize"]
+
+
+def date_offset(
+    df: DataFrame,
+    ts_col: str,
+    offset: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Shift a timestamp attribute by a calendar interval (reference:
+    geomesa-process/geomesa-process-vector/.../process/transform/
+    DateOffsetProcess.scala — offsets a date attribute of every feature
+    in a collection). ``offset`` is an ANSI interval string, e.g.
+    ``'1 HOUR'``, ``'-30 MINUTE'``, ``'7 DAY'``. Pure codegen column
+    arithmetic — narrow, no shuffle; Catalyst folds the interval
+    literal so the scan predicate pushdown above/below is unaffected.
+    """
+    shifted = F.expr(f"`{ts_col}` + INTERVAL {offset}")
+    return df.withColumn(out_col or ts_col, shifted)
 
 
 def asof_attach(

@@ -1130,6 +1130,32 @@ class TestRound5Operators:
         assert out[3].n_words == 1 and out[3].dup_bigram_frac == 0.0
         assert out[3].top_word_frac == 1.0
 
+    def test_zscore_outliers(self, spark):
+        """[0×5, 12]: μ=2, σ=√20 → z(12)=2.236 flagged, zeros not;
+        a constant group (σ=0) is excluded entirely."""
+        from geomesa_spark.operators.stats import zscore_outliers
+
+        rows = [("a", 0.0)] * 5 + [("a", 12.0)] + [("c", 7.0)] * 3
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = zscore_outliers(df, "v", ["k"], threshold=2.0).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.k, r.v) == ("a", 12.0) and r.z == round(10 / 20**0.5, 6)
+        assert set(out[0].asDict()) == {"k", "v", "z"}
+
+    def test_date_offset(self, spark):
+        from datetime import datetime
+
+        from geomesa_spark.operators.temporal import date_offset
+
+        df = spark.createDataFrame(
+            [(1, datetime(2024, 3, 1, 12, 0, 0))], "id int, ts timestamp"
+        )
+        out = date_offset(df, "ts", "'-30' MINUTE", out_col="back").first()
+        assert out.back == datetime(2024, 3, 1, 11, 30, 0)
+        inplace = date_offset(df, "ts", "'7' DAY").first()
+        assert inplace.ts == datetime(2024, 3, 8, 12, 0, 0)
+
     def test_idw_surface_values(self, spark):
         """Hand-computed Shepard 1/d² weights on a 4×4 unit grid:
         sources at cells (0,0) [mean 15 of two samples] and (2,0)
