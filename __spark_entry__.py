@@ -2499,6 +2499,21 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles(ev, "value", (0.25, 0.5, 0.9), group_cols=["event_type"])
 
 
+def q_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory resampling: each canonical track re-sampled onto an
+    epoch-aligned 9000 s grid, lon/lat linearly interpolated between
+    the surrounding pings — one union-carry shuffle, no range join."""
+    from geomesa_spark.operators.tracks import resample_tracks
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    out = resample_tracks(
+        canonical_layer(spark, 2000), "name", ts_col="dtg",
+        value_cols=("lon", "lat"), step_s=9000,
+    )
+    return out.withColumnRenamed("name", "track")
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data quality: per-event_type z-score anomaly filter
     (|x−μ| > 2σ, population σ) — exact decimal moments in one hash
@@ -2736,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw": q_idw,
         "zscore_outliers": q_zscore_outliers,
         "date_offset": q_date_offset,
+        "track_resample": q_track_resample,
     }
 
 
@@ -4491,6 +4507,55 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
                         ELSE 0.0 END AS dup_bigram_frac
             FROM m
+        """,
+        "track_resample": """
+            WITH c AS (
+              SELECT printf('name%d', t.i % 10) AS track,
+                     1704067200 + t.i * 3600 AS t,
+                     CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                     CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+              FROM range(0, 2000) t(i)
+            ),
+            b AS (SELECT track, min(t) AS t0, max(t) AS t1 FROM c GROUP BY track),
+            g AS (
+              SELECT track,
+                     unnest(generate_series(CAST(ceil(t0 / 9000) * 9000 AS BIGINT),
+                                            t1, 9000)) AS t
+              FROM b
+            ),
+            u AS (
+              SELECT track, t, 0 AS tag, lon, lat FROM c
+              UNION ALL
+              SELECT track, t, 1 AS tag, NULL AS lon, NULL AS lat FROM g
+            ),
+            w AS (
+              SELECT track, t, tag,
+                     last_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS)
+                       OVER wp AS pt,
+                     first_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS)
+                       OVER wn AS nt,
+                     last_value(CASE WHEN tag = 0 THEN lon END IGNORE NULLS)
+                       OVER wp AS plon,
+                     first_value(CASE WHEN tag = 0 THEN lon END IGNORE NULLS)
+                       OVER wn AS nlon,
+                     last_value(CASE WHEN tag = 0 THEN lat END IGNORE NULLS)
+                       OVER wp AS plat,
+                     first_value(CASE WHEN tag = 0 THEN lat END IGNORE NULLS)
+                       OVER wn AS nlat
+              FROM u
+              WINDOW wp AS (PARTITION BY track ORDER BY t, tag
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wn AS (PARTITION BY track ORDER BY t, tag
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT track, t,
+                   round(CASE WHEN nt IS NULL OR nt = pt THEN plon
+                         ELSE plon + (nlon - plon) * ((t - pt) / CAST(nt - pt AS DOUBLE))
+                         END, 6) AS lon,
+                   round(CASE WHEN nt IS NULL OR nt = pt THEN plat
+                         ELSE plat + (nlat - plat) * ((t - pt) / CAST(nt - pt AS DOUBLE))
+                         END, 6) AS lat
+            FROM w WHERE tag = 1
         """,
         "zscore_outliers": """
             WITH m AS (

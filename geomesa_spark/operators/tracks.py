@@ -34,6 +34,7 @@ __all__ = [
     "speed_legs",
     "dwell_episodes",
     "od_matrix",
+    "resample_tracks",
     "route_search",
 ]
 
@@ -286,6 +287,95 @@ def track_label(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def resample_tracks(
+    df: DataFrame,
+    track_col: str,
+    ts_col: str = "dtg",
+    value_cols: tuple = ("lon", "lat"),
+    step_s: int = 3600,
+) -> DataFrame:
+    """Resample each track onto an epoch-aligned time grid with linear
+    interpolation between the surrounding pings — the fixed-rate
+    trajectory normalization every movement pipeline runs before
+    map-matching / sequence modeling (the interpolating dual of
+    Point2PointProcess's consecutive-pair segments).
+
+    Scale shape — NOT a range join (Catalyst would nested-loop it):
+    per-track [min,max] bounds (tiny aggregate) generate the tick rows;
+    ticks UNION pings then ONE shuffle+sort on the track key computes
+    BOTH neighbors — ``last(ignorenulls)`` over the preceding frame and
+    ``first(ignorenulls)`` over the following frame share the same
+    Exchange+Sort, the asof_attach union-carry trick run in both
+    directions. State per key = one running ping, any track count.
+
+    Interpolation in coordinate space (antimeridian-crossing legs
+    interpolate through ±180 linearly — documented, deterministic).
+    Tie-break: a ping sorts BEFORE a coincident tick, so an on-ping tick
+    takes the ping's exact values (frac = 0, no 0/0). Ticks outside
+    [min,max] are not emitted. Output: (track, t epoch-seconds, one
+    rounded double per value col); bit-exact — frac and lerp are fixed
+    IEEE expressions mirrored by the oracle.
+    """
+    t = F.unix_seconds(F.col(ts_col))
+    pings = df.select(
+        F.col(track_col).alias("__trk"),
+        t.alias("__t"),
+        F.lit(0).alias("__tag"),
+        *[F.col(v).cast("double").alias(v) for v in value_cols],
+    )
+    step = int(step_s)
+    bounds = pings.groupBy("__trk").agg(F.min("__t").alias("t0"), F.max("__t").alias("t1"))
+    start = (F.ceil(F.col("t0") / step) * step).cast("long")
+    ticks = (
+        bounds.select("__trk", start.alias("__s"), "t1")
+        # a short track may own no aligned tick at all (first tick past
+        # its last ping) — sequence() would throw on start > stop
+        .where(F.col("__s") <= F.col("t1"))
+        .select(
+            "__trk",
+            F.explode(
+                F.sequence(F.col("__s"), F.col("t1"), F.lit(step).cast("long"))
+            ).alias("__t"),
+            F.lit(1).alias("__tag"),
+            *[F.lit(None).cast("double").alias(v) for v in value_cols],
+        )
+    )
+    u = pings.unionByName(ticks)
+    order = [F.col("__t"), F.col("__tag")]
+    w_prev = (
+        Window.partitionBy("__trk").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("__trk").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_ping = F.col("__tag") == 0
+    pt = F.last(F.when(is_ping, F.col("__t")), ignorenulls=True).over(w_prev)
+    nt = F.first(F.when(is_ping, F.col("__t")), ignorenulls=True).over(w_next)
+    carried = u.select(
+        "__trk", "__t", "__tag",
+        pt.alias("__pt"), nt.alias("__nt"),
+        *[F.last(F.when(is_ping, F.col(v)), ignorenulls=True).over(w_prev).alias(f"__p_{v}")
+          for v in value_cols],
+        *[F.first(F.when(is_ping, F.col(v)), ignorenulls=True).over(w_next).alias(f"__n_{v}")
+          for v in value_cols],
+    )
+    frac = (F.col("__t") - F.col("__pt")) / (F.col("__nt") - F.col("__pt"))
+    lerp = lambda v: F.round(  # noqa: E731
+        F.when(
+            F.col("__nt").isNull() | (F.col("__nt") == F.col("__pt")),
+            F.col(f"__p_{v}"),
+        ).otherwise(F.col(f"__p_{v}") + (F.col(f"__n_{v}") - F.col(f"__p_{v}")) * frac),
+        6,
+    )
+    return carried.where(F.col("__tag") == 1).select(
+        F.col("__trk").alias(track_col),
+        F.col("__t").alias("t"),
+        *[lerp(v).alias(v) for v in value_cols],
     )
 
 

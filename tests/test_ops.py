@@ -1130,6 +1130,32 @@ class TestRound5Operators:
         assert out[3].n_words == 1 and out[3].dup_bigram_frac == 0.0
         assert out[3].top_word_frac == 1.0
 
+    def test_resample_tracks(self, spark):
+        """50 s grid over a 100 s two-ping leg: coincident ticks take
+        the ping's exact values, the midpoint lerps halfway; a track
+        too short to own an aligned tick emits nothing (the sequence()
+        start>stop guard)."""
+        from datetime import datetime, timezone
+
+        from geomesa_spark.operators.tracks import resample_tracks
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1, 0, 0, 0)  # epoch 1704067200, % 50 == 0
+        rows = [
+            ("a", t0, 0.0, 0.0),
+            ("a", datetime(2024, 1, 1, 0, 1, 40), 10.0, 20.0),
+            ("b", datetime(2024, 1, 1, 0, 0, 1), 5.0, 5.0),  # unaligned lone ping
+        ]
+        df = spark.createDataFrame(rows, "name string, dtg timestamp, lon double, lat double")
+        out = {(r.name, r.t): (r.lon, r.lat) for r in
+               resample_tracks(df, "name", step_s=50).collect()}
+        e = 1704067200
+        assert out == {
+            ("a", e): (0.0, 0.0),          # tick on first ping
+            ("a", e + 50): (5.0, 10.0),    # halfway lerp
+            ("a", e + 100): (10.0, 20.0),  # tick on last ping (nt null)
+        }
+
     def test_zscore_outliers(self, spark):
         """[0×5, 12]: μ=2, σ=√20 → z(12)=2.236 flagged, zeros not;
         a constant group (σ=0) is excluded entirely."""
