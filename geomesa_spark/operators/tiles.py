@@ -26,6 +26,7 @@ __all__ = [
     "density_grid",
     "smooth_density",
     "idw_surface",
+    "grid_dbscan",
     "tile_pyramid",
     "write_tiles",
     "read_tiles",
@@ -504,6 +505,110 @@ def vectorize_density(
         (F.lit(y0b) + F.min("iy") * dy).alias("y0"),
         (F.lit(x0b) + (F.max("ix") + 1) * dx).alias("x1"),
         (F.lit(y0b) + (F.max("iy") + 1) * dy).alias("y1"),
+    )
+
+
+def grid_dbscan(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    minpts: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Cell-resolution DBSCAN (the GriDBSCAN / cell-based
+    approximation: eps = one grid cell, density measured over the 3×3
+    Moore neighborhood). Published shape — grid-partitioned DBSCAN —
+    re-expressed as pure DataFrame ops; the spatial-clustering
+    companion to vectorize_density's thresholded regions.
+
+    Pipeline (everything after step 1 runs over AGGREGATED cells, so
+    at 100 TB the raw points are touched exactly once):
+      1. density_grid: one hash aggregate → (ix, iy, cnt);
+      2. neighborhood density: 3×3 kernel explode + re-aggregate →
+         ncnt = Σ cnt over the Moore neighborhood (incl. self);
+      3. CORE cells: ncnt >= minpts; 8-adjacent cores merge into
+         clusters via HashMin label propagation (dedup_clusters —
+         bounded fixpoint, label = min cell_id);
+      4. BORDER cells: occupied non-core cells 8-adjacent to a core
+         adopt min(adjacent core label) — deterministic tie-break;
+      5. everything else occupied is NOISE (cluster NULL).
+
+    Output: (ix, iy, cnt, ncnt, role core|border|noise, cluster).
+    All counts exact integers — the DuckDB oracle replays the same
+    min-label fixpoint with a recursive CTE.
+    """
+    from geomesa_spark.operators.dedup import dedup_clusters
+
+    cells = (
+        density_grid(points, bbox, width, height, lon=lon, lat=lat)
+        .select("ix", "iy", "cnt")
+        .withColumn("cell_id", F.col("iy").cast("long") * width + F.col("ix"))
+    )
+    k = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    spread = (
+        cells.select("ix", "iy", "cnt", k.alias("kx"))
+        .select("ix", "iy", "cnt", "kx", k.alias("ky"))
+        .select(
+            (F.col("ix") + F.col("kx")).alias("tx"),
+            (F.col("iy") + F.col("ky")).alias("ty"),
+            "cnt",
+        )
+    )
+    ncnt = spread.groupBy("tx", "ty").agg(F.sum("cnt").alias("ncnt"))
+    cells = cells.join(
+        ncnt, (F.col("ix") == F.col("tx")) & (F.col("iy") == F.col("ty"))
+    ).select("ix", "iy", "cnt", "cell_id", "ncnt")
+    core = cells.where(F.col("ncnt") >= minpts)
+    ca = core.select("cell_id", "ix", "iy")
+    cb = core.select(
+        F.col("cell_id").alias("n_id"), F.col("ix").alias("nx"), F.col("iy").alias("ny")
+    )
+    edges = None
+    for dxi, dyi in ((1, 0), (0, 1), (1, 1), (1, -1)):  # 8-adjacency, one direction
+        e = ca.join(
+            cb,
+            (F.col("nx") == F.col("ix") + dxi) & (F.col("ny") == F.col("iy") + dyi),
+        ).select(F.col("cell_id").alias("key_a"), F.col("n_id").alias("key_b"))
+        edges = e if edges is None else edges.unionByName(e)
+    labels = dedup_clusters(edges)
+    core_lab = (
+        core.join(labels, core["cell_id"] == labels["node"], "left")
+        .withColumn("cluster", F.coalesce(F.col("label"), F.col("cell_id")))
+        .select("ix", "iy", "cnt", "ncnt", "cell_id", "cluster")
+    )
+    noncore = cells.join(core_lab.select("cell_id"), "cell_id", "left_anti")
+    # core reach exploded to its 3×3 footprint → plain equi-join on the
+    # cell key (never a nested-loop theta-join), min-label per target
+    core_spread = (
+        core_lab.select("ix", "iy", "cluster", k.alias("kx"))
+        .select("ix", "iy", "cluster", "kx", k.alias("ky"))
+        .select(
+            (F.col("ix") + F.col("kx")).alias("tx"),
+            (F.col("iy") + F.col("ky")).alias("ty"),
+            F.col("cluster").alias("cc"),
+        )
+    )
+    adj = noncore.join(
+        core_spread,
+        (F.col("ix") == F.col("tx")) & (F.col("iy") == F.col("ty")),
+        "left",
+    )
+    border = adj.groupBy("ix", "iy", "cnt", "ncnt").agg(F.min("cc").alias("cluster"))
+    return (
+        core_lab.select(
+            "ix", "iy", "cnt", "ncnt", F.lit("core").alias("role"), "cluster"
+        )
+        .unionByName(
+            border.select(
+                "ix", "iy", "cnt", "ncnt",
+                F.when(F.col("cluster").isNotNull(), F.lit("border"))
+                .otherwise(F.lit("noise"))
+                .alias("role"),
+                "cluster",
+            )
+        )
     )
 
 

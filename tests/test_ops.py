@@ -1130,6 +1130,29 @@ class TestRound5Operators:
         assert out[3].n_words == 1 and out[3].dup_bigram_frac == 0.0
         assert out[3].top_word_frac == 1.0
 
+    def test_grid_dbscan_roles(self, spark):
+        """Two 2×2 single-point blobs (minpts=4): every blob cell's
+        Moore count is exactly 4 → core; a trailing cell at (2,0) sees
+        only 3 → border adopting blob A's min cell_id; a lone far cell
+        is noise; the blobs stay separate clusters."""
+        from geomesa_spark.operators.tiles import grid_dbscan
+
+        blob_a = [(0, 0), (1, 0), (0, 1), (1, 1)]
+        blob_b = [(5, 0), (6, 0), (5, 1), (6, 1)]
+        cells = blob_a + blob_b + [(2, 0), (6, 6)]
+        rows = [(x + 0.5, y + 0.5) for x, y in cells]
+        df = spark.createDataFrame(rows, "lon double, lat double")
+        out = {(r.ix, r.iy): r for r in
+               grid_dbscan(df, (0.0, 0.0, 8.0, 8.0), 8, 8, minpts=4).collect()}
+        assert len(out) == 10
+        for x, y in blob_a:
+            assert out[(x, y)].role == "core" and out[(x, y)].cluster == 0
+        for x, y in blob_b:
+            assert out[(x, y)].role == "core" and out[(x, y)].cluster == 5
+        assert out[(2, 0)].role == "border" and out[(2, 0)].cluster == 0
+        assert out[(2, 0)].ncnt == 3
+        assert out[(6, 6)].role == "noise" and out[(6, 6)].cluster is None
+
     def test_resample_tracks(self, spark):
         """50 s grid over a 100 s two-ping leg: coincident ticks take
         the ping's exact values, the midpoint lerps halfway; a track
