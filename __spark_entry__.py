@@ -2499,6 +2499,16 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles(ev, "value", (0.25, 0.5, 0.9), group_cols=["event_type"])
 
 
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: top-20 word bigrams by PMI (ranked by the
+    exact ratio n_xy·N²/(B·n_x·n_y) — ln-free, bit-exact), support
+    filter n_xy ≥ 5 before any join."""
+    from geomesa_spark.operators.text import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(docs, k=20, min_count=5)
+
+
 def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-resolution DBSCAN over the 360×170 1° grid (minpts=8):
     core/border/noise roles + HashMin cluster labels, everything past
@@ -2765,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_offset": q_date_offset,
         "track_resample": q_track_resample,
         "grid_dbscan": q_grid_dbscan,
+        "pmi_bigrams": q_pmi_bigrams,
     }
 
 
@@ -4520,6 +4531,39 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
                         ELSE 0.0 END AS dup_bigram_frac
             FROM m
+        """,
+        "pmi_bigrams": """
+            WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            tok AS (SELECT w FROM toks WHERE w <> ''),
+            uni AS (SELECT w, count(*) AS n_w FROM tok GROUP BY w),
+            n_tot AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM tok),
+            pairs AS (
+              SELECT t.arr[i] AS w1, t.arr[i + 1] AS w2
+              FROM (SELECT string_split(text, ' ') AS arr FROM documents) t
+              CROSS JOIN unnest(generate_series(1, len(t.arr) - 1)) AS g(i)
+              WHERE len(t.arr) >= 2
+            ),
+            big AS (SELECT w1, w2 FROM pairs WHERE w1 <> '' AND w2 <> ''),
+            b_tot AS (SELECT CAST(count(*) AS DOUBLE) AS B FROM big),
+            bc AS (
+              SELECT w1, w2, count(*) AS n_xy FROM big
+              GROUP BY w1, w2 HAVING count(*) >= 5
+            ),
+            scored AS (
+              SELECT bc.w1, bc.w2, bc.n_xy, u1.n_w AS n_x, u2.n_w AS n_y,
+                     round((bc.n_xy * N * N) / (B * u1.n_w * u2.n_w), 6) AS score
+              FROM bc
+              JOIN uni u1 ON u1.w = bc.w1
+              JOIN uni u2 ON u2.w = bc.w2
+              CROSS JOIN n_tot CROSS JOIN b_tot
+            )
+            SELECT w1, w2, n_xy, n_x, n_y, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, w1 ASC, w2 ASC) AS INT) AS rank
+            FROM scored
+            ORDER BY score DESC, w1 ASC, w2 ASC
+            LIMIT 20
         """,
         "grid_dbscan": f"""
             WITH RECURSIVE {SQL_PTS},

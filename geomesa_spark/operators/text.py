@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "tfidf_topk",
+    "pmi_collocations",
     "with_token_stats",
     "with_language_id",
     "with_quality_score",
@@ -100,6 +101,83 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990) — the corpus-level phrase detector (multi-word
+    expressions, boilerplate phrases) next to tfidf_topk's per-doc
+    salience.
+
+    Cross-engine exactness without transcendentals: PMI =
+    ln(p_xy/(p_x·p_y)) ranks pairs identically to the raw ratio
+    n_xy·N²/(B·n_x·n_y) (ln is monotonic), so the score is that ratio
+    as ONE mirrored double expression over exact integer counts —
+    bit-identical in any engine; ties break on the words.
+
+    Shapes: token explode → unigram counts [shuffle 1]; bigram explode
+    (in-array transform, no posexplode self-join) → pair counts
+    [shuffle 2] with the min_count support filter BEFORE the joins;
+    unigram attach = two equi-joins on the word key; N and B ride as
+    broadcast 1-row aggregates (plan-only, zero driver jobs). The
+    final top-k window runs over the support-filtered candidate set
+    only — at 100 TB pick min_count so candidates fit one partition,
+    or pre-rank per first-word.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    toks = docs.select(F.explode(t).alias("w")).where(F.col("w") != "")
+    uni = toks.groupBy("w").agg(F.count("*").alias("n_w"))
+    n_tot = toks.agg(F.count("*").cast("double").alias("__N"))
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    b_tot = big.agg(F.count("*").cast("double").alias("__B"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("n_xy")).where(
+        F.col("n_xy") >= min_count
+    )
+    scored = (
+        bc.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y")), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(b_tot))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("n_xy") * F.col("__N") * F.col("__N"))
+                / (F.col("__B") * F.col("n_x") * F.col("n_y")),
+                6,
+            ),
+        )
+    )
+    # rank WITHOUT a global window (vocab_stats pattern): orderBy+limit
+    # is a distributed TakeOrdered; re-sort the single ≤k-row partition
+    # and number it with monotonically_increasing_id
+    ordered = [F.col("score").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    return (
+        scored.select("w1", "w2", "n_xy", "n_x", "n_y", "score")
+        .orderBy(*ordered)
+        .limit(k)
+        .coalesce(1)
+        .sortWithinPartitions(*ordered)
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
     )
 
 

@@ -1130,6 +1130,25 @@ class TestRound5Operators:
         assert out[3].n_words == 1 and out[3].dup_bigram_frac == 0.0
         assert out[3].top_word_frac == 1.0
 
+    def test_pmi_collocations(self, spark):
+        """Corpus ['a b a b', 'a c']: N=6 tokens, B=4 bigrams,
+        n(a)=3 n(b)=2 n(c)=1 → score(a,b)=2·36/(4·3·2)=3.0,
+        score(a,c)=36/(4·3·1)=3.0 (tie broken on w2),
+        score(b,a)=36/(4·2·3)=1.5; min_count=2 keeps only (a,b)."""
+        from geomesa_spark.operators.text import pmi_collocations
+
+        docs = spark.createDataFrame(
+            [("d1", "a b a b"), ("d2", "a c")], "doc_id string, text string"
+        )
+        out = pmi_collocations(docs, k=5, min_count=1).collect()
+        assert [(r.w1, r.w2, r.n_xy, r.score, r.rank) for r in out] == [
+            ("a", "b", 2, 3.0, 1),
+            ("a", "c", 1, 3.0, 2),
+            ("b", "a", 1, 1.5, 3),
+        ]
+        sup = pmi_collocations(docs, k=5, min_count=2).collect()
+        assert [(r.w1, r.w2) for r in sup] == [("a", "b")]
+
     def test_grid_dbscan_roles(self, spark):
         """Two 2×2 single-point blobs (minpts=4): every blob cell's
         Moore count is exactly 4 → core; a trailing cell at (2,0) sees
