@@ -1130,6 +1130,164 @@ class TestRound5Operators:
         assert out[3].n_words == 1 and out[3].dup_bigram_frac == 0.0
         assert out[3].top_word_frac == 1.0
 
+    def test_idw_surface_random_parity(self, spark):
+        """Randomized parity vs a pure-Python reference replaying the
+        same sorted fold (integer values keep the per-cell sums exact;
+        8 seeds × ~80 points)."""
+        import math
+        from collections import defaultdict
+
+        import numpy as np
+
+        from geomesa_spark.operators.tiles import idw_surface
+
+        bbox, w, h, r = (0.0, 0.0, 10.0, 8.0), 10, 8, 2
+        x0, y0, x1, y1 = bbox
+        for seed in range(8):
+            rng = np.random.RandomState(seed)
+            n = rng.randint(30, 90)
+            xs = np.round(rng.uniform(-1, 11, n), 2)
+            ys = np.round(rng.uniform(-1, 9, n), 2)
+            vs = rng.randint(1, 10, n).astype(float)
+            cells = defaultdict(lambda: [0.0, 0])
+            for x, y, v in zip(xs, ys, vs):
+                if x0 <= x < x1 and y0 <= y < y1:
+                    c = cells[(math.floor(x - x0), math.floor(y - y0))]
+                    c[0] += v
+                    c[1] += 1
+            targets = defaultdict(list)
+            for (sx, sy), (sv, cnt) in cells.items():
+                for kx in range(-r, r + 1):
+                    for ky in range(-r, r + 1):
+                        tx, ty = sx + kx, sy + ky
+                        if 0 <= tx < w and 0 <= ty < h:
+                            targets[(tx, ty)].append((kx * kx + ky * ky, sx, sy, sv, cnt))
+            expect = {}
+            for t, lst in targets.items():
+                lst.sort()
+                if lst[0][0] == 0:
+                    val = lst[0][3] / lst[0][4]
+                else:
+                    num = den = 0.0
+                    for d2, _sx, _sy, sv, cnt in lst:
+                        num += sv / d2
+                        den += cnt / d2
+                    val = num / den
+                expect[t] = (len(lst), val)
+            df = spark.createDataFrame(
+                [(float(x), float(y), float(v)) for x, y, v in zip(xs, ys, vs)],
+                "lon double, lat double, v double",
+            )
+            got = {(row.ix, row.iy): (row.n_cells, row.idw)
+                   for row in idw_surface(df, bbox, w, h, "v", radius=r).collect()}
+            assert set(got) == set(expect), seed
+            for key in expect:
+                assert got[key][0] == expect[key][0], (seed, key)
+                assert abs(got[key][1] - expect[key][1]) < 1e-6, (seed, key)
+
+    def test_resample_tracks_random_parity(self, spark):
+        """Randomized parity vs a pure-Python lerp over sorted pings
+        (integer epochs + integer coords keep it exact)."""
+        import math
+        from datetime import datetime, timezone
+
+        import numpy as np
+
+        from geomesa_spark.operators.tracks import resample_tracks
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        step = 70
+        for seed in range(6):
+            rng = np.random.RandomState(100 + seed)
+            rows, ref = [], {}
+            for trk in ("u", "v"):
+                n = rng.randint(2, 12)
+                ts = np.sort(rng.choice(np.arange(0, 2000), size=n, replace=False))
+                xs = rng.randint(-20, 20, n).astype(float)
+                base = 1704067200
+                for t, x in zip(ts, xs):
+                    rows.append((trk, datetime.fromtimestamp(base + int(t), tz=timezone.utc)
+                                 .replace(tzinfo=None), float(x)))
+                t_abs = [base + int(t) for t in ts]
+                first = math.ceil(t_abs[0] / step) * step
+                tick = first
+                while tick <= t_abs[-1]:
+                    j = max(i for i in range(n) if t_abs[i] <= tick)
+                    if t_abs[j] == tick or j == n - 1:
+                        val = xs[j]
+                    else:
+                        frac = (tick - t_abs[j]) / (t_abs[j + 1] - t_abs[j])
+                        val = xs[j] + (xs[j + 1] - xs[j]) * frac
+                    ref[(trk, tick)] = round(val, 6)
+                    tick += step
+            df = spark.createDataFrame(rows, "name string, dtg timestamp, x double")
+            got = {(r.name, r.t): r.x for r in
+                   resample_tracks(df, "name", value_cols=("x",), step_s=step).collect()}
+            assert got == ref, seed
+
+    def test_grid_dbscan_random_parity(self, spark):
+        """Randomized parity vs a pure-Python BFS reference (4 seeds):
+        same roles, same min-cell-id cluster labels, same border
+        adoption."""
+        import math
+        from collections import defaultdict, deque
+
+        import numpy as np
+
+        from geomesa_spark.operators.tiles import grid_dbscan
+
+        w, h, minpts = 8, 8, 4
+        for seed in range(4):
+            rng = np.random.RandomState(200 + seed)
+            n = rng.randint(20, 70)
+            xs = np.round(rng.uniform(0, 8, n), 2)
+            ys = np.round(rng.uniform(0, 8, n), 2)
+            cnt = defaultdict(int)
+            for x, y in zip(xs, ys):
+                if x < 8 and y < 8:
+                    cnt[(math.floor(x), math.floor(y))] += 1
+            ncnt = {
+                c: sum(cnt.get((c[0] + dx, c[1] + dy), 0)
+                       for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+                for c in cnt
+            }
+            cores = {c for c in cnt if ncnt[c] >= minpts}
+            cid = lambda c: c[1] * w + c[0]  # noqa: E731
+            label, seen = {}, set()
+            for c in cores:
+                if c in seen:
+                    continue
+                comp, q = [], deque([c])
+                seen.add(c)
+                while q:
+                    cur = q.popleft()
+                    comp.append(cur)
+                    for dx in (-1, 0, 1):
+                        for dy in (-1, 0, 1):
+                            nb = (cur[0] + dx, cur[1] + dy)
+                            if nb in cores and nb not in seen:
+                                seen.add(nb)
+                                q.append(nb)
+                lab = min(cid(x) for x in comp)
+                for x in comp:
+                    label[x] = lab
+            expect = {}
+            for c in cnt:
+                if c in cores:
+                    expect[c] = ("core", label[c])
+                else:
+                    adj = [label[(c[0] + dx, c[1] + dy)]
+                           for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                           if (c[0] + dx, c[1] + dy) in cores]
+                    expect[c] = ("border", min(adj)) if adj else ("noise", None)
+            df = spark.createDataFrame(
+                [(float(x), float(y)) for x, y in zip(xs, ys)],
+                "lon double, lat double",
+            )
+            got = {(r.ix, r.iy): (r.role, r.cluster) for r in
+                   grid_dbscan(df, (0.0, 0.0, 8.0, 8.0), w, h, minpts=minpts).collect()}
+            assert got == expect, seed
+
     def test_pmi_collocations(self, spark):
         """Corpus ['a b a b', 'a c']: N=6 tokens, B=4 bigrams,
         n(a)=3 n(b)=2 n(c)=1 → score(a,b)=2·36/(4·3·2)=3.0,

@@ -431,3 +431,48 @@ class TestXz3PlannerProperty:
             )
         exact = set(pdf.gid.values[hit & inter])
         assert exact <= cand, (text, sorted(exact - cand)[:5])
+
+
+class TestConvexHullProperties:
+    """Kernel properties behind stats.convex_hull_agg's two-stage
+    distributed reduction. Integer-valued coordinates keep every cross
+    product exact, so the merge identity is testable without epsilon."""
+
+    pts_strategy = st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=1, max_size=60,
+    )
+
+    @staticmethod
+    def _hull(arr):
+        from geomesa_spark.geom import convex_hull
+
+        return convex_hull(np.asarray(arr, dtype="float64"))
+
+    @given(pts_strategy, pts_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_merge_invariance(self, a, b):
+        """hull(hull(A) ∪ hull(B)) == hull(A ∪ B) — the exact identity
+        the shuffle-free partial-hull pass relies on."""
+        full = self._hull(a + b)
+        merged = self._hull(
+            np.concatenate([self._hull(a), self._hull(b)]).tolist()
+        )
+        assert np.array_equal(full, merged)
+
+    @given(pts_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_containment_and_vertex_subset(self, a):
+        """Every input point is inside-or-on the hull (CCW edge cross
+        ≥ 0), and every hull vertex is an input point."""
+        hull = self._hull(a)
+        pts = np.asarray(a, dtype="float64")
+        in_set = {tuple(p) for p in pts}
+        assert all(tuple(v) in in_set for v in hull)
+        if len(hull) >= 3:
+            for i in range(len(hull)):
+                e0, e1 = hull[i], hull[(i + 1) % len(hull)]
+                cross = (e1[0] - e0[0]) * (pts[:, 1] - e0[1]) - (
+                    e1[1] - e0[1]
+                ) * (pts[:, 0] - e0[0])
+                assert (cross >= 0).all()
