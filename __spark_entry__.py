@@ -2499,6 +2499,24 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles(ev, "value", (0.25, 0.5, 0.9), group_cols=["event_type"])
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view→click→purchase per user: furthest step
+    reached in order (one collect+fold per user, exact ints). The
+    early-history slice (event_id < 1200) spreads users across every
+    depth (32/39/37/42 at sf0.01); the full history converges to
+    all-complete."""
+    from geomesa_spark.operators.temporal import funnel_depths
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") < 1200
+    )
+    return funnel_depths(
+        ev, ("view", "click", "purchase"), key_col="user_id",
+        ts_col="ts", tiebreak="event_id",
+    )
+
+
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocations: top-20 word bigrams by PMI (ranked by the
     exact ratio n_xy·N²/(B·n_x·n_y) — ln-free, bit-exact), support
@@ -2776,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_resample": q_track_resample,
         "grid_dbscan": q_grid_dbscan,
         "pmi_bigrams": q_pmi_bigrams,
+        "funnel": q_funnel,
     }
 
 
@@ -4531,6 +4550,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
                         ELSE 0.0 END AS dup_bigram_frac
             FROM m
+        """,
+        "funnel": """
+            -- greedy min-ts chaining == the Spark fold's greedy
+            -- earliest-match subsequence semantics (ts strictly
+            -- increases with event_id, so min(ts) needs no tiebreak).
+            -- NOT list_reduce: DuckDB 1.0's list_reduce mis-evaluates
+            -- acc-conditional lambdas on ~1% of grouped rows (verified:
+            -- the fold result contradicts the SAME ROW's list).
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events WHERE event_id < 1200
+            ),
+            u AS (SELECT DISTINCT user_id FROM e),
+            s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id
+            ),
+            d AS (
+              SELECT u.user_id,
+                     CASE WHEN t3 IS NOT NULL THEN 3
+                          WHEN t2 IS NOT NULL THEN 2
+                          WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+              FROM u
+              LEFT JOIN s1 USING (user_id)
+              LEFT JOIN s2 USING (user_id)
+              LEFT JOIN s3 USING (user_id)
+            )
+            SELECT depth, count(*) AS n_keys FROM d GROUP BY depth
         """,
         "pmi_bigrams": """
             WITH toks AS (

@@ -22,7 +22,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_attach", "date_offset", "interval_join", "sessionize"]
+__all__ = ["asof_attach", "date_offset", "funnel_depths", "interval_join", "sessionize"]
+
+
+def funnel_depths(
+    events: DataFrame,
+    steps: tuple,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Funnel analysis: per key, the furthest step of ``steps`` reached
+    IN ORDER (ordered-subsequence match over the time-sorted event
+    stream — the conversion-funnel primitive of event analytics),
+    reported as (depth, n_keys) with depth 0..len(steps).
+
+    Spark shape: ONE groupBy on the key collects the sorted event-type
+    sequence (sort_array over (ts, tiebreak, type) structs — bounded by
+    per-key event count, the same contract as track_lines), then the
+    depth is a single ``aggregate`` fold: advance the counter iff the
+    next event equals steps[depth]. A second tiny aggregate counts keys
+    per depth. Exact integers end-to-end; the DuckDB oracle replays the
+    identical fold with list(... ORDER BY) + list_reduce. For keys with
+    unbounded event counts, pre-filter to the step types — only they
+    can move the fold.
+    """
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    order_cols = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else []) + [
+        F.col(type_col)
+    ]
+    seq = events.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(*order_cols, F.col(type_col).alias("__et")))
+        ).alias("__seq")
+    )
+    depth = F.aggregate(
+        F.col("__seq"),
+        F.lit(0),
+        lambda acc, x: F.when(
+            (acc < k) & (x["__et"] == F.element_at(step_arr, acc + 1)), acc + 1
+        ).otherwise(acc),
+    )
+    return (
+        seq.select(depth.alias("depth"))
+        .groupBy("depth")
+        .agg(F.count("*").alias("n_keys"))
+    )
 
 
 def date_offset(

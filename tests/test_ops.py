@@ -1307,6 +1307,27 @@ class TestRound5Operators:
         sup = pmi_collocations(docs, k=5, min_count=2).collect()
         assert [(r.w1, r.w2) for r in sup] == [("a", "b")]
 
+    def test_funnel_depths(self, spark):
+        """Ordered-subsequence semantics: steps must occur IN ORDER
+        (click before view does not count), skipping is allowed only
+        forward, non-step events are ignored."""
+        from datetime import datetime
+
+        from geomesa_spark.operators.temporal import funnel_depths
+
+        t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+        rows = [
+            ("a", t(1), "view"), ("a", t(2), "error"), ("a", t(3), "click"),
+            ("a", t(4), "purchase"),                      # depth 3
+            ("b", t(1), "click"), ("b", t(2), "view"),    # out of order → 1
+            ("c", t(1), "error"),                         # depth 0
+            ("d", t(1), "view"), ("d", t(2), "purchase"),  # no click → 1
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+        out = {r.depth: r.n_keys for r in
+               funnel_depths(df, ("view", "click", "purchase"), key_col="user_id").collect()}
+        assert out == {3: 1, 1: 2, 0: 1}
+
     def test_grid_dbscan_roles(self, spark):
         """Two 2×2 single-point blobs (minpts=4): every blob cell's
         Moore count is exactly 4 → core; a trailing cell at (2,0) sees
