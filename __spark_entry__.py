@@ -2499,6 +2499,17 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles(ev, "value", (0.25, 0.5, 0.9), group_cols=["event_type"])
 
 
+def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density hotspots: strict local maxima of the 72×34 grid (Moore
+    neighborhood), weight ≥ 2 — kernel-explode neighbor max, no
+    inequality self-join."""
+    from geomesa_spark.operators.tiles import hotspots
+
+    return hotspots(
+        _points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34, min_weight=2.0
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion funnel view→click→purchase per user: furthest step
     reached in order (one collect+fold per user, exact ints). The
@@ -2795,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_dbscan": q_grid_dbscan,
         "pmi_bigrams": q_pmi_bigrams,
         "funnel": q_funnel,
+        "hotspots": q_hotspots,
     }
 
 
@@ -4550,6 +4562,31 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
                         ELSE 0.0 END AS dup_bigram_frac
             FROM m
+        """,
+        "hotspots": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(sum(1.0) AS DOUBLE) AS weight,
+                     count(*) AS cnt
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            nmax AS (
+              SELECT CAST(g.ix + kx.v AS INT) AS tx, CAST(g.iy + ky.v AS INT) AS ty,
+                     max(g.weight) AS nbr_max
+              FROM grid g
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+              WHERE NOT (kx.v = 0 AND ky.v = 0)
+              GROUP BY 1, 2
+            )
+            SELECT g.ix, g.iy, g.weight, g.cnt,
+                   coalesce(n.nbr_max, 0.0) AS nbr_max
+            FROM grid g LEFT JOIN nmax n ON g.ix = n.tx AND g.iy = n.ty
+            WHERE g.weight >= 2.0 AND g.weight > coalesce(n.nbr_max, 0.0)
         """,
         "funnel": """
             -- greedy min-ts chaining == the Spark fold's greedy

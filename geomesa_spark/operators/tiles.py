@@ -27,6 +27,7 @@ __all__ = [
     "smooth_density",
     "idw_surface",
     "grid_dbscan",
+    "hotspots",
     "tile_pyramid",
     "write_tiles",
     "read_tiles",
@@ -505,6 +506,53 @@ def vectorize_density(
         (F.lit(y0b) + F.min("iy") * dy).alias("y0"),
         (F.lit(x0b) + (F.max("ix") + 1) * dx).alias("x1"),
         (F.lit(y0b) + (F.max("iy") + 1) * dy).alias("y1"),
+    )
+
+
+def hotspots(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    min_weight: float = 1.0,
+    weight_col: str | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Density hotspot detection: grid cells whose weight STRICTLY
+    exceeds every Moore neighbor's (local maxima of the DensityScan
+    surface — the hotspot primitive under Getis-Ord-style analyses;
+    plateau cells are excluded by design, deterministic).
+
+    Shape: density_grid (one hash aggregate over raw points), then the
+    neighbor maximum via the same kernel-explode-over-aggregated-cells
+    trick as smooth_density — spread each cell's weight to its 8
+    neighbors, re-aggregate max per target, LEFT join back (cells with
+    no occupied neighbor are trivially peaks). No self-join on an
+    inequality, no window over the grid.
+
+    Output: (ix, iy, weight, cnt, nbr_max) for peak cells with
+    weight >= min_weight; nbr_max is 0.0 for isolated cells.
+    """
+    g = density_grid(points, bbox, width, height, weight_col=weight_col, lon=lon, lat=lat)
+    k = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    spread = (
+        g.select("ix", "iy", "weight", k.alias("kx"))
+        .select("ix", "iy", "weight", "kx", k.alias("ky"))
+        .where((F.col("kx") != 0) | (F.col("ky") != 0))
+        .select(
+            (F.col("ix") + F.col("kx")).alias("tx"),
+            (F.col("iy") + F.col("ky")).alias("ty"),
+            "weight",
+        )
+    )
+    nmax = spread.groupBy("tx", "ty").agg(F.max("weight").alias("nbr_max"))
+    return (
+        g.where(F.col("weight") >= min_weight)
+        .join(nmax, (F.col("ix") == F.col("tx")) & (F.col("iy") == F.col("ty")), "left")
+        .withColumn("nbr_max", F.coalesce(F.col("nbr_max"), F.lit(0.0)))
+        .where(F.col("weight") > F.col("nbr_max"))
+        .select("ix", "iy", "weight", "cnt", "nbr_max")
     )
 
 

@@ -1307,6 +1307,24 @@ class TestRound5Operators:
         sup = pmi_collocations(docs, k=5, min_count=2).collect()
         assert [(r.w1, r.w2) for r in sup] == [("a", "b")]
 
+    def test_hotspots_local_maxima(self, spark):
+        """Strict local maxima only: a 3-point cell beats its 1-point
+        neighbor; equal-weight plateau cells are both excluded; an
+        isolated cell is trivially a peak (nbr_max 0)."""
+        from geomesa_spark.operators.tiles import hotspots
+
+        pts = (
+            [(1.5, 1.5)] * 3 + [(2.5, 1.5)]          # peak (1,1) vs nbr (2,1)
+            + [(5.5, 5.5)] * 2 + [(6.5, 5.5)] * 2    # plateau: both excluded
+            + [(0.5, 7.5)]                            # isolated peak
+        )
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        out = {(r.ix, r.iy): r for r in
+               hotspots(df, (0.0, 0.0, 8.0, 8.0), 8, 8, min_weight=1.0).collect()}
+        assert set(out) == {(1, 1), (0, 7)}
+        assert out[(1, 1)].weight == 3.0 and out[(1, 1)].nbr_max == 1.0
+        assert out[(0, 7)].nbr_max == 0.0
+
     def test_funnel_depths(self, spark):
         """Ordered-subsequence semantics: steps must occur IN ORDER
         (click before view does not count), skipping is allowed only
