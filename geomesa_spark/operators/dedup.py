@@ -187,9 +187,16 @@ def dedup_clusters(
     Spark shape: a bounded driver loop of equi-joins; labels are
     localCheckpoint'ed each round so lineage stays flat, and the loop
     exits on a converged round (changed == 0 — the convergence count
-    rides the same aggregation). Output: (node, label) with label =
-    min doc key of the component — the canonical representative to
-    keep, everything else is the duplicate set.
+    rides the same aggregation). Each round ALSO pointer-jumps (every
+    node adopts its label's label), so long chains converge in
+    O(log diameter) rounds rather than O(diameter) — a 60-cell snake
+    finishes in ~6 rounds, not 60. Raises RuntimeError if max_iter is
+    exhausted before the fixpoint: silently-unconverged labels split
+    one component into many (the round-5 self-review reproduced
+    exactly that on grid_dbscan before the jump + raise existed).
+    Output: (node, label) with label = min doc key of the component —
+    the canonical representative to keep, everything else is the
+    duplicate set.
     """
     e = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
     e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
@@ -205,6 +212,14 @@ def dedup_clusters(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label <- label(label). Labels are always node
+        # ids present in the table, so the left join hits unless the
+        # label is already a root (then keep it).
+        jump = new.select(F.col("node").alias("__jn"), F.col("label").alias("__jl"))
+        new = (
+            new.join(jump, new["label"] == jump["__jn"], "left")
+            .select("node", F.coalesce("__jl", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -214,8 +229,11 @@ def dedup_clusters(
         )
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"dedup_clusters did not converge in max_iter={max_iter} rounds; "
+        "labels would be silently wrong — raise max_iter"
+    )
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:

@@ -104,7 +104,9 @@ def convex_hull_agg(
         import numpy as np
 
         for pdf in batches:
-            for key, grp in pdf.groupby(group_cols, sort=False):
+            # dropna=False: Spark's groupBy keeps a null group; pandas'
+            # default would silently drop null-keyed rows here
+            for key, grp in pdf.groupby(group_cols, sort=False, dropna=False):
                 key = key if isinstance(key, tuple) else (key,)
                 verts = convex_hull(grp[[lon, lat]].to_numpy(dtype="float64"))
                 out = pd.DataFrame(verts, columns=["__lon", "__lat"])
@@ -281,9 +283,15 @@ def quantiles(
     the mergeable t-digest-style ``percentile_approx`` sketch (constant
     memory per group; no exact-SQL oracle, property-tested instead)."""
     fn = "percentile_approx" if approx else "percentile"
+    names = [f"q{int(round(p * 100)):02d}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"probs {probs} collide at whole-percent column names {names}; "
+            "space them at least a percent apart (or alias manually)"
+        )
     aggs = [F.count("*").alias("n")] + [
-        F.round(F.expr(f"{fn}(`{col}`, {p!r})"), 6).alias(f"q{int(round(p * 100)):02d}")
-        for p in probs
+        F.round(F.expr(f"{fn}(`{col}`, {p!r})"), 6).alias(name)
+        for p, name in zip(probs, names)
     ]
     return df.groupBy(*(group_cols or [])).agg(*aggs) if group_cols else df.agg(*aggs)
 

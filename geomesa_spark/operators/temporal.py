@@ -43,10 +43,16 @@ def funnel_depths(
     per-key event count, the same contract as track_lines), then the
     depth is a single ``aggregate`` fold: advance the counter iff the
     next event equals steps[depth]. A second tiny aggregate counts keys
-    per depth. Exact integers end-to-end; the DuckDB oracle replays the
-    identical fold with list(... ORDER BY) + list_reduce. For keys with
-    unbounded event counts, pre-filter to the step types — only they
-    can move the fold.
+    per depth. Exact integers end-to-end. For keys with unbounded event
+    counts, pre-filter to the step types (only they move the fold) —
+    but note that drops keys with NO step events from the groupBy, so
+    union the distinct keys back (depth 0) to keep the histogram's
+    denominator intact.
+
+    Oracle note: greedy earliest-match subsequence == chained per-step
+    min-timestamps, which is what the DuckDB oracle uses — NOT
+    list_reduce: DuckDB 1.0 mis-evaluates acc-conditional lambdas on
+    ~1% of grouped rows (see ROUND5.md).
     """
     k = len(steps)
     step_arr = F.array(*[F.lit(s) for s in steps])

@@ -210,6 +210,37 @@ def density_grid(
     )
 
 
+def _kernel_spread(
+    cells: DataFrame,
+    carry: list[str],
+    radius: int,
+    sx: str = "ix",
+    sy: str = "iy",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """(2r+1)² Moore-footprint explode over AGGREGATED cells — the
+    shared primitive behind smooth_density / idw_surface / hotspots /
+    grid_dbscan: one row per (source cell, kx, ky) with target coords.
+    Output: (tx, ty, kx, ky, sx, sy, *carry).
+    """
+    k = F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+    out = (
+        cells.select(sx, sy, *carry, k.alias("kx"))
+        .select(sx, sy, *carry, "kx", k.alias("ky"))
+    )
+    if exclude_self:
+        out = out.where((F.col("kx") != 0) | (F.col("ky") != 0))
+    return out.select(
+        (F.col(sx) + F.col("kx")).alias("tx"),
+        (F.col(sy) + F.col("ky")).alias("ty"),
+        "kx",
+        "ky",
+        F.col(sx).alias("sx"),
+        F.col(sy).alias("sy"),
+        *carry,
+    )
+
+
 def smooth_density(
     points: DataFrame,
     bbox: tuple[float, float, float, float],
@@ -240,16 +271,11 @@ def smooth_density(
     """
     r = radius
     g = density_grid(points, bbox, width, height, weight_col=weight_col, lon=lon, lat=lat)
-    kx = F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("kx")
-    ky = F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("ky")
-    sm = g.select("ix", "iy", "weight", kx).select("ix", "iy", "weight", "kx", ky)
     k = ((F.lit(r + 1) - F.abs(F.col("kx"))) * (F.lit(r + 1) - F.abs(F.col("ky")))).cast(
         "double"
     )
-    sm = sm.select(
-        (F.col("ix") + F.col("kx")).alias("tx"),
-        (F.col("iy") + F.col("ky")).alias("ty"),
-        (F.col("weight") * k).alias("contrib"),
+    sm = _kernel_spread(g, ["weight"], r).select(
+        "tx", "ty", (F.col("weight") * k).alias("contrib")
     ).where(
         (F.col("tx") >= 0) & (F.col("tx") < width)
         & (F.col("ty") >= 0) & (F.col("ty") < height)
@@ -308,14 +334,11 @@ def idw_surface(
         F.sum(F.col(value_col).cast("double")).alias("sv"),
         F.count("*").alias("n"),
     )
-    kx = F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("kx")
-    ky = F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("ky")
     contrib = (
-        grid.select("sx", "sy", "sv", "n", kx)
-        .select("sx", "sy", "sv", "n", "kx", ky)
+        _kernel_spread(grid, ["sv", "n"], r, sx="sx", sy="sy")
         .select(
-            (F.col("sx") + F.col("kx")).cast("int").alias("ix"),
-            (F.col("sy") + F.col("ky")).cast("int").alias("iy"),
+            F.col("tx").cast("int").alias("ix"),
+            F.col("ty").cast("int").alias("iy"),
             (F.col("kx") * F.col("kx") + F.col("ky") * F.col("ky"))
             .cast("int")
             .alias("d2"),
@@ -535,17 +558,7 @@ def hotspots(
     weight >= min_weight; nbr_max is 0.0 for isolated cells.
     """
     g = density_grid(points, bbox, width, height, weight_col=weight_col, lon=lon, lat=lat)
-    k = F.explode(F.sequence(F.lit(-1), F.lit(1)))
-    spread = (
-        g.select("ix", "iy", "weight", k.alias("kx"))
-        .select("ix", "iy", "weight", "kx", k.alias("ky"))
-        .where((F.col("kx") != 0) | (F.col("ky") != 0))
-        .select(
-            (F.col("ix") + F.col("kx")).alias("tx"),
-            (F.col("iy") + F.col("ky")).alias("ty"),
-            "weight",
-        )
-    )
+    spread = _kernel_spread(g, ["weight"], 1, exclude_self=True)
     nmax = spread.groupBy("tx", "ty").agg(F.max("weight").alias("nbr_max"))
     return (
         g.where(F.col("weight") >= min_weight)
@@ -594,17 +607,11 @@ def grid_dbscan(
         .select("ix", "iy", "cnt")
         .withColumn("cell_id", F.col("iy").cast("long") * width + F.col("ix"))
     )
-    k = F.explode(F.sequence(F.lit(-1), F.lit(1)))
-    spread = (
-        cells.select("ix", "iy", "cnt", k.alias("kx"))
-        .select("ix", "iy", "cnt", "kx", k.alias("ky"))
-        .select(
-            (F.col("ix") + F.col("kx")).alias("tx"),
-            (F.col("iy") + F.col("ky")).alias("ty"),
-            "cnt",
-        )
+    ncnt = (
+        _kernel_spread(cells, ["cnt"], 1)
+        .groupBy("tx", "ty")
+        .agg(F.sum("cnt").alias("ncnt"))
     )
-    ncnt = spread.groupBy("tx", "ty").agg(F.sum("cnt").alias("ncnt"))
     cells = cells.join(
         ncnt, (F.col("ix") == F.col("tx")) & (F.col("iy") == F.col("ty"))
     ).select("ix", "iy", "cnt", "cell_id", "ncnt")
@@ -629,14 +636,8 @@ def grid_dbscan(
     noncore = cells.join(core_lab.select("cell_id"), "cell_id", "left_anti")
     # core reach exploded to its 3×3 footprint → plain equi-join on the
     # cell key (never a nested-loop theta-join), min-label per target
-    core_spread = (
-        core_lab.select("ix", "iy", "cluster", k.alias("kx"))
-        .select("ix", "iy", "cluster", "kx", k.alias("ky"))
-        .select(
-            (F.col("ix") + F.col("kx")).alias("tx"),
-            (F.col("iy") + F.col("ky")).alias("ty"),
-            F.col("cluster").alias("cc"),
-        )
+    core_spread = _kernel_spread(core_lab, ["cluster"], 1).select(
+        "tx", "ty", F.col("cluster").alias("cc")
     )
     adj = noncore.join(
         core_spread,

@@ -318,15 +318,20 @@ def resample_tracks(
     [min,max] are not emitted. Output: (track, t epoch-seconds, one
     rounded double per value col); bit-exact — frac and lerp are fixed
     IEEE expressions mirrored by the oracle.
+
+    Internally times are epoch MICROS (not truncated seconds), so
+    sub-second pings keep distinct sort positions and exact lerp
+    fractions; only exact duplicate (track, timestamp) pings are the
+    caller's dedup responsibility (their carry order is unspecified).
     """
-    t = F.unix_seconds(F.col(ts_col))
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     pings = df.select(
         F.col(track_col).alias("__trk"),
         t.alias("__t"),
         F.lit(0).alias("__tag"),
         *[F.col(v).cast("double").alias(v) for v in value_cols],
     )
-    step = int(step_s)
+    step = int(step_s) * 1_000_000
     bounds = pings.groupBy("__trk").agg(F.min("__t").alias("t0"), F.max("__t").alias("t1"))
     start = (F.ceil(F.col("t0") / step) * step).cast("long")
     ticks = (
@@ -374,7 +379,8 @@ def resample_tracks(
     )
     return carried.where(F.col("__tag") == 1).select(
         F.col("__trk").alias(track_col),
-        F.col("__t").alias("t"),
+        # ticks are step-aligned micros with integral step_s → exact
+        (F.col("__t") / 1_000_000).cast("long").alias("t"),
         *[lerp(v).alias(v) for v in value_cols],
     )
 

@@ -1307,6 +1307,72 @@ class TestRound5Operators:
         sup = pmi_collocations(docs, k=5, min_count=2).collect()
         assert [(r.w1, r.w2) for r in sup] == [("a", "b")]
 
+    def test_dedup_clusters_long_chain_converges(self, spark):
+        """Self-review regression: a 60-node chain (diameter 59) must
+        collapse to ONE min label within the default max_iter — the
+        pointer-jump makes convergence O(log d); pre-fix HashMin
+        silently stopped at 25 rounds and split the chain."""
+        from geomesa_spark.operators.dedup import dedup_clusters
+
+        edges = [(i, i + 1) for i in range(59)]
+        df = spark.createDataFrame(edges, "key_a long, key_b long")
+        labels = dedup_clusters(df).collect()
+        assert len(labels) == 60
+        assert {r.label for r in labels} == {0}
+
+    def test_grid_dbscan_long_snake_single_cluster(self, spark):
+        """Self-review regression: 60 core cells in a row are ONE
+        cluster labelled by the min cell id (pre-fix: 35 labels)."""
+        from geomesa_spark.operators.tiles import grid_dbscan
+
+        pts = [(x + 0.5, 0.5) for x in range(60) for _ in range(3)]
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        out = grid_dbscan(df, (0.0, 0.0, 64.0, 4.0), 64, 4, minpts=3).collect()
+        assert len(out) == 60
+        assert all(r.role == "core" and r.cluster == 0 for r in out)
+
+    def test_convex_hull_null_group_kept(self, spark):
+        """Self-review regression: null group keys must survive the
+        pandas partial pass (Spark groupBy keeps a null group)."""
+        from geomesa_spark.operators.stats import convex_hull_agg
+
+        rows = [("g", 0.0, 0.0), ("g", 1.0, 1.0), (None, 2.0, 2.0), (None, 3.0, 4.0)]
+        df = spark.createDataFrame(rows, "g string, lon double, lat double")
+        out = {r.g: r for r in convex_hull_agg(df, ["g"]).collect()}
+        assert set(out) == {"g", None}
+        assert out[None].n_points == 2
+        assert out[None].hull_wkt == "LINESTRING (2.000000 2.000000, 3.000000 4.000000)"
+
+    def test_resample_tracks_subsecond(self, spark):
+        """Self-review regression: sub-second pings keep distinct sort
+        positions (epoch micros, not truncated seconds) and exact
+        micro-resolution lerp fractions."""
+        from datetime import datetime
+
+        from geomesa_spark.operators.tracks import resample_tracks
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        rows = [  # two pings in the SAME second, then one 10 s later
+            ("a", datetime(2024, 1, 1, 0, 0, 10, 200000), 0.0),
+            ("a", datetime(2024, 1, 1, 0, 0, 10, 800000), 6.0),
+            ("a", datetime(2024, 1, 1, 0, 0, 20, 800000), 106.0),
+        ]
+        df = spark.createDataFrame(rows, "name string, dtg timestamp, x double")
+        out = {r.t: r.x for r in
+               resample_tracks(df, "name", value_cols=("x",), step_s=5).collect()}
+        # ticks :15 and :20, both between ping2 (10.8s, 6) and ping3
+        # (20.8s, 106): frac 4.2/10 → 48.0, frac 9.2/10 → 98.0
+        assert out == {1704067215: 48.0, 1704067220: 98.0}
+
+    def test_quantiles_alias_collision_raises(self, spark):
+        from geomesa_spark.operators.stats import quantiles
+
+        df = spark.createDataFrame([("g", 1.0)], "k string, v double")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="collide"):
+            quantiles(df, "v", (0.25, 0.253))
+
     def test_hotspots_local_maxima(self, spark):
         """Strict local maxima only: a 3-point cell beats its 1-point
         neighbor; equal-weight plateau cells are both excluded; an
