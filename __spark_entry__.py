@@ -2077,6 +2077,22 @@ def q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(emb, threshold=0.3, n_planes=4)
 
 
+def q_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTER resolution — the composition that
+    closes the embedding dedup loop: cosine_dup_pairs (LSH buckets +
+    exact refine) feeds dedup_clusters (pointer-jumping HashMin CC),
+    reported as (cluster, n_members)."""
+    from geomesa_spark.operators.ann import cosine_dup_pairs
+    from geomesa_spark.operators.dedup import dedup_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = cosine_dup_pairs(emb, threshold=0.3, n_planes=4)
+    labels = dedup_clusters(pairs)
+    return labels.groupBy(F.col("label").alias("cluster")).agg(
+        F.count("*").alias("n_members")
+    )
+
+
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-corpus keep/drop decision, composed from
     the pipeline's own operators: exact-dedup representative (min doc_id
@@ -2807,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "funnel": q_funnel,
         "hotspots": q_hotspots,
+        "embed_clusters": q_embed_clusters,
     }
 
 
@@ -4199,6 +4216,48 @@ def oracle_sql() -> dict[str, str]:
         # near-dup refine decision mirrors the engine's sequential folds
         # (list_reduce from prepended 0.0 ≡ F.aggregate) for dot AND
         # norm, so round(sim,6) >= threshold flips identically
+        "embed_clusters": """
+            WITH RECURSIVE bkt AS (
+              SELECT vec_id, embedding,
+                CAST(list_sum(list_transform(generate_series(0, 3), p ->
+                  CASE WHEN list_reduce(
+                      list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(generate_series(1, len(embedding)), i ->
+                          CAST(embedding[i] AS DOUBLE) *
+                          CAST((((((p * 1000003) + (i - 1)) * 2654435761) >> 13) & 1) * 2 - 1 AS DOUBLE))),
+                      (acc, x) -> acc + x) > 0
+                  THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket,
+                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, len(embedding)), i ->
+                    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                  (acc, x) -> acc + x)) AS nrm
+              FROM embeddings
+            ),
+            prs AS (
+              SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, len(a.embedding)), i ->
+                    CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                  (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS sim_r
+              FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ),
+            sel AS (
+              SELECT key_a, key_b FROM prs WHERE sim_r >= 0.3
+            ),
+            edges AS (
+              SELECT key_a AS s, key_b AS d FROM sel
+              UNION
+              SELECT key_b, key_a FROM sel
+            ),
+            reach (node, lbl) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node
+            ),
+            lab AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node)
+            SELECT label AS cluster, count(*) AS n_members
+            FROM lab GROUP BY label
+        """,
         "cosine_dup": """
             WITH bkt AS (
               SELECT vec_id, embedding,
