@@ -2581,6 +2581,18 @@ def q_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("name", "track")
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data clipping: winsorize event values to each
+    event_type's [p05, p95] — bounds from one aggregate,
+    broadcast-joined back, clip in codegen."""
+    from geomesa_spark.operators.stats import winsorize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return winsorize(ev, "value", ["event_type"], out_col="value_w")
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data quality: per-event_type z-score anomaly filter
     (|x−μ| > 2σ, population σ) — exact decimal moments in one hash
@@ -2824,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "hotspots": q_hotspots,
         "embed_clusters": q_embed_clusters,
+        "winsorize": q_winsorize,
     }
 
 
@@ -4818,6 +4831,17 @@ def oracle_sql() -> dict[str, str]:
                          ELSE plat + (nlat - plat) * ((t - pt) / CAST(nt - pt AS DOUBLE))
                          END, 6) AS lat
             FROM w WHERE tag = 1
+        """,
+        "winsorize": """
+            WITH b AS (
+              SELECT event_type,
+                     round(quantile_cont(value, 0.05), 6) AS lo,
+                     round(quantile_cont(value, 0.95), 6) AS hi
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   greatest(b.lo, least(b.hi, e.value)) AS value_w
+            FROM events e JOIN b USING (event_type)
         """,
         "zscore_outliers": """
             WITH m AS (

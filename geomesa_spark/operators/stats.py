@@ -25,6 +25,7 @@ __all__ = [
     "rollup_counts",
     "descriptive_stats",
     "quantiles",
+    "winsorize",
     "zscore_outliers",
     "histogram",
     "topk",
@@ -294,6 +295,41 @@ def quantiles(
         for p, name in zip(probs, names)
     ]
     return df.groupBy(*(group_cols or [])).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip ``col`` to the group's
+    [lower, upper] exact quantiles — the standard outlier-clipping
+    preprocessing stage next to zscore_outliers' row-dropping one.
+
+    Shape mirrors zscore_outliers: ONE hash aggregate computes the two
+    percentile bounds per group (map-side partials), broadcast-joined
+    back — the fact rows never reshuffle. The clip is least/greatest
+    codegen. Bounds use Spark's exact ``percentile`` (ANSI linear
+    interpolation, deterministic); rounded 6 dp like quantiles so the
+    clipped doubles hash identically cross-engine. At unbounded group
+    cardinality switch the bound computation to percentile_approx (the
+    quantiles(approx=True) path).
+    """
+    from pyspark.sql.functions import broadcast
+
+    bounds = df.groupBy(*group_cols).agg(
+        F.round(F.expr(f"percentile(`{col}`, {lower!r})"), 6).alias("__lo"),
+        F.round(F.expr(f"percentile(`{col}`, {upper!r})"), 6).alias("__hi"),
+    )
+    clipped = F.greatest(F.col("__lo"), F.least(F.col("__hi"), F.col(col)))
+    return (
+        df.join(broadcast(bounds), on=group_cols)
+        .withColumn(out_col or col, clipped)
+        .drop("__lo", "__hi")
+    )
 
 
 def zscore_outliers(

@@ -1461,6 +1461,19 @@ class TestRound5Operators:
             ("a", e + 100): (10.0, 20.0),  # tick on last ping (nt null)
         }
 
+    def test_winsorize_clips_to_group_quantiles(self, spark):
+        """[1..10]: p05 = 1.45, p95 = 9.55 (ANSI interpolation at
+        p·(n−1)) — extremes clip, the middle passes through."""
+        from geomesa_spark.operators.stats import winsorize
+
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in range(1, 11)], "k string, v double"
+        )
+        out = {r.v: r.v_w for r in
+               winsorize(df, "v", ["k"], out_col="v_w").collect()}
+        assert out[1.0] == 1.45 and out[10.0] == 9.55
+        assert out[5.0] == 5.0 and len(out) == 10
+
     def test_zscore_outliers(self, spark):
         """[0×5, 12]: μ=2, σ=√20 → z(12)=2.236 flagged, zeros not;
         a constant group (σ=0) is excluded entirely."""
