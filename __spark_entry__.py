@@ -2526,6 +2526,15 @@ def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* over the 72×34 count grid — statistically
+    normalized hotspot scores (binary 3×3 weights incl. self,
+    global moments over all 2448 cells)."""
+    from geomesa_spark.operators.tiles import gi_star
+
+    return gi_star(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion funnel view→click→purchase per user: furthest step
     reached in order (one collect+fold per user, exact ints). The
@@ -2837,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspots": q_hotspots,
         "embed_clusters": q_embed_clusters,
         "winsorize": q_winsorize,
+        "gi_star": q_gi_star,
     }
 
 
@@ -4831,6 +4841,41 @@ def oracle_sql() -> dict[str, str]:
                          ELSE plat + (nlat - plat) * ((t - pt) / CAST(nt - pt AS DOUBLE))
                          END, 6) AS lat
             FROM w WHERE tag = 1
+        """,
+        "gi_star": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(count(*) AS DOUBLE) AS x
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            wsum AS (
+              SELECT CAST(g.ix + kx.v AS INT) AS tx, CAST(g.iy + ky.v AS INT) AS ty,
+                     sum(g.x) AS sw
+              FROM grid g
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(x) AS t, sum(x * x) AS q FROM grid)
+            SELECT g.ix, g.iy, CAST(g.x AS BIGINT) AS cnt,
+                   round((w.sw - (tot.t / 2448.0)
+                            * CAST((least(g.ix + 1, 71) - greatest(g.ix - 1, 0) + 1)
+                                 * (least(g.iy + 1, 33) - greatest(g.iy - 1, 0) + 1) AS DOUBLE))
+                         / (sqrt(tot.q / 2448.0 - (tot.t / 2448.0) * (tot.t / 2448.0))
+                            * sqrt((2448.0 * CAST((least(g.ix + 1, 71) - greatest(g.ix - 1, 0) + 1)
+                                                * (least(g.iy + 1, 33) - greatest(g.iy - 1, 0) + 1) AS DOUBLE)
+                                    - CAST((least(g.ix + 1, 71) - greatest(g.ix - 1, 0) + 1)
+                                         * (least(g.iy + 1, 33) - greatest(g.iy - 1, 0) + 1) AS DOUBLE)
+                                      * CAST((least(g.ix + 1, 71) - greatest(g.ix - 1, 0) + 1)
+                                           * (least(g.iy + 1, 33) - greatest(g.iy - 1, 0) + 1) AS DOUBLE))
+                                   / (2448.0 - 1.0))), 6) AS gi
+            FROM grid g
+            JOIN wsum w ON g.ix = w.tx AND g.iy = w.ty
+            CROSS JOIN tot
         """,
         "winsorize": """
             WITH b AS (

@@ -28,6 +28,7 @@ __all__ = [
     "idw_surface",
     "grid_dbscan",
     "hotspots",
+    "gi_star",
     "tile_pyramid",
     "write_tiles",
     "read_tiles",
@@ -566,6 +567,65 @@ def hotspots(
         .withColumn("nbr_max", F.coalesce(F.col("nbr_max"), F.lit(0.0)))
         .where(F.col("weight") > F.col("nbr_max"))
         .select("ix", "iy", "weight", "cnt", "nbr_max")
+    )
+
+
+def gi_star(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot statistic over the count grid (Getis &
+    Ord 1992; binary weights over the 3×3 Moore window including
+    self) — the statistical-significance upgrade of `hotspots`' raw
+    local maxima: Gi* = (Σ_j x_j − X̄·W_i) / (S·√((n·W_i − W_i²)/(n−1)))
+    with n = width·height grid cells, X̄/S the global mean/std of cell
+    counts (empty cells are zeros), W_i the in-grid window size.
+
+    Scale shape: one hash aggregate to cells; the window sum Σ_j x_j
+    via _kernel_spread over OCCUPIED cells only (empties add 0); W_i is
+    pure edge-clip arithmetic (no join); global T = Σx and Q = Σx² ride
+    as a broadcast 1-row aggregate of exact integer doubles. Reported
+    for occupied cells (the sparse convention). Float parity: X̄, S and
+    the Gi* expression are one fixed IEEE sequence over exact integers,
+    mirrored by the oracle; round 6 dp.
+    """
+    n_cells = float(width * height)
+    g = density_grid(points, bbox, width, height, lon=lon, lat=lat).select(
+        "ix", "iy", F.col("cnt").cast("double").alias("x")
+    )
+    wsum = (
+        _kernel_spread(g, ["x"], 1)
+        .groupBy("tx", "ty")
+        .agg(F.sum("x").alias("sw"))
+    )
+    tot = g.agg(
+        F.sum("x").alias("__t"),
+        F.sum(F.col("x") * F.col("x")).alias("__q"),
+    )
+    cells = (
+        g.join(wsum, (F.col("ix") == F.col("tx")) & (F.col("iy") == F.col("ty")))
+        .crossJoin(F.broadcast(tot))
+    )
+    wi = (
+        (F.least(F.col("ix") + 1, F.lit(width - 1)) - F.greatest(F.col("ix") - 1, F.lit(0)) + 1)
+        * (F.least(F.col("iy") + 1, F.lit(height - 1)) - F.greatest(F.col("iy") - 1, F.lit(0)) + 1)
+    ).cast("double")
+    mean = F.col("__t") / n_cells
+    s = F.sqrt(F.col("__q") / n_cells - mean * mean)
+    denom = s * F.sqrt((n_cells * wi - wi * wi) / (n_cells - 1.0))
+    # wi == n (window spans the whole grid): the variance term is zero
+    # and the numerator provably is too (Σ_window = T = X̄·n) — the
+    # statistic is vacuous there, emit exact 0 instead of 0/0
+    gi = F.when(wi < F.lit(n_cells), (F.col("sw") - mean * wi) / denom).otherwise(0.0)
+    return cells.select(
+        "ix",
+        "iy",
+        F.col("x").cast("long").alias("cnt"),
+        F.round(gi, 6).alias("gi"),
     )
 
 

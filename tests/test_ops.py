@@ -1391,6 +1391,28 @@ class TestRound5Operators:
         assert out[(1, 1)].weight == 3.0 and out[(1, 1)].nbr_max == 1.0
         assert out[(0, 7)].nbr_max == 0.0
 
+    def test_gi_star_values(self, spark):
+        """3×3 grid, 2 points in the center + 1 in a corner: the
+        center's full window holds ALL the mass so its Gi* is exactly 0
+        (Σ_j x_j == X̄·n); the corner scores +√2.5 via the clipped
+        W_i=4 window — expectation computed with the identical IEEE
+        sequence."""
+        import math
+
+        from geomesa_spark.operators.tiles import gi_star
+
+        pts = [(1.5, 1.5), (1.5, 1.5), (0.5, 0.5)]
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        out = {(r.ix, r.iy): r for r in
+               gi_star(df, (0.0, 0.0, 3.0, 3.0), 3, 3).collect()}
+        assert set(out) == {(0, 0), (1, 1)}
+        assert out[(1, 1)].cnt == 2 and out[(1, 1)].gi == 0.0
+        n, t, q, wi, sw = 9.0, 3.0, 5.0, 4.0, 3.0
+        mean = t / n
+        s = math.sqrt(q / n - mean * mean)
+        expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
+        assert out[(0, 0)].gi == expect
+
     def test_funnel_depths(self, spark):
         """Ordered-subsequence semantics: steps must occur IN ORDER
         (click before view does not count), skipping is allowed only
