@@ -2535,6 +2535,26 @@ def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gi_star(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
 
 
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
+    weights excluding self; empty-cell z terms folded into window
+    arithmetic so only occupied cells ever join."""
+    from geomesa_spark.operators.tiles import local_moran
+
+    return local_moran(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
+
+
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type quantile-transform of value: SQL percent_rank,
+    deterministic under ties."""
+    from geomesa_spark.operators.stats import percent_rank_norm
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return percent_rank_norm(ev, "value", ["event_type"])
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion funnel view→click→purchase per user: furthest step
     reached in order (one collect+fold per user, exact ints). The
@@ -2847,6 +2867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_clusters": q_embed_clusters,
         "winsorize": q_winsorize,
         "gi_star": q_gi_star,
+        "local_moran": q_local_moran,
+        "percent_rank": q_percent_rank,
     }
 
 
@@ -4841,6 +4863,42 @@ def oracle_sql() -> dict[str, str]:
                          ELSE plat + (nlat - plat) * ((t - pt) / CAST(nt - pt AS DOUBLE))
                          END, 6) AS lat
             FROM w WHERE tag = 1
+        """,
+        "percent_rank": """
+            SELECT event_id, event_type, value,
+                   round(percent_rank() OVER (PARTITION BY event_type
+                                              ORDER BY value), 6) AS pr
+            FROM events
+        """,
+        "local_moran": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(count(*) AS DOUBLE) AS x
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            wsum AS (
+              SELECT CAST(g.ix + kx.v AS INT) AS tx, CAST(g.iy + ky.v AS INT) AS ty,
+                     sum(g.x) AS sw
+              FROM grid g
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(x) AS t, sum(x * x) AS q FROM grid)
+            SELECT g.ix, g.iy, CAST(g.x AS BIGINT) AS cnt,
+                   round((g.x - tot.t / 2448.0)
+                         / (tot.q / 2448.0 - (tot.t / 2448.0) * (tot.t / 2448.0))
+                         * ((w.sw - g.x)
+                            - (CAST((least(g.ix + 1, 71) - greatest(g.ix - 1, 0) + 1)
+                                  * (least(g.iy + 1, 33) - greatest(g.iy - 1, 0) + 1) AS DOUBLE)
+                               - 1.0) * (tot.t / 2448.0)), 6) AS moran_i
+            FROM grid g
+            JOIN wsum w ON g.ix = w.tx AND g.iy = w.ty
+            CROSS JOIN tot
         """,
         "gi_star": f"""
             WITH {SQL_PTS},

@@ -25,6 +25,7 @@ __all__ = [
     "rollup_counts",
     "descriptive_stats",
     "quantiles",
+    "percent_rank_norm",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -295,6 +296,27 @@ def quantiles(
         for p, name in zip(probs, names)
     ]
     return df.groupBy(*(group_cols or [])).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def percent_rank_norm(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    out_col: str = "pr",
+) -> DataFrame:
+    """Per-group percent-rank normalization (the quantile-transform
+    feature-scaling stage): pr = (rank−1)/(n−1) ∈ [0,1] within each
+    group, SQL-standard tie semantics (equal values share a rank, so
+    the output is deterministic under any shuffle order).
+
+    One partitioned window — the shuffle is on the group key, the same
+    cost as a groupBy at any key count. The ratio is one double
+    division of exact integers → bit-stable cross-engine (round 6 dp).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy(F.col(col))
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
 
 
 def winsorize(

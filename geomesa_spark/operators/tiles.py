@@ -29,6 +29,7 @@ __all__ = [
     "grid_dbscan",
     "hotspots",
     "gi_star",
+    "local_moran",
     "tile_pyramid",
     "write_tiles",
     "read_tiles",
@@ -626,6 +627,60 @@ def gi_star(
         "iy",
         F.col("x").cast("long").alias("cnt"),
         F.round(gi, 6).alias("gi"),
+    )
+
+
+def local_moran(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA; binary Moore weights,
+    self excluded, m2 = Σ(x−X̄)²/n) over the count grid — the
+    cluster/outlier companion to gi_star's hot/cold scores:
+    I_i = ((x_i − X̄)/m2) · Σ_j w_ij (x_j − X̄).
+
+    Empty neighbor cells carry z = −X̄, so the neighbor term over the
+    FULL grid reduces to occupied-only sums plus window arithmetic:
+    Σ_j z_j = (sw − x_i) − (W_i − 1)·X̄ with sw the occupied window sum
+    including self (the same _kernel_spread aggregate gi_star uses) and
+    W_i the edge-clipped window size. One cell aggregate, one spread
+    aggregate, a broadcast scalar — no join against empty cells ever
+    materializes. Bit-exact: fixed IEEE sequence over exact integer
+    sums, mirrored by the oracle; reported for occupied cells.
+    """
+    n_cells = float(width * height)
+    g = density_grid(points, bbox, width, height, lon=lon, lat=lat).select(
+        "ix", "iy", F.col("cnt").cast("double").alias("x")
+    )
+    wsum = (
+        _kernel_spread(g, ["x"], 1)
+        .groupBy("tx", "ty")
+        .agg(F.sum("x").alias("sw"))
+    )
+    tot = g.agg(
+        F.sum("x").alias("__t"),
+        F.sum(F.col("x") * F.col("x")).alias("__q"),
+    )
+    cells = (
+        g.join(wsum, (F.col("ix") == F.col("tx")) & (F.col("iy") == F.col("ty")))
+        .crossJoin(F.broadcast(tot))
+    )
+    wi = (
+        (F.least(F.col("ix") + 1, F.lit(width - 1)) - F.greatest(F.col("ix") - 1, F.lit(0)) + 1)
+        * (F.least(F.col("iy") + 1, F.lit(height - 1)) - F.greatest(F.col("iy") - 1, F.lit(0)) + 1)
+    ).cast("double")
+    mean = F.col("__t") / n_cells
+    m2 = F.col("__q") / n_cells - mean * mean
+    zsum = (F.col("sw") - F.col("x")) - (wi - F.lit(1.0)) * mean
+    return cells.select(
+        "ix",
+        "iy",
+        F.col("x").cast("long").alias("cnt"),
+        F.round((F.col("x") - mean) / m2 * zsum, 6).alias("moran_i"),
     )
 
 

@@ -1413,6 +1413,38 @@ class TestRound5Operators:
         expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
         assert out[(0, 0)].gi == expect
 
+    def test_local_moran_values(self, spark):
+        """3×3 grid, 2 pts center + 1 corner: the high center ringed by
+        lows is a NEGATIVE spatial outlier; the corner pairs with the
+        center positively — expectations via the identical IEEE
+        sequence (mean=1/3, m2=4/9)."""
+        from geomesa_spark.operators.tiles import local_moran
+
+        pts = [(1.5, 1.5), (1.5, 1.5), (0.5, 0.5)]
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        out = {(r.ix, r.iy): r.moran_i for r in
+               local_moran(df, (0.0, 0.0, 3.0, 3.0), 3, 3).collect()}
+        n = 9.0
+        mean = 3.0 / n
+        m2 = 5.0 / n - mean * mean
+        center = round((2.0 - mean) / m2 * ((3.0 - 2.0) - 8.0 * mean), 6)
+        corner = round((1.0 - mean) / m2 * ((3.0 - 1.0) - 3.0 * mean), 6)
+        assert out == {(1, 1): center, (0, 0): corner}
+        assert out[(1, 1)] < 0 < out[(0, 0)]
+
+    def test_percent_rank_norm_ties(self, spark):
+        """[10,20,20,30]: pr = 0, 1/3, 1/3, 1 — ties share a rank, so
+        the transform is shuffle-order deterministic."""
+        from geomesa_spark.operators.stats import percent_rank_norm
+
+        df = spark.createDataFrame(
+            [("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 30.0)],
+            "k string, v double",
+        )
+        out = sorted((r.v, r.pr) for r in percent_rank_norm(df, "v", ["k"]).collect())
+        third = round(1 / 3, 6)
+        assert out == [(10.0, 0.0), (20.0, third), (20.0, third), (30.0, 1.0)]
+
     def test_funnel_depths(self, spark):
         """Ordered-subsequence semantics: steps must occur IN ORDER
         (click before view does not count), skipping is allowed only
