@@ -2535,6 +2535,30 @@ def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gi_star(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
 
 
+def q_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K pair counts at 75/150/300 km — one cover self-join at
+    the max radius, per-radius cumulative counts from the tiny explode."""
+    from geomesa_spark.operators.joins import pair_correlation
+
+    pts = _points(spark, sf_dir)
+    pid = F.concat_ws(":", F.col("doc_id"), F.col("span_offset").cast("string"))
+    return pair_correlation(pts, pid, (75000.0, 150000.0, 300000.0), bits=5)
+
+
+def q_emerging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot analysis over the canonical tracks: per 10°
+    cell, Mann-Kendall S on 500 h binned counts → intensifying /
+    diminishing / stable (14/14/8 mix at n=2000)."""
+    from geomesa_spark.operators.tiles import emerging_hotspots
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    return emerging_hotspots(
+        canonical_layer(spark, 2000), (-180.0, -85.0, 180.0, 85.0), 36, 17,
+        ts_col="dtg", bin_hours=500, tau=1,
+    )
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -2869,6 +2893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gi_star": q_gi_star,
         "local_moran": q_local_moran,
         "percent_rank": q_percent_rank,
+        "emerging": q_emerging,
+        "pair_correlation": q_pair_correlation,
     }
 
 
@@ -4869,6 +4895,49 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER (PARTITION BY event_type
                                               ORDER BY value), 6) AS pr
             FROM events
+        """,
+        "pair_correlation": f"""
+            WITH {SQL_PTS},
+            p AS (
+              SELECT doc_id || ':' || CAST(span_offset AS VARCHAR) AS pid, lon, lat
+              FROM pts
+            ),
+            d AS (
+              SELECT {_sql_haversine('a.lon', 'a.lat', 'b.lon', 'b.lat')} AS dist_m
+              FROM p a JOIN p b ON a.pid < b.pid
+            )
+            SELECT r.v AS radius_m, count(*) AS n_pairs
+            FROM d CROSS JOIN (VALUES (75000.0), (150000.0), (300000.0)) AS r(v)
+            WHERE d.dist_m <= r.v
+            GROUP BY r.v
+        """,
+        "emerging": """
+            WITH c AS (
+              SELECT CAST(floor((CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) - (-180.0)) / 10.0) AS INT) AS ix,
+                     CAST(floor((CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) - (-85.0)) / 10.0) AS INT) AS iy,
+                     (1704067200 + t.i * 3600) // 1800000 AS bin
+              FROM range(0, 2000) t(i)
+            ),
+            b AS (SELECT ix, iy, bin, count(*) AS c FROM c GROUP BY 1, 2, 3),
+            agg AS (
+              SELECT ix, iy, CAST(count(*) AS INT) AS n_bins,
+                     CAST(sum(c) AS BIGINT) AS total
+              FROM b GROUP BY 1, 2
+            ),
+            prs AS (
+              SELECT p.ix, p.iy,
+                     CAST(sum(CASE WHEN q.c > p.c THEN 1
+                                   WHEN q.c < p.c THEN -1 ELSE 0 END) AS INT) AS s
+              FROM b p JOIN b q
+                ON p.ix = q.ix AND p.iy = q.iy AND p.bin < q.bin
+              GROUP BY 1, 2
+            )
+            SELECT a.ix, a.iy, a.n_bins, a.total,
+                   coalesce(s.s, 0) AS s_stat,
+                   CASE WHEN coalesce(s.s, 0) > 1 THEN 'intensifying'
+                        WHEN coalesce(s.s, 0) < -1 THEN 'diminishing'
+                        ELSE 'stable' END AS trend
+            FROM agg a LEFT JOIN prs s ON a.ix = s.ix AND a.iy = s.iy
         """,
         "local_moran": f"""
             WITH {SQL_PTS},

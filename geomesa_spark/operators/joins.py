@@ -36,6 +36,7 @@ __all__ = [
     "spatial_join_geoms",
     "distance_join",
     "distance_join_bbox",
+    "pair_correlation",
     "refine_pip",
     "haversine_m_col",
     "tube_select",
@@ -389,6 +390,40 @@ def distance_join(
         haversine_m_col(F.col("lon"), F.col("lat"), F.col("q_lon"), F.col("q_lat")),
     )
     return cand.where(F.col("dist_m") <= F.col(radius_col))
+
+
+def pair_correlation(
+    points: DataFrame,
+    id_col,
+    radii: tuple,
+    bits: int = 4,
+) -> DataFrame:
+    """Ripley's K-style pair counts: the number of unordered point
+    pairs within each radius of ``radii`` (the cumulative distance
+    histogram behind K/L-function clustering analyses).
+
+    ONE cover self-join at max(radii) (distance_join: cell-cover
+    equi-join + exact haversine refine, id-order pair dedup), then each
+    pair explodes the tiny radius list and a hash aggregate counts the
+    cumulative membership — no per-radius re-join. ``id_col`` is a
+    Column producing a unique point id (the dedup order). Output:
+    (radius_m, n_pairs), ascending.
+    """
+    rmax = float(max(radii))
+    pts = points.withColumn("__pid", id_col)
+    probes = pts.select(
+        F.col("__pid").alias("q_id"), "lon", "lat", F.lit(rmax).alias("radius_m")
+    )
+    pairs = distance_join(pts, probes, bits=bits).where(
+        F.col("__pid") < F.col("q_id")
+    )
+    r = F.explode(F.array(*[F.lit(float(x)) for x in sorted(radii)])).alias("radius_m")
+    return (
+        pairs.select("dist_m", r)
+        .where(F.col("dist_m") <= F.col("radius_m"))
+        .groupBy("radius_m")
+        .agg(F.count("*").alias("n_pairs"))
+    )
 
 
 def distance_join_bbox(

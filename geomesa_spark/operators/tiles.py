@@ -30,6 +30,7 @@ __all__ = [
     "hotspots",
     "gi_star",
     "local_moran",
+    "emerging_hotspots",
     "tile_pyramid",
     "write_tiles",
     "read_tiles",
@@ -681,6 +682,77 @@ def local_moran(
         "iy",
         F.col("x").cast("long").alias("cnt"),
         F.round((F.col("x") - mean) / m2 * zsum, 6).alias("moran_i"),
+    )
+
+
+def emerging_hotspots(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    ts_col: str = "dtg",
+    bin_hours: int = 500,
+    tau: int = 2,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Emerging-hotspot analysis (the ArcGIS space-time-cube shape):
+    per cell, the Mann-Kendall trend statistic S = Σ_{i<j}
+    sign(c_j − c_i) over the time-binned count sequence, classified
+    intensifying (S > tau) / diminishing (S < −tau) / stable. S is a
+    pure INTEGER statistic — no distribution assumptions, bit-exact by
+    construction.
+
+    Shape: ONE hash aggregate to (cell, bin) counts, then per cell a
+    sorted-collect + nested fold computes S with zero joins (bins per
+    cell are bounded by the time range / bin width — the space-time
+    cube contract). Trend is over OBSERVED bins only; cells seen in a
+    single bin are trivially stable. The DuckDB oracle computes the
+    same S with a pair self-join — identical exact integers.
+    """
+    x0, y0, x1, y1 = bbox
+    dx = (x1 - x0) / width
+    dy = (y1 - y0) / height
+    inb = points.where(
+        (F.col(lon) >= x0) & (F.col(lon) < x1) & (F.col(lat) >= y0) & (F.col(lat) < y1)
+    )
+    binned = inb.groupBy(
+        F.floor((F.col(lon) - x0) / dx).cast("int").alias("ix"),
+        F.floor((F.col(lat) - y0) / dy).cast("int").alias("iy"),
+        (F.unix_seconds(F.col(ts_col).cast("timestamp")) / (bin_hours * 3600))
+        .cast("long")
+        .alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    seq = binned.groupBy("ix", "iy").agg(
+        F.sort_array(F.collect_list(F.struct("bin", "c"))).alias("a"),
+        F.sum("c").alias("total"),
+    )
+    a = F.col("a")
+    n = F.size(a)
+    # S = Σ_{j} Σ_{i<j} sign(c_j − c_i): nested fold over the sorted
+    # bins — exact integers, O(n²) on a per-cell bounded n
+    s_stat = F.aggregate(
+        F.sequence(F.lit(2), n),
+        F.lit(0),
+        lambda acc, j: acc
+        + F.aggregate(
+            F.slice(a, 1, j - 1),
+            F.lit(0),
+            lambda inner, x: inner
+            + F.signum(F.element_at(a, j)["c"] - x["c"]).cast("int"),
+        ),
+    )
+    s_guard = F.when(n >= 2, s_stat).otherwise(0)
+    return seq.select(
+        "ix",
+        "iy",
+        n.alias("n_bins"),
+        "total",
+        s_guard.alias("s_stat"),
+        F.when(s_guard > tau, F.lit("intensifying"))
+        .when(s_guard < -tau, F.lit("diminishing"))
+        .otherwise(F.lit("stable"))
+        .alias("trend"),
     )
 
 

@@ -1413,6 +1413,47 @@ class TestRound5Operators:
         expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
         assert out[(0, 0)].gi == expect
 
+    def test_pair_correlation_counts(self, spark):
+        """Equator points 0/0.5/1.0/5.0° lon: 1° ≈ 111.195 km, so the
+        cumulative pair counts at 60/120/500 km are exactly 2/3/4
+        (the 0.5°–5.0° pair is 500.38 km — just outside the cut)."""
+        from geomesa_spark.operators.joins import pair_correlation
+
+        df = spark.createDataFrame(
+            [("a", 0.0, 0.0), ("b", 0.5, 0.0), ("c", 1.0, 0.0), ("d", 5.0, 0.0)],
+            "pid string, lon double, lat double",
+        )
+        out = {
+            r.radius_m: r.n_pairs
+            for r in pair_correlation(
+                df, F.col("pid"), (60000.0, 120000.0, 500000.0)
+            ).collect()
+        }
+        assert out == {60000.0: 2, 120000.0: 3, 500000.0: 4}
+
+    def test_emerging_hotspots_trends(self, spark):
+        """Counts [1,2,3] → S=3 intensifying; [3,1,1] → S=−2
+        diminishing; a single-bin cell is trivially stable."""
+        from datetime import datetime
+
+        from geomesa_spark.operators.tiles import emerging_hotspots
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        h = lambda k: datetime(2024, 1, 1, k, 30)  # noqa: E731
+        rows = (
+            [(0.5, 0.5, h(0))] * 1 + [(0.5, 0.5, h(1))] * 2 + [(0.5, 0.5, h(2))] * 3
+            + [(1.5, 0.5, h(0))] * 3 + [(1.5, 0.5, h(1))] + [(1.5, 0.5, h(2))]
+            + [(2.5, 2.5, h(1))]
+        )
+        df = spark.createDataFrame(rows, "lon double, lat double, dtg timestamp")
+        out = {(r.ix, r.iy): r for r in
+               emerging_hotspots(df, (0.0, 0.0, 4.0, 4.0), 4, 4,
+                                 bin_hours=1, tau=1).collect()}
+        assert (out[(0, 0)].s_stat, out[(0, 0)].trend) == (3, "intensifying")
+        assert (out[(1, 0)].s_stat, out[(1, 0)].trend) == (-2, "diminishing")
+        assert (out[(2, 2)].n_bins, out[(2, 2)].trend) == (1, "stable")
+        assert out[(0, 0)].total == 6 and out[(0, 0)].n_bins == 3
+
     def test_local_moran_values(self, spark):
         """3×3 grid, 2 pts center + 1 corner: the high center ringed by
         lows is a NEGATIVE spatial outlier; the corner pairs with the
