@@ -2559,6 +2559,45 @@ def q_emerging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction over the canonical tracks: pairs
+    within 200 km AND 48 h vs the independence expectation. One cover
+    self-join (space) + one time-bin equi-join (time) — never all
+    pairs; the oracle IS the all-pairs cartesian."""
+    from geomesa_spark.operators.joins import knox_test
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    return knox_test(
+        canonical_layer(spark, 2000),
+        F.col("__fid__"),
+        delta_s_m=200000.0,
+        delta_t_s=48 * 3600,
+        ts_col="dtg",
+        bits=5,
+    )
+
+
+def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clark–Evans nearest-neighbor index over the doc points: exact NN
+    distance per point via kNN k=2 (self ranks first at 0), exact
+    decimal mean, R vs CSR expectation at a fixed reference area."""
+    from geomesa_spark.operators.stats import clark_evans
+
+    pts = _points(spark, sf_dir)
+    pid = F.concat_ws(":", F.col("doc_id"), F.col("span_offset").cast("string"))
+    return clark_evans(pts, pid, area_m2=510000000000000.0, bits=6)
+
+
+def q_quadrat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat dispersion test on the 72×34 grid (gi_star's grid):
+    VMR from exact integer moments — empty quadrats contribute zero to
+    both sums, so they never materialize."""
+    from geomesa_spark.operators.tiles import quadrat_test
+
+    return quadrat_test(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -2895,6 +2934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_rank": q_percent_rank,
         "emerging": q_emerging,
         "pair_correlation": q_pair_correlation,
+        "knox": q_knox,
+        "clark_evans": q_clark_evans,
+        "quadrat": q_quadrat,
     }
 
 
@@ -4938,6 +4980,74 @@ def oracle_sql() -> dict[str, str]:
                         WHEN coalesce(s.s, 0) < -1 THEN 'diminishing'
                         ELSE 'stable' END AS trend
             FROM agg a LEFT JOIN prs s ON a.ix = s.ix AND a.iy = s.iy
+        """,
+        "knox": f"""
+            WITH c AS (
+              SELECT printf('f-%05d', t.i) AS pid,
+                     CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                     CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                     1704067200 + t.i * 3600 AS ts
+              FROM range(0, 2000) t(i)
+            ),
+            pr AS (
+              SELECT {_sql_haversine('a.lon', 'a.lat', 'b.lon', 'b.lat')} AS d,
+                     abs(a.ts - b.ts) AS dt
+              FROM c a JOIN c b ON a.pid < b.pid
+            ),
+            agg AS (
+              SELECT CAST(sum(CASE WHEN d <= 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_space,
+                     CAST(sum(CASE WHEN dt <= 172800 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_time,
+                     CAST(sum(CASE WHEN d <= 200000.0 AND dt <= 172800 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_spacetime,
+                     count(*) AS pairs_total
+              FROM pr
+            )
+            SELECT CAST(2000 AS BIGINT) AS n_points, pairs_total, pairs_space,
+                   pairs_time, pairs_spacetime,
+                   round(CAST(pairs_space AS DOUBLE) * pairs_time / pairs_total, 6) AS expected_st
+            FROM agg
+        """,
+        "clark_evans": f"""
+            WITH {SQL_PTS},
+            p AS (
+              SELECT doc_id || ':' || CAST(span_offset AS VARCHAR) AS pid, lon, lat
+              FROM pts
+            ),
+            nn AS (
+              SELECT a.pid, min({_sql_haversine('a.lon', 'a.lat', 'b.lon', 'b.lat')}) AS nn_m
+              FROM p a JOIN p b ON a.pid <> b.pid
+              GROUP BY a.pid
+            ),
+            agg AS (
+              SELECT count(*) AS n_points,
+                     sum(CAST(round(nn_m, 6) AS DECIMAL(28,6))) AS s
+              FROM nn
+            )
+            SELECT n_points,
+                   round(CAST(s AS DOUBLE) / n_points, 6) AS mean_nn_m,
+                   round((CAST(s AS DOUBLE) / n_points)
+                         / (0.5 / sqrt(n_points / CAST(510000000000000.0 AS DOUBLE))), 6) AS r_index
+            FROM agg
+        """,
+        "quadrat": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     count(*) AS c
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+                     CAST(coalesce(sum(c * c), 0) AS BIGINT) AS ss
+              FROM grid
+            )
+            SELECT CAST(2448 AS INT) AS n_cells, n AS n_points,
+                   round(CAST(n AS DOUBLE) / 2448, 6) AS mean_count,
+                   round(((CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * n / 2448) / 2447)
+                         / (CAST(n AS DOUBLE) / 2448), 6) AS vmr
+            FROM agg
         """,
         "local_moran": f"""
             WITH {SQL_PTS},

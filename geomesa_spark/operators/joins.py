@@ -37,6 +37,7 @@ __all__ = [
     "distance_join",
     "distance_join_bbox",
     "pair_correlation",
+    "knox_test",
     "refine_pip",
     "haversine_m_col",
     "tube_select",
@@ -423,6 +424,90 @@ def pair_correlation(
         .where(F.col("dist_m") <= F.col("radius_m"))
         .groupBy("radius_m")
         .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def knox_test(
+    points: DataFrame,
+    id_col,
+    delta_s_m: float,
+    delta_t_s: int,
+    ts_col: str = "dtg",
+    bits: int = 5,
+) -> DataFrame:
+    """Knox space-time interaction test: counts of point pairs close in
+    space (≤ delta_s_m), close in time (≤ delta_t_s), and close in BOTH
+    (the Knox statistic X), plus the independence expectation
+    Ns·Nt/total. Pure integer pair counts — bit-exact; the expectation
+    is one double multiply + divide from exact integers.
+
+    Shape: the space-close pairs come from ONE cell-cover self-join at
+    delta_s (distance_join) with the space-time count as a conditional
+    aggregate of the SAME join — no second spatial pass. The time-close
+    pairs use a 1-D time-bin equi-join (bin width = delta_t, earlier
+    point explodes bins {b, b+1}) so each unordered pair is matched
+    exactly once under the (earlier-first, id tie-break) order — never
+    an all-pairs product. Output is a single row.
+    """
+    dt = int(delta_t_s)
+    pts = points.select(
+        id_col.alias("__pid"),
+        "lon",
+        "lat",
+        F.unix_seconds(F.col(ts_col).cast("timestamp")).alias("__t"),
+    )
+    probes = pts.select(
+        F.col("__pid").alias("q_id"),
+        "lon",
+        "lat",
+        F.col("__t").alias("q_t"),
+        F.lit(float(delta_s_m)).alias("radius_m"),
+    )
+    sp = distance_join(pts, probes, bits=bits).where(F.col("__pid") < F.col("q_id"))
+    close_t = (F.abs(F.col("__t") - F.col("q_t")) <= F.lit(dt)).cast("long")
+    sp_agg = sp.agg(
+        F.count("*").alias("pairs_space"),
+        F.coalesce(F.sum(close_t), F.lit(0).cast("long")).alias("pairs_spacetime"),
+    )
+    # a pair with 0 <= t_b - t_a <= dt has floor(t_b/dt) in
+    # {floor(t_a/dt), floor(t_a/dt)+1}: exploding the EARLIER point into
+    # those two bins makes the equi-join a complete, once-only cover
+    tbin = F.expr(f"__t DIV {dt}")  # exact integer division (epochs >= 0)
+    left = pts.select(
+        F.col("__pid").alias("a_id"),
+        F.col("__t").alias("a_t"),
+        F.explode(F.array(tbin, tbin + 1)).alias("__bin"),
+    )
+    right = pts.select(
+        F.col("__pid").alias("b_id"),
+        F.col("__t").alias("b_t"),
+        tbin.alias("__bin"),
+    )
+    tp = left.join(right, "__bin").where(
+        (F.col("b_t") - F.col("a_t") <= dt)
+        & (
+            (F.col("a_t") < F.col("b_t"))
+            | ((F.col("a_t") == F.col("b_t")) & (F.col("a_id") < F.col("b_id")))
+        )
+    )
+    tp_agg = tp.agg(F.count("*").alias("pairs_time"))
+    n_agg = pts.agg(F.count("*").alias("n_points"))
+    return (
+        n_agg.crossJoin(sp_agg)
+        .crossJoin(tp_agg)
+        .select(
+            "n_points",
+            F.expr("n_points * (n_points - 1) DIV 2").alias("pairs_total"),
+            "pairs_space",
+            "pairs_time",
+            "pairs_spacetime",
+            F.round(
+                F.col("pairs_space").cast("double")
+                * F.col("pairs_time")
+                / F.expr("n_points * (n_points - 1) DIV 2"),
+                6,
+            ).alias("expected_st"),
+        )
     )
 
 

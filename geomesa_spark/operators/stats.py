@@ -26,6 +26,7 @@ __all__ = [
     "descriptive_stats",
     "quantiles",
     "percent_rank_norm",
+    "clark_evans",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -296,6 +297,53 @@ def quantiles(
         for p, name in zip(probs, names)
     ]
     return df.groupBy(*(group_cols or [])).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def clark_evans(
+    points: DataFrame,
+    id_col,
+    area_m2: float,
+    bits: int = 6,
+    order_cols: tuple = ("doc_id", "span_offset"),
+) -> DataFrame:
+    """Clark–Evans nearest-neighbor index: R = mean observed NN
+    distance / expected NN distance under CSR (0.5/√density). R < 1 =
+    clustered, R ≈ 1 = random, R > 1 = dispersed.
+
+    The exact nearest-neighbor distance per point comes from the kNN
+    operator at k=2 (ring passes + exact fallback — never a cartesian):
+    the self-match ranks first at distance 0, so min(dist) over the
+    non-self rows is the true NN (exact duplicates give 0 either way).
+    The mean is an EXACT decimal sum of 6-dp-rounded distances divided
+    once — bit-stable cross-engine; R is two more IEEE ops on scalars.
+    Output: one row (n_points, mean_nn_m, r_index).
+    """
+    from geomesa_spark.operators.knn import knn
+
+    pts = points.withColumn("__pid", id_col)
+    probes = pts.select(
+        F.col("__pid").alias("q_id"), "lon", "lat", F.lit(2).alias("k")
+    )
+    nb = knn(pts, probes, bits=bits, order_cols=order_cols, k_max=2)
+    nn = (
+        nb.where(F.col("__pid") != F.col("q_id"))
+        .groupBy("q_id")
+        .agg(F.min("dist_m").alias("nn_m"))
+    )
+    agg = nn.agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.round(F.col("nn_m"), 6).cast("decimal(28,6)")).alias("__s"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n_points")
+    expected = 0.5 / F.sqrt(F.col("n_points") / F.lit(float(area_m2)))
+    out = agg.select(
+        "n_points",
+        F.round(mean, 6).alias("mean_nn_m"),
+        F.round(mean / expected, 6).alias("r_index"),
+    )
+    # hold the knn result: its pass caches are scoped to nb's lifetime
+    out._knn_scope = nb
+    return out
 
 
 def percent_rank_norm(

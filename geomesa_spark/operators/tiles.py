@@ -31,6 +31,7 @@ __all__ = [
     "gi_star",
     "local_moran",
     "emerging_hotspots",
+    "quadrat_test",
     "tile_pyramid",
     "write_tiles",
     "read_tiles",
@@ -753,6 +754,53 @@ def emerging_hotspots(
         .when(s_guard < -tau, F.lit("diminishing"))
         .otherwise(F.lit("stable"))
         .alias("trend"),
+    )
+
+
+def quadrat_test(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Quadrat dispersion test: the variance-to-mean ratio (VMR) of
+    point counts over a width×height grid INCLUDING empty quadrats
+    (VMR > 1 = clustered, ≈ 1 = Poisson/random, < 1 = dispersed).
+
+    Empty cells never materialize: with N = width·height known, Σc and
+    Σc² over the OCCUPIED cells determine mean and variance exactly
+    (empty cells contribute 0 to both sums) — one hash aggregate to
+    (cell, count), one global integer reduce, zero joins. The moments
+    are exact BIGINTs; mean/variance/VMR are a fixed IEEE double
+    sequence on those scalars — bit-stable cross-engine. Output: one
+    row (n_cells, n_points, mean_count, vmr).
+    """
+    x0, y0, x1, y1 = bbox
+    dx = (x1 - x0) / width
+    dy = (y1 - y0) / height
+    n_cells = width * height
+    inb = points.where(
+        (F.col(lon) >= x0) & (F.col(lon) < x1) & (F.col(lat) >= y0) & (F.col(lat) < y1)
+    )
+    b = inb.groupBy(
+        F.floor((F.col(lon) - x0) / dx).cast("int").alias("ix"),
+        F.floor((F.col(lat) - y0) / dy).cast("int").alias("iy"),
+    ).agg(F.count("*").alias("c"))
+    agg = b.agg(
+        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n"),
+        F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0).cast("long")).alias("ss"),
+    )
+    mean = F.col("n").cast("double") / n_cells
+    var = (
+        F.col("ss").cast("double") - F.col("n").cast("double") * F.col("n") / n_cells
+    ) / (n_cells - 1)
+    return agg.select(
+        F.lit(n_cells).alias("n_cells"),
+        F.col("n").alias("n_points"),
+        F.round(mean, 6).alias("mean_count"),
+        F.round(var / mean, 6).alias("vmr"),
     )
 
 

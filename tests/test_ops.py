@@ -1413,6 +1413,62 @@ class TestRound5Operators:
         expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
         assert out[(0, 0)].gi == expect
 
+    def test_knox_test_counts(self, spark):
+        """4 points, hand-counted: pairs_space=2 (AB, BC), pairs_time=3
+        (AB, AD, BD), both=1 (AB), total=6 → expected 2·3/6 = 1.0."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.joins import knox_test
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        s = lambda k: t0 + timedelta(seconds=k)  # noqa: E731
+        df = spark.createDataFrame(
+            [("a", 0.0, 0.0, s(0)), ("b", 0.5, 0.0, s(100)),
+             ("c", 1.0, 0.0, s(10000)), ("d", 10.0, 0.0, s(150))],
+            "pid string, lon double, lat double, dtg timestamp",
+        )
+        row = knox_test(df, F.col("pid"), 60000.0, 200).collect()[0]
+        assert (row.n_points, row.pairs_total) == (4, 6)
+        assert (row.pairs_space, row.pairs_time, row.pairs_spacetime) == (2, 3, 1)
+        assert row.expected_st == 1.0
+
+    def test_clark_evans_index(self, spark):
+        """Equator points 0/0.5/2.0° lon: NN dists are d(0.5°)×2 and
+        d(1.5°); mean and R mirror the operator's exact op sequence."""
+        import math
+
+        from geomesa_spark.operators.stats import clark_evans
+
+        R = 6371008.8
+        hav = lambda dlon: 2.0 * R * math.asin(  # noqa: E731
+            math.sqrt(min(math.sin(math.radians(dlon) / 2) ** 2, 1.0))
+        )
+        df = spark.createDataFrame(
+            [("a", 1, 0.0, 0.0), ("b", 2, 0.5, 0.0), ("c", 3, 2.0, 0.0)],
+            "doc_id string, span_offset int, lon double, lat double",
+        )
+        area = 1.0e12
+        row = clark_evans(df, F.col("doc_id"), area).collect()[0]
+        d1, d2 = round(hav(0.5), 6), round(hav(1.5), 6)
+        mean = (d1 + d1 + d2) / 3  # decimal sum of 6dp values is exact
+        assert row.n_points == 3
+        assert row.mean_nn_m == pytest.approx(mean, abs=1e-6)
+        expect_r = mean / (0.5 / math.sqrt(3 / area))
+        assert row.r_index == pytest.approx(expect_r, abs=1e-6)
+
+    def test_quadrat_vmr(self, spark):
+        """2×2 grid, counts [3,1,0,0]: mean=1, var=(10−4)/3=2 → VMR 2."""
+        from geomesa_spark.operators.tiles import quadrat_test
+
+        df = spark.createDataFrame(
+            [(0.2, 0.2), (0.3, 0.8), (0.9, 0.1), (1.5, 1.5)],
+            "lon double, lat double",
+        )
+        row = quadrat_test(df, (0.0, 0.0, 2.0, 2.0), 2, 2).collect()[0]
+        assert (row.n_cells, row.n_points) == (4, 4)
+        assert (row.mean_count, row.vmr) == (1.0, 2.0)
+
     def test_pair_correlation_counts(self, spark):
         """Equator points 0/0.5/1.0/5.0° lon: 1° ≈ 111.195 km, so the
         cumulative pair counts at 60/120/500 km are exactly 2/3/4
