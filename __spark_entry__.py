@@ -2598,6 +2598,24 @@ def q_quadrat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quadrat_test(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
 
 
+def q_global_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global General G + Moran's I over the 72×34 count grid — four
+    exact integer sums + two closed-form grid constants; empty-cell z
+    terms folded into the W/degree arithmetic."""
+    from geomesa_spark.operators.tiles import global_autocorr
+
+    return global_autocorr(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
+
+
+def q_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse per span_offset group: closed-form
+    covariance eigen-axes (sqrt-only — no atan/sin/cos), exact decimal
+    moments."""
+    from geomesa_spark.operators.stats import directional_distribution
+
+    return directional_distribution(_points(spark, sf_dir), ["span_offset"])
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -2937,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox": q_knox,
         "clark_evans": q_clark_evans,
         "quadrat": q_quadrat,
+        "global_autocorr": q_global_autocorr,
+        "directional": q_directional,
     }
 
 
@@ -5048,6 +5068,75 @@ def oracle_sql() -> dict[str, str]:
                    round(((CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * n / 2448) / 2447)
                          / (CAST(n AS DOUBLE) / 2448), 6) AS vmr
             FROM agg
+        """,
+        "global_autocorr": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            wsum AS (
+              SELECT CAST(g.ix + kx.v AS INT) AS tx, CAST(g.iy + ky.v AS INT) AS ty,
+                     CAST(sum(g.c) AS BIGINT) AS sw
+              FROM grid g
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+              GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT count(*) AS n_occupied,
+                     CAST(sum(g.c) AS BIGINT) AS t,
+                     CAST(sum(g.c * g.c) AS BIGINT) AS q,
+                     CAST(sum(g.c * (w.sw - g.c)) AS BIGINT) AS p,
+                     CAST(sum(((least(g.ix + 1, 71) - greatest(g.ix - 1, 0) + 1)
+                             * (least(g.iy + 1, 33) - greatest(g.iy - 1, 0) + 1) - 1) * g.c) AS BIGINT) AS d
+              FROM grid g JOIN wsum w ON g.ix = w.tx AND g.iy = w.ty
+            )
+            SELECT CAST(2448 AS INT) AS n_cells, n_occupied, t, p, d,
+                   round(CAST(p AS DOUBLE) / (CAST(t AS DOUBLE) * t - q), 6) AS general_g,
+                   round((CAST(2448 AS DOUBLE) / 18952)
+                         * (((CAST(p AS DOUBLE) - (2.0 * (CAST(t AS DOUBLE) / 2448)) * d)
+                             + ((CAST(t AS DOUBLE) / 2448) * (CAST(t AS DOUBLE) / 2448)) * 18952)
+                            / (CAST(q AS DOUBLE) - CAST(t AS DOUBLE) * t / 2448)), 6) AS moran_i
+            FROM agg
+        """,
+        "directional": f"""
+            WITH {SQL_PTS},
+            m AS (
+              SELECT span_offset,
+                     count(*) AS n,
+                     sum(CAST(lon AS DECIMAL(12,2))) AS sx,
+                     sum(CAST(lat AS DECIMAL(12,2))) AS sy,
+                     sum(CAST(lon AS DECIMAL(12,2)) * CAST(lon AS DECIMAL(12,2))) AS sxx,
+                     sum(CAST(lat AS DECIMAL(12,2)) * CAST(lat AS DECIMAL(12,2))) AS syy,
+                     sum(CAST(lon AS DECIMAL(12,2)) * CAST(lat AS DECIMAL(12,2))) AS sxy
+              FROM pts
+              GROUP BY 1
+            ),
+            cov AS (
+              SELECT span_offset, n, sx, sy,
+                     (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n AS a,
+                     (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n AS b,
+                     (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n AS c
+              FROM m
+            ),
+            eig AS (
+              SELECT span_offset, n, sx, sy, a, b,
+                     (a + c + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 AS lam1,
+                     (a + c - sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 AS lam2
+              FROM cov
+            )
+            SELECT span_offset, n,
+                   round(CAST(sx AS DOUBLE) / n, 6) AS mean_x,
+                   round(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
+                   round(sqrt(greatest(lam1, CAST(0.0 AS DOUBLE))), 6) AS major_axis,
+                   round(sqrt(greatest(lam2, CAST(0.0 AS DOUBLE))), 6) AS minor_axis,
+                   round(CASE WHEN b = 0.0 THEN 0.0 ELSE (lam1 - a) / b END, 6) AS tan_theta
+            FROM eig
         """,
         "local_moran": f"""
             WITH {SQL_PTS},

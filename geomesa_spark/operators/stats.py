@@ -27,6 +27,7 @@ __all__ = [
     "quantiles",
     "percent_rank_norm",
     "clark_evans",
+    "directional_distribution",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -297,6 +298,57 @@ def quantiles(
         for p, name in zip(probs, names)
     ]
     return df.groupBy(*(group_cols or [])).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def directional_distribution(
+    df: DataFrame,
+    group_cols: list[str],
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """Standard deviational ellipse per group (the classic GIS
+    "directional distribution" summary): mean center, major/minor axis
+    lengths, and orientation of the point cloud's covariance ellipse.
+
+    Transcendental-free by construction: instead of the textbook
+    tan 2θ/rotated-σ formulas (atan/sin/cos — libm-divergent across
+    engines), the axes come from the CLOSED-FORM eigenvalues of the
+    2×2 covariance matrix — λ± = ((a+c) ± √((a−c)² + 4b²))/2 — and the
+    orientation is reported as tan θ = (λ₁ − a)/b (the eigenvector
+    slope), so the only non-arithmetic op is IEEE-exact sqrt. The
+    moments Σx, Σy, Σx², Σy², Σxy are EXACT decimal sums (coordinates
+    are 2-dp rationals); one fixed double sequence follows. Round 6.
+    """
+    xd = F.col(x).cast("decimal(12,2)")
+    yd = F.col(y).cast("decimal(12,2)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    n = F.col("n")
+    a = (F.col("sxx").cast("double") - sx_d * F.col("sx") / n) / n
+    b = (F.col("sxy").cast("double") - sx_d * F.col("sy") / n) / n
+    c = (F.col("syy").cast("double") - sy_d * F.col("sy") / n) / n
+    disc = F.sqrt((a - c) * (a - c) + 4.0 * b * b)
+    lam1 = (a + c + disc) / 2.0
+    lam2 = (a + c - disc) / 2.0
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(sx_d / n, 6).alias("mean_x"),
+        F.round(sy_d / n, 6).alias("mean_y"),
+        F.round(F.sqrt(F.greatest(lam1, F.lit(0.0))), 6).alias("major_axis"),
+        F.round(F.sqrt(F.greatest(lam2, F.lit(0.0))), 6).alias("minor_axis"),
+        F.round(
+            F.when(b == 0.0, F.lit(0.0)).otherwise((lam1 - a) / b), 6
+        ).alias("tan_theta"),
+    )
 
 
 def clark_evans(

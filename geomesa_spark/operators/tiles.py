@@ -32,6 +32,7 @@ __all__ = [
     "local_moran",
     "emerging_hotspots",
     "quadrat_test",
+    "global_autocorr",
     "tile_pyramid",
     "write_tiles",
     "read_tiles",
@@ -754,6 +755,70 @@ def emerging_hotspots(
         .when(s_guard < -tau, F.lit("diminishing"))
         .otherwise(F.lit("stable"))
         .alias("trend"),
+    )
+
+
+def global_autocorr(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Global spatial autocorrelation over the count grid, one row with
+    BOTH classic statistics (binary Moore weights, self excluded):
+    Getis-Ord General G = Σ_ij w_ij x_i x_j / Σ_{i≠j} x_i x_j and
+    Moran's I = (N/W) · Σ_ij w_ij z_i z_j / Σ z_i² with z = x − μ over
+    ALL N = width·height cells (empties carry z = −μ).
+
+    Everything reduces to FOUR exact integer sums over occupied cells —
+    T = Σx, Q = Σx², P = Σ_i x_i·(sw_i − x_i) (neighbor-pair product
+    sum via the shared _kernel_spread aggregate), D = Σ_i deg_i·x_i
+    (edge-clipped degree, pure arithmetic) — plus two closed-form grid
+    constants: N and the total link count W = (3w−2)(3h−2) − N. The
+    empty-cell expansions fold into those: Σ w z z = P − 2μD + μ²W,
+    Σ z² = Q − T²/N. Zero joins beyond the one wsum lookup; the final
+    statistics are a fixed IEEE sequence over exact BIGINTs (round 6).
+    """
+    n_cells = width * height
+    w_links = (3 * width - 2) * (3 * height - 2) - n_cells
+    g = density_grid(points, bbox, width, height, lon=lon, lat=lat).select(
+        "ix", "iy", F.col("cnt").alias("c")
+    )
+    wsum = (
+        _kernel_spread(g, ["c"], 1)
+        .groupBy("tx", "ty")
+        .agg(F.sum("c").alias("sw"))
+    )
+    deg = (
+        (F.least(F.col("ix") + 1, F.lit(width - 1)) - F.greatest(F.col("ix") - 1, F.lit(0)) + 1)
+        * (F.least(F.col("iy") + 1, F.lit(height - 1)) - F.greatest(F.col("iy") - 1, F.lit(0)) + 1)
+        - 1
+    ).cast("long")
+    cells = g.join(wsum, (F.col("ix") == F.col("tx")) & (F.col("iy") == F.col("ty")))
+    agg = cells.agg(
+        F.count("*").alias("n_occupied"),
+        F.sum("c").alias("t"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+        F.sum(F.col("c") * (F.col("sw") - F.col("c"))).alias("p"),
+        F.sum(deg * F.col("c")).alias("d"),
+    )
+    t_d = F.col("t").cast("double")
+    p_d = F.col("p").cast("double")
+    mu = t_d / n_cells
+    gen_g = p_d / (t_d * F.col("t") - F.col("q"))
+    num_z = p_d - 2.0 * mu * F.col("d") + mu * mu * w_links
+    den_z = F.col("q").cast("double") - t_d * F.col("t") / n_cells
+    moran = (float(n_cells) / w_links) * (num_z / den_z)
+    return agg.select(
+        F.lit(n_cells).alias("n_cells"),
+        "n_occupied",
+        "t",
+        "p",
+        "d",
+        F.round(gen_g, 6).alias("general_g"),
+        F.round(moran, 6).alias("moran_i"),
     )
 
 

@@ -1413,6 +1413,36 @@ class TestRound5Operators:
         expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
         assert out[(0, 0)].gi == expect
 
+    def test_global_autocorr_values(self, spark):
+        """2×2 grid, counts [2,0,0,1]: T=3, Q=5, P=4, D=9, W=12 →
+        G = 4/(9−5) = 1; Moran num_z=−2.75, den_z=2.75 → I = −1/3."""
+        from geomesa_spark.operators.tiles import global_autocorr
+
+        df = spark.createDataFrame(
+            [(0.2, 0.2), (0.8, 0.3), (1.5, 1.5)], "lon double, lat double"
+        )
+        row = global_autocorr(df, (0.0, 0.0, 2.0, 2.0), 2, 2).collect()[0]
+        assert (row.n_cells, row.n_occupied, row.t, row.p, row.d) == (4, 2, 3, 4, 9)
+        assert row.general_g == 1.0
+        assert row.moran_i == -0.333333
+
+    def test_directional_distribution_line(self, spark):
+        """Collinear points at 45°: λ₁ = 4/3, λ₂ = 0 → major √(4/3),
+        minor 0, tan θ = 1 (the line's slope)."""
+        import math
+
+        from geomesa_spark.operators.stats import directional_distribution
+
+        df = spark.createDataFrame(
+            [("g", 0.0, 0.0), ("g", 1.0, 1.0), ("g", 2.0, 2.0)],
+            "grp string, lon double, lat double",
+        )
+        row = directional_distribution(df, ["grp"]).collect()[0]
+        assert (row.n, row.mean_x, row.mean_y) == (3, 1.0, 1.0)
+        assert row.major_axis == pytest.approx(math.sqrt(4.0 / 3.0), abs=1e-6)
+        assert row.minor_axis == 0.0
+        assert row.tan_theta == 1.0
+
     def test_knox_test_counts(self, spark):
         """4 points, hand-counted: pairs_space=2 (AB, BC), pairs_time=3
         (AB, AD, BD), both=1 (AB), total=6 → expected 2·3/6 = 1.0."""
