@@ -2616,6 +2616,34 @@ def q_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return directional_distribution(_points(spark, sf_dir), ["span_offset"])
 
 
+def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Hausdorff distance between all 45 canonical track
+    pairs — candidate pairs fence the point-pair product; min/max of
+    identical haversine doubles, no float-order concerns."""
+    from geomesa_spark.operators.tracks import hausdorff_pairs
+    from geomesa_spark.tables import canonical_layer
+
+    df = canonical_layer(spark, 2000)
+    names = df.select("name").distinct()
+    pairs = (
+        names.select(F.col("name").alias("track_a"))
+        .crossJoin(names.select(F.col("name").alias("track_b")))
+        .where(F.col("track_a") < F.col("track_b"))
+    )
+    return hausdorff_pairs(df, pairs, track_col="name")
+
+
+def q_clq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colocation quotient between the span_offset categories of the
+    doc points at k=5 — kNN-derived neighbor sets (self dropped by a
+    deterministic re-rank), exact integer counts."""
+    from geomesa_spark.operators.stats import colocation_quotient
+
+    pts = _points(spark, sf_dir)
+    pid = F.concat_ws(":", F.col("doc_id"), F.col("span_offset").cast("string"))
+    return colocation_quotient(pts, pid, "span_offset", k=5, bits=6)
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -2957,6 +2985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadrat": q_quadrat,
         "global_autocorr": q_global_autocorr,
         "directional": q_directional,
+        "hausdorff": q_hausdorff,
+        "clq": q_clq,
     }
 
 
@@ -5137,6 +5167,60 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(greatest(lam2, CAST(0.0 AS DOUBLE))), 6) AS minor_axis,
                    round(CASE WHEN b = 0.0 THEN 0.0 ELSE (lam1 - a) / b END, 6) AS tan_theta
             FROM eig
+        """,
+        "hausdorff": f"""
+            WITH c AS (
+              SELECT printf('name%d', t.i % 10) AS name,
+                     CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                     CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+              FROM range(0, 2000) t(i)
+            ),
+            prod AS (
+              SELECT a.name AS track_a, b.name AS track_b,
+                     a.lon AS a_lon, a.lat AS a_lat, b.lon AS b_lon, b.lat AS b_lat,
+                     {_sql_haversine('a.lon', 'a.lat', 'b.lon', 'b.lat')} AS d
+              FROM c a JOIN c b ON a.name < b.name
+            ),
+            fwd AS (
+              SELECT track_a, track_b, max(mn) AS h FROM (
+                SELECT track_a, track_b, a_lon, a_lat, min(d) AS mn
+                FROM prod GROUP BY 1, 2, 3, 4)
+              GROUP BY 1, 2
+            ),
+            bwd AS (
+              SELECT track_a, track_b, max(mn) AS h FROM (
+                SELECT track_a, track_b, b_lon, b_lat, min(d) AS mn
+                FROM prod GROUP BY 1, 2, 3, 4)
+              GROUP BY 1, 2
+            )
+            SELECT f.track_a, f.track_b, round(greatest(f.h, w.h), 6) AS hausdorff_m
+            FROM fwd f JOIN bwd w ON f.track_a = w.track_a AND f.track_b = w.track_b
+        """,
+        "clq": f"""
+            WITH {SQL_PTS},
+            p AS (
+              SELECT doc_id || ':' || CAST(span_offset AS VARCHAR) AS pid,
+                     span_offset AS cat, lon, lat, doc_id, span_offset
+              FROM pts
+            ),
+            nbr AS (
+              SELECT a.pid, a.cat AS cat_a, b.cat AS cat_b,
+                     row_number() OVER (PARTITION BY a.pid
+                       ORDER BY {_sql_haversine('a.lon', 'a.lat', 'b.lon', 'b.lat')},
+                                b.doc_id, b.span_offset) AS r
+              FROM p a JOIN p b ON a.pid <> b.pid
+            ),
+            cc AS (SELECT cat_a, cat_b, count(*) AS c_ab FROM nbr WHERE r <= 5 GROUP BY 1, 2),
+            tot AS (SELECT cat, count(*) AS n_c FROM p GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM p)
+            SELECT cat_a, cat_b, c_ab,
+                   round((CAST(c_ab AS DOUBLE) / (ta.n_c * 5))
+                         / (CAST(tb.n_c - CASE WHEN cat_a = cat_b THEN 1 ELSE 0 END AS DOUBLE)
+                            / (nn.n - 1)), 6) AS clq
+            FROM cc
+            JOIN tot ta ON cc.cat_a = ta.cat
+            JOIN tot tb ON cc.cat_b = tb.cat
+            CROSS JOIN nn
         """,
         "local_moran": f"""
             WITH {SQL_PTS},

@@ -28,6 +28,7 @@ __all__ = [
     "percent_rank_norm",
     "clark_evans",
     "directional_distribution",
+    "colocation_quotient",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -396,6 +397,64 @@ def clark_evans(
     # hold the knn result: its pass caches are scoped to nb's lifetime
     out._knn_scope = nb
     return out
+
+
+def colocation_quotient(
+    points: DataFrame,
+    id_col,
+    cat_col: str,
+    k: int = 5,
+    bits: int = 6,
+    order_cols: tuple = ("doc_id", "span_offset"),
+) -> DataFrame:
+    """Colocation quotient CLQ(A→B): how over/under-represented
+    category B is among the k nearest neighbors of category-A points,
+    vs its global share — CLQ = (C_AB / (N_A·k)) / (N_B' / (N−1)) with
+    N_B' = N_B − 1 when A = B (a point is never its own neighbor).
+    CLQ > 1 means B colocates with A.
+
+    The k-NN sets come from the kNN operator at k+1 (self ranks first
+    at distance 0; a deterministic re-rank after dropping self keeps
+    exactly k, covering the duplicate-point edge where self falls out
+    of the top k+1). All counts are exact integers; the quotient is a
+    fixed IEEE sequence, round 6. Output: (cat_a, cat_b, c_ab, clq).
+    """
+    from pyspark.sql import Window as W
+
+    from geomesa_spark.operators.knn import knn
+
+    pts = points.withColumn("__pid", id_col).withColumn("__cat", F.col(cat_col))
+    probes = pts.select(
+        F.col("__pid").alias("q_id"),
+        F.col("__cat").alias("cat_a"),
+        "lon",
+        "lat",
+        F.lit(k + 1).alias("k"),
+    )
+    nb = knn(pts, probes, bits=bits, order_cols=order_cols, k_max=k + 1)
+    w = W.partitionBy("q_id").orderBy(F.col("dist_m"), *[F.col(c) for c in order_cols])
+    top = (
+        nb.where(F.col("__pid") != F.col("q_id"))
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+    )
+    c = top.groupBy("cat_a", F.col("__cat").alias("cat_b")).agg(
+        F.count("*").alias("c_ab")
+    )
+    tot = pts.groupBy(F.col("__cat").alias("cat_b")).agg(F.count("*").alias("n_b"))
+    n_all = pts.agg(F.count("*").alias("n"))
+    out = (
+        c.join(tot.withColumnRenamed("cat_b", "cat_a").withColumnRenamed("n_b", "n_a"), "cat_a")
+        .join(tot, "cat_b")
+        .crossJoin(F.broadcast(n_all))
+    )
+    nb_eff = F.col("n_b") - F.when(F.col("cat_a") == F.col("cat_b"), 1).otherwise(0)
+    clq = (F.col("c_ab").cast("double") / (F.col("n_a") * k)) / (
+        nb_eff.cast("double") / (F.col("n") - 1)
+    )
+    res = out.select("cat_a", "cat_b", "c_ab", F.round(clq, 6).alias("clq"))
+    res._knn_scope = nb
+    return res
 
 
 def percent_rank_norm(

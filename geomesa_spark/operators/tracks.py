@@ -31,6 +31,7 @@ __all__ = [
     "track_lines",
     "track_label",
     "track_length",
+    "hausdorff_pairs",
     "speed_legs",
     "dwell_episodes",
     "od_matrix",
@@ -134,6 +135,66 @@ def track_length(
         F.coalesce(F.sum("__leg"), F.lit(0).cast("decimal(18,6)"))
         .cast("double")
         .alias("length_m"),
+    )
+
+
+def hausdorff_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    track_col: str = "track",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Discrete Hausdorff distance between candidate track pairs —
+    the classic trajectory-similarity measure: H(A,B) =
+    max(max_a min_b d(a,b), max_b min_a d(a,b)) over the tracks'
+    point sets (great-circle meters).
+
+    ``pairs`` (track_a, track_b) FENCES the point-pair product — like
+    jaccard_pairs' mandatory block_col, the caller supplies candidate
+    pairs (bbox-overlap, same-cell, explicit list) and the cost is
+    Σ |A|·|B| over candidates, never all-tracks². Shape: the per-pair
+    point product is built ONCE (two equi-joins on the track keys);
+    each joined row then explodes into its two directed roles (source
+    = a-point / b-point) so BOTH direction reductions come from the
+    same single pass — a naive fwd/bwd union would re-derive the whole
+    product per direction (the dominant cost) where the explode is one
+    Generate. min-per-source then max-per-pair hash aggregates finish.
+    min/max of identical haversine doubles — exact with NO float-order
+    concerns. Output: (track_a, track_b, hausdorff_m) round 6.
+    """
+    pa = df.select(
+        F.col(track_col).alias("track_a"),
+        F.col(lon).alias("a_lon"),
+        F.col(lat).alias("a_lat"),
+    )
+    pb = df.select(
+        F.col(track_col).alias("track_b"),
+        F.col(lon).alias("b_lon"),
+        F.col(lat).alias("b_lat"),
+    )
+    prod = (
+        pairs.join(pa, "track_a")
+        .join(pb, "track_b")
+        .withColumn(
+            "d",
+            haversine_m_col(
+                F.col("a_lon"), F.col("a_lat"), F.col("b_lon"), F.col("b_lat")
+            ),
+        )
+    )
+    src = F.explode(
+        F.array(
+            F.struct(F.lit(0).alias("dir"), F.col("a_lon").alias("sx"), F.col("a_lat").alias("sy")),
+            F.struct(F.lit(1).alias("dir"), F.col("b_lon").alias("sx"), F.col("b_lat").alias("sy")),
+        )
+    ).alias("s")
+    return (
+        prod.select("track_a", "track_b", "d", src)
+        .groupBy("track_a", "track_b", "s.dir", "s.sx", "s.sy")
+        .agg(F.min("d").alias("mn"))
+        .groupBy("track_a", "track_b")
+        .agg(F.round(F.max("mn"), 6).alias("hausdorff_m"))
     )
 
 

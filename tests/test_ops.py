@@ -1413,6 +1413,39 @@ class TestRound5Operators:
         expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
         assert out[(0, 0)].gi == expect
 
+    def test_hausdorff_pairs_parallel_tracks(self, spark):
+        """Two parallel 2-point tracks 0.5° of latitude apart: every
+        point's nearest cross-track point is 55,597.54 m away, so the
+        Hausdorff distance is exactly that in both directions."""
+        from geomesa_spark.operators.tracks import hausdorff_pairs
+
+        df = spark.createDataFrame(
+            [("t1", 0.0, 0.0), ("t1", 1.0, 0.0), ("t2", 0.0, 0.5), ("t2", 1.0, 0.5)],
+            "track string, lon double, lat double",
+        )
+        pairs = spark.createDataFrame([("t1", "t2")], "track_a string, track_b string")
+        row = hausdorff_pairs(df, pairs).collect()[0]
+        assert row.hausdorff_m == pytest.approx(55597.540117, abs=1e-5)
+
+    def test_colocation_quotient_line(self, spark):
+        """5 points on a line, cats X,Y,X,Y,X, k=2 — hand-counted
+        neighbor sets give C_XY=4, C_XX=2, C_YX=4 (no YY pairs):
+        CLQ_XY = (4/6)/(2/4) = 4/3, CLQ_XX = (2/6)/(2/4) = 2/3."""
+        from geomesa_spark.operators.stats import colocation_quotient
+
+        df = spark.createDataFrame(
+            [("a", 1, 0.0, 0.0, "X"), ("b", 2, 0.1, 0.0, "Y"),
+             ("c", 3, 0.2, 0.0, "X"), ("d", 4, 0.3, 0.0, "Y"),
+             ("e", 5, 0.4, 0.0, "X")],
+            "doc_id string, span_offset int, lon double, lat double, cat string",
+        )
+        out = {(r.cat_a, r.cat_b): r for r in
+               colocation_quotient(df, F.col("doc_id"), "cat", k=2).collect()}
+        assert len(out) == 3 and ("Y", "Y") not in out
+        assert (out[("X", "Y")].c_ab, out[("X", "Y")].clq) == (4, 1.333333)
+        assert (out[("X", "X")].c_ab, out[("X", "X")].clq) == (2, 0.666667)
+        assert (out[("Y", "X")].c_ab, out[("Y", "X")].clq) == (4, 1.333333)
+
     def test_global_autocorr_values(self, spark):
         """2×2 grid, counts [2,0,0,1]: T=3, Q=5, P=4, D=9, W=12 →
         G = 4/(9−5) = 1; Moran num_z=−2.75, den_z=2.75 → I = −1/3."""
