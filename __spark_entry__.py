@@ -2644,6 +2644,29 @@ def q_clq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return colocation_quotient(pts, pid, "span_offset", k=5, bits=6)
 
 
+def q_encounters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-track encounter detection on the canonical tracks: ping
+    pairs within 50 km AND 2 h, per unordered track pair — one cover
+    self-join; time + pair-order are refinement filters on it."""
+    from geomesa_spark.operators.tracks import encounters
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    return encounters(
+        canonical_layer(spark, 2000), "name", 50000.0, 7200, ts_col="dtg", bits=5
+    )
+
+
+def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking of the documents table (32-token
+    windows, 8-token overlap): one codegen projection + one posexplode,
+    no shuffle."""
+    from geomesa_spark.operators.corpus import chunk_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_text(docs.select("doc_id", "text"), size=32, overlap=8)
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -2987,6 +3010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "directional": q_directional,
         "hausdorff": q_hausdorff,
         "clq": q_clq,
+        "encounters": q_encounters,
+        "chunks": q_chunks,
     }
 
 
@@ -5221,6 +5246,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot ta ON cc.cat_a = ta.cat
             JOIN tot tb ON cc.cat_b = tb.cat
             CROSS JOIN nn
+        """,
+        "encounters": f"""
+            WITH c AS (
+              SELECT printf('name%d', t.i % 10) AS name,
+                     CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                     CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                     1704067200 + t.i * 3600 AS ts
+              FROM range(0, 2000) t(i)
+            ),
+            pr AS (
+              SELECT a.name AS track_a, b.name AS track_b,
+                     {_sql_haversine('a.lon', 'a.lat', 'b.lon', 'b.lat')} AS d,
+                     abs(a.ts - b.ts) AS dt
+              FROM c a JOIN c b ON a.name < b.name
+            )
+            SELECT track_a, track_b, count(*) AS n_close,
+                   round(min(d), 6) AS min_dist_m
+            FROM pr
+            WHERE d <= 50000.0 AND dt <= 7200
+            GROUP BY 1, 2
+        """,
+        "chunks": """
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            s AS (
+              SELECT doc_id, toks,
+                     generate_series(1, greatest(len(toks) - 8, 1), 24) AS starts
+              FROM tok
+            ),
+            e AS (
+              SELECT doc_id, toks,
+                     unnest(list_transform(generate_series(1, len(starts)),
+                       j -> struct_pack(chunk_id := j - 1, start := starts[j]))) AS c
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(c.chunk_id AS INT) AS chunk_id,
+                   CAST(c.start AS INT) AS start,
+                   CAST(len(toks[c.start : c.start + 31]) AS INT) AS n_tokens,
+                   array_to_string(toks[c.start : c.start + 31], ' ') AS chunk
+            FROM e
         """,
         "local_moran": f"""
             WITH {SQL_PTS},

@@ -30,6 +30,7 @@ __all__ = [
     "ngrams",
     "contamination",
     "chunk_dedup",
+    "chunk_text",
     "vocab_stats",
     "pack_sequences",
 ]
@@ -200,6 +201,49 @@ def contamination(
             "contamination",
             F.col("n_hit").cast("double") / F.col("n_ngrams").cast("double"),
         )
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG/embedding-prep stage):
+    each document emits overlapping ``size``-token windows advancing by
+    ``size − overlap`` tokens. Chunk starts are 1, 1+step, … up to
+    max(n − overlap, 1), so every token is covered and the final
+    window may be short — the standard retrieval-chunking contract.
+
+    One codegen projection builds the window list with higher-order
+    array expressions and ONE posexplode emits the rows — no shuffle,
+    no UDF; chunk arrays never exceed the document size. Output:
+    (id, chunk_id 0-based, start 1-based token index, n_tokens, chunk).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    t = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(t) - overlap, F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.struct(
+            s.cast("int").alias("start"),
+            F.array_join(F.slice(t, s, size), " ").alias("chunk"),
+            F.size(F.slice(t, s, size)).cast("int").alias("n_tokens"),
+        )
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.start").alias("start"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
     )
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "track_label",
     "track_length",
     "hausdorff_pairs",
+    "encounters",
     "speed_legs",
     "dwell_episodes",
     "od_matrix",
@@ -195,6 +196,55 @@ def hausdorff_pairs(
         .agg(F.min("d").alias("mn"))
         .groupBy("track_a", "track_b")
         .agg(F.round(F.max("mn"), 6).alias("hausdorff_m"))
+    )
+
+
+def encounters(
+    points: DataFrame,
+    track_col: str,
+    delta_s_m: float,
+    delta_t_s: int,
+    ts_col: str = "dtg",
+    bits: int = 5,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Encounter detection between tracks (the AIS/rendezvous
+    analytic): per unordered CROSS-track pair, the number of ping
+    pairs simultaneously within ``delta_s_m`` meters and ``delta_t_s``
+    seconds, plus the closest approach observed among them.
+
+    One cell-cover self-join at delta_s (distance_join) — the time
+    window and the cross-track/dedup order (track_a < track_b, which
+    also drops intra-track pairs) are refinement filters on the same
+    join, so proximity in TIME never widens the spatial candidate set.
+    Counts are exact integers; min over identical haversine doubles is
+    exact. Output: (track_a, track_b, n_close, min_dist_m) round 6.
+    """
+    from geomesa_spark.operators.joins import distance_join
+
+    pts = points.select(
+        F.col(track_col).alias("__trk"),
+        F.col(lon).alias("lon"),
+        F.col(lat).alias("lat"),
+        F.unix_seconds(F.col(ts_col).cast("timestamp")).alias("__t"),
+    )
+    probes = pts.select(
+        F.col("__trk").alias("q_trk"),
+        "lon",
+        "lat",
+        F.col("__t").alias("q_t"),
+        F.lit(float(delta_s_m)).alias("radius_m"),
+    )
+    cand = distance_join(pts, probes, bits=bits).where(
+        (F.col("__trk") < F.col("q_trk"))
+        & (F.abs(F.col("__t") - F.col("q_t")) <= F.lit(int(delta_t_s)))
+    )
+    return cand.groupBy(
+        F.col("__trk").alias("track_a"), F.col("q_trk").alias("track_b")
+    ).agg(
+        F.count("*").alias("n_close"),
+        F.round(F.min("dist_m"), 6).alias("min_dist_m"),
     )
 
 

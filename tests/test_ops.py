@@ -1413,6 +1413,47 @@ class TestRound5Operators:
         expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
         assert out[(0, 0)].gi == expect
 
+    def test_encounters_cross_track(self, spark):
+        """Only one cross-track ping pair is within 50 km AND 1 h: the
+        0.3°-apart pair at dt=30 min (33.36 km); the 0.7° pair is 77.8
+        km and the 5° pairs are far."""
+        import math
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.tracks import encounters
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        s = lambda k: t0 + timedelta(seconds=k)  # noqa: E731
+        df = spark.createDataFrame(
+            [("t1", 0.0, 0.0, s(0)), ("t1", 1.0, 0.0, s(3600)),
+             ("t2", 0.3, 0.0, s(1800)), ("t2", 5.0, 0.0, s(0))],
+            "name string, lon double, lat double, dtg timestamp",
+        )
+        rows = encounters(df, "name", 50000.0, 3600).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        d = 2.0 * 6371008.8 * math.asin(
+            math.sqrt(min(math.sin(math.radians(0.3) / 2) ** 2, 1.0))
+        )
+        assert (r.track_a, r.track_b, r.n_close) == ("t1", "t2", 1)
+        assert r.min_dist_m == pytest.approx(d, abs=1e-5)
+
+    def test_chunk_text_windows(self, spark):
+        """7 tokens, size=3, overlap=1 → starts 1/3/5 with full windows;
+        a 2-token doc emits one short chunk."""
+        from geomesa_spark.operators.corpus import chunk_text
+
+        df = spark.createDataFrame(
+            [("d1", "a b c d e f g"), ("d2", "x y")], "doc_id string, text string"
+        )
+        out = {(r.doc_id, r.chunk_id): r for r in
+               chunk_text(df, size=3, overlap=1).collect()}
+        assert len(out) == 4
+        assert [out[("d1", i)].chunk for i in range(3)] == ["a b c", "c d e", "e f g"]
+        assert [out[("d1", i)].start for i in range(3)] == [1, 3, 5]
+        assert (out[("d2", 0)].chunk, out[("d2", 0)].n_tokens) == ("x y", 2)
+
     def test_hausdorff_pairs_parallel_tracks(self, spark):
         """Two parallel 2-point tracks 0.5° of latitude apart: every
         point's nearest cross-track point is 55,597.54 m away, so the
