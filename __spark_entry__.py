@@ -2667,6 +2667,36 @@ def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text(docs.select("doc_id", "text"), size=32, overlap=8)
 
 
+def q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit events for two bbox fences over the
+    canonical tracks — broadcast dim product + one (fence, track)
+    window; ts reported as epoch seconds (timestamp-free compare)."""
+    from geomesa_spark.operators.tracks import geofence_events
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    fences = spark.createDataFrame(
+        [("f-0", -50.0, -85.0, 50.0, -80.0), ("f-1", 100.0, -83.0, 170.0, -81.0)],
+        "fence_id string, min_lon double, min_lat double, max_lon double, max_lat double",
+    )
+    ev = geofence_events(canonical_layer(spark, 2000), fences, track_col="name")
+    return ev.select(
+        "fence_id",
+        "track",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("ts_s"),
+        "event",
+    )
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix between event types per user stream —
+    one keyed window + two hash aggregates; exact counts, one ratio."""
+    from geomesa_spark.operators.temporal import transition_matrix
+
+    _utc(spark)
+    return transition_matrix(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3012,6 +3042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clq": q_clq,
         "encounters": q_encounters,
         "chunks": q_chunks,
+        "geofence": q_geofence,
+        "transitions": q_transitions,
     }
 
 
@@ -5286,6 +5318,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks[c.start : c.start + 31]) AS INT) AS n_tokens,
                    array_to_string(toks[c.start : c.start + 31], ' ') AS chunk
             FROM e
+        """,
+        "geofence": """
+            WITH c AS (
+              SELECT printf('name%d', t.i % 10) AS name,
+                     CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                     CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                     1704067200 + t.i * 3600 AS ts_s
+              FROM range(0, 2000) t(i)
+            ),
+            f AS (
+              SELECT * FROM (VALUES
+                ('f-0', -50.0, -85.0, 50.0, -80.0),
+                ('f-1', 100.0, -83.0, 170.0, -81.0)
+              ) AS t(fence_id, min_lon, min_lat, max_lon, max_lat)
+            ),
+            j AS (
+              SELECT f.fence_id, c.name, c.ts_s,
+                     CASE WHEN c.lon >= f.min_lon AND c.lon <= f.max_lon
+                           AND c.lat >= f.min_lat AND c.lat <= f.max_lat
+                          THEN 1 ELSE 0 END AS i
+              FROM c CROSS JOIN f
+            ),
+            l AS (
+              SELECT fence_id, name, ts_s, i,
+                     lag(i) OVER (PARTITION BY fence_id, name ORDER BY ts_s) AS p
+              FROM j
+            )
+            SELECT fence_id, name AS track, ts_s,
+                   CASE WHEN i = 1 THEN 'enter' ELSE 'exit' END AS event
+            FROM l WHERE p IS NOT NULL AND p <> i
+        """,
+        "transitions": """
+            WITH l AS (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+              FROM events
+            ),
+            c AS (
+              SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+              FROM l WHERE nxt IS NOT NULL GROUP BY 1, 2
+            ),
+            t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+            SELECT c.from_type, c.to_type, c.n,
+                   round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob
+            FROM c JOIN t ON c.from_type = t.from_type
         """,
         "local_moran": f"""
             WITH {SQL_PTS},

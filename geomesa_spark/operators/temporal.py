@@ -22,7 +22,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_attach", "date_offset", "funnel_depths", "interval_join", "sessionize"]
+__all__ = [
+    "asof_attach",
+    "date_offset",
+    "funnel_depths",
+    "interval_join",
+    "sessionize",
+    "transition_matrix",
+]
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    event types along each key's time-ordered stream (the behavioral
+    "what happens after X" analytic).
+
+    One (key)-partitioned window derives each event's successor — the
+    same single shuffle a sessionize takes — then a hash aggregate
+    counts (from, to) pairs; the row probability divides by the
+    per-from total via a tiny second aggregate joined back (type
+    cardinality is small — never a global window). Exact integer
+    counts; prob is one double division, round 6. Output: (from_type,
+    to_type, n, prob).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak))
+    nxt = events.withColumn("__next", F.lead(type_col).over(w)).where(
+        F.col("__next").isNotNull()
+    )
+    c = nxt.groupBy(
+        F.col(type_col).alias("from_type"), F.col("__next").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return (
+        c.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__tot"), 6).alias("prob"),
+        )
+    )
 
 
 def funnel_depths(

@@ -33,6 +33,7 @@ __all__ = [
     "track_length",
     "hausdorff_pairs",
     "encounters",
+    "geofence_events",
     "speed_legs",
     "dwell_episodes",
     "od_matrix",
@@ -245,6 +246,49 @@ def encounters(
     ).agg(
         F.count("*").alias("n_close"),
         F.round(F.min("dist_m"), 6).alias("min_dist_m"),
+    )
+
+
+def geofence_events(
+    points: DataFrame,
+    fences: DataFrame,
+    track_col: str = "track",
+    ts_col: str = "dtg",
+    lon: str = "lon",
+    lat: str = "lat",
+    tie_cols: tuple = (),
+) -> DataFrame:
+    """Geofence monitoring: enter/exit events per (fence, track) — the
+    transition edges of the inside-fence indicator along each track's
+    time-ordered pings (the streaming geofence alert, batch form).
+
+    ``fences`` is a small dimension (fence_id, min_lon, min_lat,
+    max_lon, max_lat; CLOSED envelopes) and is broadcast — the
+    points×fences product is a broadcast nested-loop over a dim table,
+    never a shuffle of the fact side; the single Exchange is the
+    (fence, track) window partition. A ping with no predecessor emits
+    nothing (state unknown before the first fix). Output: (fence_id,
+    track, ts, event∈{enter, exit}).
+    """
+    j = points.crossJoin(F.broadcast(fences))
+    inside = (
+        (F.col(lon) >= F.col("min_lon"))
+        & (F.col(lon) <= F.col("max_lon"))
+        & (F.col(lat) >= F.col("min_lat"))
+        & (F.col(lat) <= F.col("max_lat"))
+    ).cast("int")
+    w = Window.partitionBy("fence_id", track_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tie_cols]
+    )
+    t = j.withColumn("__in", inside).withColumn("__prev", F.lag("__in").over(w))
+    return (
+        t.where(F.col("__prev").isNotNull() & (F.col("__prev") != F.col("__in")))
+        .select(
+            "fence_id",
+            F.col(track_col).alias("track"),
+            F.col(ts_col).alias("ts"),
+            F.when(F.col("__in") == 1, F.lit("enter")).otherwise(F.lit("exit")).alias("event"),
+        )
     )
 
 

@@ -1413,6 +1413,47 @@ class TestRound5Operators:
         expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
         assert out[(0, 0)].gi == expect
 
+    def test_geofence_events_transitions(self, spark):
+        """A track crossing a fence out→in→in→out emits exactly one
+        enter (at the first inside fix) and one exit; the first ping
+        has no predecessor so no event."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.tracks import geofence_events
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        s = lambda k: t0 + timedelta(hours=k)  # noqa: E731
+        pts = spark.createDataFrame(
+            [("t1", -5.0, 0.0, s(0)), ("t1", 1.0, 0.0, s(1)),
+             ("t1", 2.0, 0.0, s(2)), ("t1", 9.0, 0.0, s(3))],
+            "track string, lon double, lat double, dtg timestamp",
+        )
+        fences = spark.createDataFrame(
+            [("f", 0.0, -1.0, 5.0, 1.0)],
+            "fence_id string, min_lon double, min_lat double, max_lon double, max_lat double",
+        )
+        out = sorted(geofence_events(pts, fences).collect(), key=lambda r: r.ts)
+        assert [(r.event, r.ts.hour) for r in out] == [("enter", 1), ("exit", 3)]
+
+    def test_transition_matrix_probs(self, spark):
+        """One user stream A,B,A,B,B → transitions A→B ×2, B→A ×1,
+        B→B ×1: P(B|A)=1, P(A|B)=P(B|B)=0.5."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import transition_matrix
+
+        t0 = datetime(2024, 1, 1)
+        rows = [(1, t0 + timedelta(minutes=k), 1, typ)
+                for k, typ in enumerate(["A", "B", "A", "B", "B"])]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = {(r.from_type, r.to_type): r for r in transition_matrix(df).collect()}
+        assert (out[("A", "B")].n, out[("A", "B")].prob) == (2, 1.0)
+        assert (out[("B", "A")].n, out[("B", "A")].prob) == (1, 0.5)
+        assert (out[("B", "B")].n, out[("B", "B")].prob) == (1, 0.5)
+
     def test_encounters_cross_track(self, spark):
         """Only one cross-track ping pair is within 50 km AND 1 h: the
         0.3°-apart pair at dt=30 min (33.36 km); the 0.7° pair is 77.8
