@@ -2697,6 +2697,29 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_sinuosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-track sinuosity over the canonical tracks: decimal-exact
+    path length / first-to-last chord, one window + one aggregate."""
+    from geomesa_spark.operators.tracks import sinuosity
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    return sinuosity(canonical_layer(spark, 2000), track_col="name")
+
+
+def q_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid flow field on the 36×17 (10°) grid: mean displacement
+    vector of legs starting in each cell, decimal-exact sums."""
+    from geomesa_spark.operators.tracks import flow_field
+    from geomesa_spark.tables import canonical_layer
+
+    _utc(spark)
+    return flow_field(
+        canonical_layer(spark, 2000), (-180.0, -85.0, 180.0, 85.0), 36, 17,
+        track_col="name",
+    )
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3044,6 +3067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks": q_chunks,
         "geofence": q_geofence,
         "transitions": q_transitions,
+        "sinuosity": q_sinuosity,
+        "flow": q_flow,
     }
 
 
@@ -5363,6 +5388,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.from_type, c.to_type, c.n,
                    round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob
             FROM c JOIN t ON c.from_type = t.from_type
+        """,
+        "sinuosity": f"""
+            WITH c AS (
+              SELECT printf('name%d', t.i % 10) AS track, t.i AS i,
+                     CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                     CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+              FROM range(0, 2000) t(i)
+            ),
+            legs AS (
+              SELECT track, lon, lat, i,
+                     lead(lon) OVER (PARTITION BY track ORDER BY i) AS nlon,
+                     lead(lat) OVER (PARTITION BY track ORDER BY i) AS nlat
+              FROM c
+            ),
+            agg AS (
+              SELECT track, CAST(count(*) AS INT) AS n_points,
+                     CAST(coalesce(sum(CAST(CASE WHEN nlon IS NULL THEN NULL
+                          ELSE {_sql_haversine('lon', 'lat', 'nlon', 'nlat')}
+                          END AS DECIMAL(18,6))), 0) AS DOUBLE) AS path,
+                     arg_min(lon, i) AS ax, arg_min(lat, i) AS ay,
+                     arg_max(lon, i) AS bx, arg_max(lat, i) AS byy
+              FROM legs GROUP BY track
+            )
+            SELECT track, n_points, round(path, 6) AS path_m,
+                   round({_sql_haversine('ax', 'ay', 'bx', 'byy')}, 6) AS chord_m,
+                   round(CASE WHEN {_sql_haversine('ax', 'ay', 'bx', 'byy')} > 0.0
+                         THEN path / ({_sql_haversine('ax', 'ay', 'bx', 'byy')}) END, 6) AS sinuosity
+            FROM agg
+        """,
+        "flow": """
+            WITH c AS (
+              SELECT printf('name%d', t.i % 10) AS track, t.i AS i,
+                     CAST((t.i % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                     CAST((CAST(floor(t.i / 360.0) AS BIGINT) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+              FROM range(0, 2000) t(i)
+            ),
+            legs AS (
+              SELECT track, lon, lat,
+                     lead(CAST(lon AS DECIMAL(12,2))) OVER (PARTITION BY track ORDER BY i)
+                       - CAST(lon AS DECIMAL(12,2)) AS dx,
+                     lead(CAST(lat AS DECIMAL(12,2))) OVER (PARTITION BY track ORDER BY i)
+                       - CAST(lat AS DECIMAL(12,2)) AS dy
+              FROM c
+            ),
+            f AS (
+              SELECT * FROM legs
+              WHERE dx IS NOT NULL
+                AND lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+            )
+            SELECT CAST(floor((lon - (-180.0)) / 10.0) AS INT) AS ix,
+                   CAST(floor((lat - (-85.0)) / 10.0) AS INT) AS iy,
+                   count(*) AS n_legs,
+                   round(CAST(sum(dx) AS DOUBLE) / count(*), 6) AS mean_dx,
+                   round(CAST(sum(dy) AS DOUBLE) / count(*), 6) AS mean_dy
+            FROM f GROUP BY 1, 2
         """,
         "local_moran": f"""
             WITH {SQL_PTS},

@@ -34,6 +34,8 @@ __all__ = [
     "hausdorff_pairs",
     "encounters",
     "geofence_events",
+    "sinuosity",
+    "flow_field",
     "speed_legs",
     "dwell_episodes",
     "od_matrix",
@@ -289,6 +291,106 @@ def geofence_events(
             F.col(ts_col).alias("ts"),
             F.when(F.col("__in") == 1, F.lit("enter")).otherwise(F.lit("exit")).alias("event"),
         )
+    )
+
+
+def sinuosity(
+    df: DataFrame,
+    track_col: str = "track",
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str = "dtg",
+) -> DataFrame:
+    """Track sinuosity (route-efficiency QC): great-circle path length
+    divided by the straight-line (chord) distance between the first
+    and last fix — 1.0 = dead straight, large = loitering/circling.
+
+    Legs sum as exact DECIMAL(18,6) (the track_length discipline, so
+    the total ignores aggregation order); the chord endpoints come from
+    min_by/max_by on the timestamp in the SAME single hash aggregate —
+    one window + one shuffle total. Requires unique timestamps per
+    track (min_by tie order is engine-defined). A zero chord (closed
+    loop / single fix) yields NULL sinuosity. Output: (track, n_points,
+    path_m, chord_m, sinuosity) round 6.
+    """
+    w = Window.partitionBy(track_col).orderBy(F.col(dtg).asc())
+    nlon = F.lead(lon).over(w)
+    leg = F.when(
+        nlon.isNotNull(),
+        haversine_m_col(F.col(lon), F.col(lat), nlon, F.lead(lat).over(w)),
+    )
+    t = df.withColumn("__leg", leg.cast("decimal(18,6)"))
+    agg = t.groupBy(F.col(track_col).alias("track")).agg(
+        F.count("*").cast("int").alias("n_points"),
+        F.coalesce(F.sum("__leg"), F.lit(0).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("__path"),
+        F.min_by(F.struct(F.col(lon).alias("x"), F.col(lat).alias("y")), F.col(dtg)).alias("__a"),
+        F.max_by(F.struct(F.col(lon).alias("x"), F.col(lat).alias("y")), F.col(dtg)).alias("__b"),
+    )
+    chord = haversine_m_col(
+        F.col("__a.x"), F.col("__a.y"), F.col("__b.x"), F.col("__b.y")
+    )
+    return agg.select(
+        "track",
+        "n_points",
+        F.round(F.col("__path"), 6).alias("path_m"),
+        F.round(chord, 6).alias("chord_m"),
+        F.round(
+            F.when(chord > 0.0, F.col("__path") / chord), 6
+        ).alias("sinuosity"),
+    )
+
+
+def flow_field(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    track_col: str = "track",
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str = "dtg",
+) -> DataFrame:
+    """Grid flow field (the movement "vector map"): per grid cell, the
+    mean displacement vector of the track legs STARTING in it — where
+    traffic in that cell is headed on average.
+
+    One (track)-window derives each leg's displacement; displacements
+    subtract as exact DECIMAL(12,2) coordinates (2-dp rationals), so
+    the per-cell sums are order-exact decimals and the mean is one
+    double division. Legs assign to the cell of their start fix; the
+    window shuffle (track) and the aggregate shuffle (cell) are the
+    only two. Output: (ix, iy, n_legs, mean_dx, mean_dy) round 6.
+    """
+    x0, y0, x1, y1 = bbox
+    dx_cell = (x1 - x0) / width
+    dy_cell = (y1 - y0) / height
+    w = Window.partitionBy(track_col).orderBy(F.col(dtg).asc())
+    xd = F.col(lon).cast("decimal(12,2)")
+    yd = F.col(lat).cast("decimal(12,2)")
+    legs = (
+        points.withColumn("__dx", F.lead(xd).over(w) - xd)
+        .withColumn("__dy", F.lead(yd).over(w) - yd)
+        .where(F.col("__dx").isNotNull())
+    )
+    inb = legs.where(
+        (F.col(lon) >= x0) & (F.col(lon) < x1) & (F.col(lat) >= y0) & (F.col(lat) < y1)
+    )
+    agg = inb.groupBy(
+        F.floor((F.col(lon) - x0) / dx_cell).cast("int").alias("ix"),
+        F.floor((F.col(lat) - y0) / dy_cell).cast("int").alias("iy"),
+    ).agg(
+        F.count("*").alias("n_legs"),
+        F.sum("__dx").alias("__sx"),
+        F.sum("__dy").alias("__sy"),
+    )
+    return agg.select(
+        "ix",
+        "iy",
+        "n_legs",
+        F.round(F.col("__sx").cast("double") / F.col("n_legs"), 6).alias("mean_dx"),
+        F.round(F.col("__sy").cast("double") / F.col("n_legs"), 6).alias("mean_dy"),
     )
 
 

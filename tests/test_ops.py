@@ -1413,6 +1413,56 @@ class TestRound5Operators:
         expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
         assert out[(0, 0)].gi == expect
 
+    def test_sinuosity_right_angle(self, spark):
+        """An L-shaped track (1° east then 1° north at the equator):
+        path = 2 legs of equal length, chord = the diagonal — sinuosity
+        mirrors the exact leg-rounding + division sequence."""
+        import math
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.tracks import sinuosity
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        R = 6371008.8
+        hav = lambda lo1, la1, lo2, la2: 2.0 * R * math.asin(math.sqrt(min(  # noqa: E731
+            math.sin(math.radians(la2 - la1) / 2) ** 2
+            + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+            * math.sin(math.radians(lo2 - lo1) / 2) ** 2, 1.0)))
+        t0 = datetime(2024, 1, 1)
+        s = lambda k: t0 + timedelta(hours=k)  # noqa: E731
+        df = spark.createDataFrame(
+            [("t", 0.0, 0.0, s(0)), ("t", 1.0, 0.0, s(1)), ("t", 1.0, 1.0, s(2))],
+            "track string, lon double, lat double, dtg timestamp",
+        )
+        row = sinuosity(df).collect()[0]
+        path = round(hav(0, 0, 1, 0), 6) + round(hav(1, 0, 1, 1), 6)
+        chord = hav(0, 0, 1, 1)
+        assert row.n_points == 3
+        assert row.path_m == pytest.approx(path, abs=1e-6)
+        assert row.chord_m == pytest.approx(chord, abs=1e-6)
+        assert row.sinuosity == pytest.approx(path / chord, abs=1e-6)
+
+    def test_flow_field_mean_vector(self, spark):
+        """Two legs starting in cell (0,0): displacements (1,0) and
+        (−0.5,1) → mean (0.25, 0.5); trailing fixes emit no leg."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.tracks import flow_field
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        s = lambda k: t0 + timedelta(hours=k)  # noqa: E731
+        df = spark.createDataFrame(
+            [("t1", 0.5, 0.5, s(0)), ("t1", 1.5, 0.5, s(1)),
+             ("t2", 0.7, 0.2, s(0)), ("t2", 0.2, 1.2, s(1))],
+            "track string, lon double, lat double, dtg timestamp",
+        )
+        rows = flow_field(df, (0.0, 0.0, 4.0, 4.0), 4, 4).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.ix, r.iy, r.n_legs) == (0, 0, 2)
+        assert (r.mean_dx, r.mean_dy) == (0.25, 0.5)
+
     def test_geofence_events_transitions(self, spark):
         """A track crossing a fence out→in→in→out emits exactly one
         enter (at the first inside fix) and one exit; the first ping
