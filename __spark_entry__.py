@@ -2720,6 +2720,26 @@ def q_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted rasterization of the 500 rects onto the 72×34
+    grid: per cell, touching-rect count + exact fractional coverage."""
+    from geomesa_spark.operators.tiles import rasterize_coverage
+    from geomesa_spark.tables import rect_layer
+
+    return rasterize_coverage(
+        rect_layer(spark, N_RECTS), (-180.0, -85.0, 180.0, 85.0), 72, 34
+    )
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat inverted-index postings over the documents (df ≥ 50):
+    one posexplode + two hash aggregates, exact integer stats."""
+    from geomesa_spark.operators.text import inverted_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_postings(docs.select("doc_id", "text"), min_df=50)
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3069,6 +3089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "sinuosity": q_sinuosity,
         "flow": q_flow,
+        "rasterize": q_rasterize,
+        "postings": q_postings,
     }
 
 
@@ -5443,6 +5465,53 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(dx) AS DOUBLE) / count(*), 6) AS mean_dx,
                    round(CAST(sum(dy) AS DOUBLE) / count(*), 6) AS mean_dy
             FROM f GROUP BY 1, 2
+        """,
+        "rasterize": f"""
+            WITH {SQL_RECTS},
+            r AS (
+              SELECT * FROM rects_env
+              WHERE max_lon > -180.0 AND min_lon < 180.0
+                AND max_lat > -85.0 AND min_lat < 85.0
+            ),
+            e AS (
+              SELECT min_lon, min_lat, max_lon, max_lat, ixx.v AS ix, iyy.v AS iy
+              FROM r
+              CROSS JOIN LATERAL unnest(generate_series(
+                  CAST(greatest(floor((min_lon - (-180.0)) / 5.0), 0) AS INT),
+                  CAST(least(floor((max_lon - (-180.0)) / 5.0), 71) AS INT))) AS ixx(v)
+              CROSS JOIN LATERAL unnest(generate_series(
+                  CAST(greatest(floor((min_lat - (-85.0)) / 5.0), 0) AS INT),
+                  CAST(least(floor((max_lat - (-85.0)) / 5.0), 33) AS INT))) AS iyy(v)
+            ),
+            o AS (
+              SELECT ix, iy,
+                     CAST(least(max_lon, -180.0 + (ix + 1) * 5.0) AS DECIMAL(14,3))
+                       - CAST(greatest(min_lon, -180.0 + ix * 5.0) AS DECIMAL(14,3)) AS ow,
+                     CAST(least(max_lat, -85.0 + (iy + 1) * 5.0) AS DECIMAL(14,3))
+                       - CAST(greatest(min_lat, -85.0 + iy * 5.0) AS DECIMAL(14,3)) AS oh
+              FROM e
+            )
+            SELECT CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy,
+                   count(*) AS n_rects,
+                   round(CAST(sum(ow * oh) AS DOUBLE), 6) AS coverage
+            FROM o WHERE ow > 0 AND oh > 0 GROUP BY 1, 2
+        """,
+        "postings": """
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            e AS (
+              SELECT doc_id, toks[j] AS term, j
+              FROM tok CROSS JOIN LATERAL unnest(generate_series(1, len(toks))) AS t(j)
+            ),
+            td AS (
+              SELECT term, doc_id, CAST(count(*) AS INT) AS n_occ,
+                     CAST(min(j) AS INT) AS first_pos
+              FROM e GROUP BY 1, 2
+            ),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM td GROUP BY 1 HAVING count(*) >= 50
+            )
+            SELECT td.term, td.doc_id, td.n_occ, td.first_pos, dfreq.df
+            FROM td JOIN dfreq ON td.term = dfreq.term
         """,
         "local_moran": f"""
             WITH {SQL_PTS},

@@ -22,6 +22,7 @@ __all__ = [
     "with_language_id",
     "with_quality_score",
     "repetition_stats",
+    "inverted_postings",
     "with_fingerprint",
     "scrub_pii",
     "PII_PATTERNS",
@@ -277,6 +278,36 @@ def repetition_stats(df: DataFrame, text_col: str = "text", key_col: str = "doc_
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
     )
+
+
+def inverted_postings(
+    df: DataFrame,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flat inverted-index postings: one row per (term, document) with
+    the in-doc occurrence count, the first 1-based token position, and
+    the term's document frequency — the search-index build stage,
+    flattened to scalar columns (no nested posting arrays, so results
+    hash identically across engines).
+
+    One posexplode + two hash aggregates; the per-term df attaches via
+    an equi-join on the term key (the same shuffle partitioning as the
+    (term, doc) aggregate, so AQE coalesces them). ``min_df`` prunes
+    the hapax tail BEFORE the join fans back out. All values are exact
+    integers. Output: (term, doc_id, n_occ, first_pos, df).
+    """
+    t = tokens(F.col(text_col))
+    e = df.select(F.col(id_col), F.posexplode(t).alias("__p", "term"))
+    td = e.groupBy("term", id_col).agg(
+        F.count("*").cast("int").alias("n_occ"),
+        (F.min("__p") + 1).cast("int").alias("first_pos"),
+    )
+    dfreq = td.groupBy("term").agg(F.count("*").alias("df")).where(
+        F.col("df") >= min_df
+    )
+    return td.join(dfreq, "term").select("term", id_col, "n_occ", "first_pos", "df")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:

@@ -1413,6 +1413,35 @@ class TestRound5Operators:
         expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
         assert out[(0, 0)].gi == expect
 
+    def test_rasterize_coverage_fractions(self, spark):
+        """A centered 1×1 rect splits 0.25 into each of 4 cells; a rect
+        ending exactly on a cell boundary contributes zero-width rows
+        that must be excluded, not counted."""
+        from geomesa_spark.operators.tiles import rasterize_coverage
+
+        rects = spark.createDataFrame(
+            [("r1", 0.5, 0.5, 1.5, 1.5), ("r2", 0.0, 0.0, 1.0, 1.0)],
+            "rect_id string, min_lon double, min_lat double, max_lon double, max_lat double",
+        )
+        out = {(r.ix, r.iy): r for r in
+               rasterize_coverage(rects, (0.0, 0.0, 2.0, 2.0), 2, 2).collect()}
+        assert (out[(0, 0)].n_rects, float(out[(0, 0)].coverage)) == (2, 1.25)
+        for c in [(1, 0), (0, 1), (1, 1)]:
+            assert (out[c].n_rects, float(out[c].coverage)) == (1, 0.25)
+
+    def test_inverted_postings_min_df(self, spark):
+        """d1='a b a c', d2='a c c': df(a)=df(c)=2, df(b)=1 — min_df=2
+        drops b; counts and first positions are exact."""
+        from geomesa_spark.operators.text import inverted_postings
+
+        df = spark.createDataFrame(
+            [("d1", "a b a c"), ("d2", "a c c")], "doc_id string, text string"
+        )
+        out = {(r.term, r.doc_id): r for r in inverted_postings(df, min_df=2).collect()}
+        assert len(out) == 4 and ("b", "d1") not in out
+        assert (out[("a", "d1")].n_occ, out[("a", "d1")].first_pos, out[("a", "d1")].df) == (2, 1, 2)
+        assert (out[("c", "d2")].n_occ, out[("c", "d2")].first_pos) == (2, 2)
+
     def test_sinuosity_right_angle(self, spark):
         """An L-shaped track (1° east then 1° north at the equator):
         path = 2 legs of equal length, chord = the diagonal — sinuosity
