@@ -2740,6 +2740,23 @@ def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_postings(docs.select("doc_id", "text"), min_df=50)
 
 
+def q_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly event counts (empty hours
+    zero-filled via a bounds-derived dense axis — no global window)."""
+    from geomesa_spark.operators.temporal import lag_autocorr
+
+    _utc(spark)
+    return lag_autocorr(spark.read.parquet(f"{sf_dir}/events.parquet"), 3600)
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of events.value — float-free digit
+    extraction via the exact fixed-point integer's decimal string."""
+    from geomesa_spark.operators.stats import benford_digits
+
+    return benford_digits(spark.read.parquet(f"{sf_dir}/events.parquet"), "value")
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3091,6 +3108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow": q_flow,
         "rasterize": q_rasterize,
         "postings": q_postings,
+        "lag_autocorr": q_lag_autocorr,
+        "benford": q_benford,
     }
 
 
@@ -3176,7 +3195,11 @@ def _hex_ring_join_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from geomesa_spark.curves.geohash import sql_geohash_chars, sql_geohash_xy
+    from geomesa_spark.operators.stats import BENFORD_P
 
+    # the SAME Python double literals the operator embeds — both engines
+    # parse the 17-significant-digit strings to identical doubles
+    benford_list = ", ".join(f"CAST('{p!r}' AS DOUBLE)" for p in BENFORD_P)
     hav = _sql_haversine("p.lon", "p.lat", "q.lon", "q.lat")
     gh_xi, gh_yi = sql_geohash_xy("lon", "lat", 8)
     gh_chars = sql_geohash_chars(8)
@@ -5512,6 +5535,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT td.term, td.doc_id, td.n_occ, td.first_pos, dfreq.df
             FROM td JOIN dfreq ON td.term = dfreq.term
+        """,
+        "lag_autocorr": """
+            WITH b AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS bin FROM events),
+            cnt AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+            bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM cnt),
+            dense AS (
+              SELECT t.b AS bin FROM bounds
+              CROSS JOIN LATERAL unnest(generate_series(lo, hi)) AS t(b)
+            ),
+            filled AS (
+              SELECT d.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+              FROM dense d LEFT JOIN cnt c ON d.bin = c.bin
+            ),
+            pairs AS (
+              SELECT a.c AS x, y.c AS y
+              FROM filled a JOIN filled y ON y.bin = a.bin + 1
+            ),
+            s AS (
+              SELECT count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM pairs
+            )
+            SELECT n AS n_pairs,
+                   round(CASE WHEN sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0.0
+                         THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                              / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                         END, 6) AS r
+            FROM s
+        """,
+        "benford": f"""
+            WITH k AS (SELECT CAST(round(abs(value) * 100) AS BIGINT) AS k FROM events),
+            pos AS (SELECT k FROM k WHERE k >= 1),
+            c AS (
+              SELECT CAST(substr(CAST(k AS VARCHAR), 1, 1) AS INT) AS digit,
+                     count(*) AS n
+              FROM pos GROUP BY 1
+            ),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+            SELECT digit, n,
+                   round(CAST(tt AS DOUBLE) * ([{benford_list}])[digit], 6) AS expected_n,
+                   round((CAST(n AS DOUBLE) - CAST(tt AS DOUBLE) * ([{benford_list}])[digit])
+                         * (CAST(n AS DOUBLE) - CAST(tt AS DOUBLE) * ([{benford_list}])[digit])
+                         / (CAST(tt AS DOUBLE) * ([{benford_list}])[digit]), 6) AS chi_term
+            FROM c CROSS JOIN t
         """,
         "local_moran": f"""
             WITH {SQL_PTS},

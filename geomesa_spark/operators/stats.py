@@ -29,6 +29,7 @@ __all__ = [
     "clark_evans",
     "directional_distribution",
     "colocation_quotient",
+    "benford_digits",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -455,6 +456,48 @@ def colocation_quotient(
     res = out.select("cat_a", "cat_b", "c_ab", F.round(clq, 6).alias("clq"))
     res._knn_scope = nb
     return res
+
+
+BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]  # log10(1 + 1/d), d = 1..9 — precomputed literals: both engines
+# parse the same 17-significant-digit decimal to the same double, so
+# no transcendental ever evaluates inside either engine.
+
+
+def benford_digits(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
+    """Benford's-law first-digit audit of a numeric column (the
+    fraud/synthetic-data screen): observed count per leading digit vs
+    the Benford expectation n·log10(1+1/d), with the per-digit
+    chi-square term.
+
+    Digit extraction is float-free: the value scales to its exact
+    fixed-point integer (``scale`` = 10^decimals), casts to a decimal
+    string — integer→string is exact and identical cross-engine,
+    unlike double→string or log10-based digit math — and takes the
+    first character. Zero/negative-scaled values are excluded. The
+    Benford probabilities are Python-precomputed literals (see
+    BENFORD_P), so the expectation is one multiply from exact counts.
+    Output: (digit, n, expected_n, chi_term) round 6.
+    """
+    k = F.round(F.abs(F.col(col)) * scale).cast("long")
+    pos = df.select(k.alias("__k")).where(F.col("__k") >= 1)
+    d = F.substring(F.col("__k").cast("string"), 1, 1).cast("int")
+    counts = pos.select(d.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("__t"))
+    p = F.element_at(F.array(*[F.lit(x) for x in BENFORD_P]), F.col("digit"))
+    e = F.col("__t").cast("double") * p
+    diff = F.col("n").cast("double") - e
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(e, 6).alias("expected_n"),
+        F.round(diff * diff / e, 6).alias("chi_term"),
+    )
 
 
 def percent_rank_norm(

@@ -29,7 +29,58 @@ __all__ = [
     "interval_join",
     "sessionize",
     "transition_matrix",
+    "lag_autocorr",
 ]
+
+
+def lag_autocorr(
+    events: DataFrame,
+    bin_seconds: int,
+    lag: int = 1,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lag-k Pearson autocorrelation of the event-count time series
+    (the burstiness/periodicity check a monitoring pipeline runs):
+    counts per ``bin_seconds`` bucket — INCLUDING empty buckets, which
+    an observed-bins-only series would silently skip over — paired
+    with the counts ``lag`` buckets later.
+
+    The dense time axis comes from exploding sequence(min_bin,
+    max_bin) off a one-row bounds aggregate (bin count = time range /
+    width, bounded by contract) — never a global Window. Zero-fill is
+    a left join; the pairing is an equi-join on bin+lag. Pearson's r
+    reduces to six exact integer sums and a fixed IEEE tail. Output:
+    one row (n_pairs, r) round 6.
+    """
+    binned = events.select(
+        F.expr(f"unix_seconds(CAST({ts_col} AS TIMESTAMP)) DIV {bin_seconds}").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    bounds = counts.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+    dense = bounds.select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bin"))
+    filled = dense.join(counts, "bin", "left").select(
+        "bin", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
+    )
+    a = filled.select(F.col("bin").alias("b1"), F.col("c").alias("x"))
+    bb = filled.select((F.col("bin") - lag).alias("b1"), F.col("c").alias("y"))
+    pairs = a.join(bb, "b1")
+    s = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n.cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(n.cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) * F.sqrt(
+        n.cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return s.select(
+        n.alias("n_pairs"),
+        F.round(F.when(den > 0.0, num / den), 6).alias("r"),
+    )
 
 
 def transition_matrix(

@@ -1413,6 +1413,41 @@ class TestRound5Operators:
         expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
         assert out[(0, 0)].gi == expect
 
+    def test_lag_autocorr_linear(self, spark):
+        """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
+        y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
+        covered by the second fixture (counts 2, 1, 0, 1 → r = 0)."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import lag_autocorr
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        mk = lambda hours: spark.createDataFrame(  # noqa: E731
+            [(i, t0 + timedelta(hours=h, minutes=i % 3)) for i, h in enumerate(hours)],
+            "event_id long, ts timestamp",
+        )
+        r1 = lag_autocorr(mk([0, 1, 1, 2, 2, 2, 2]), 3600).collect()[0]
+        assert (r1.n_pairs, r1.r) == (2, 1.0)
+        r2 = lag_autocorr(mk([0, 0, 1, 3]), 3600).collect()[0]
+        assert (r2.n_pairs, r2.r) == (3, 0.0)
+
+    def test_benford_digits_counts(self, spark):
+        """Values 1.0/1.5/2.0/9.99 → digits 1,1,2,9 (0.0 excluded);
+        expected counts are n·log10(1+1/d)."""
+        import math
+
+        from geomesa_spark.operators.stats import benford_digits
+
+        df = spark.createDataFrame(
+            [(1.0,), (1.5,), (2.0,), (9.99,), (0.0,)], "value double"
+        )
+        out = {r.digit: r for r in benford_digits(df, "value").collect()}
+        assert {d: out[d].n for d in out} == {1: 2, 2: 1, 9: 1}
+        e1 = 4 * math.log10(2)
+        assert out[1].expected_n == pytest.approx(e1, abs=1e-6)
+        assert out[1].chi_term == pytest.approx((2 - e1) ** 2 / e1, abs=1e-6)
+
     def test_rasterize_coverage_fractions(self, spark):
         """A centered 1×1 rect splits 0.25 into each of 4 cells; a rect
         ending exactly on a cell boundary contributes zero-width rows
