@@ -2757,6 +2757,25 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(spark.read.parquet(f"{sf_dir}/events.parquet"), "value")
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle over the events stream — exact
+    distinct-user counts, cohort size attached by a broadcast join."""
+    from geomesa_spark.operators.temporal import cohort_retention
+
+    _utc(spark)
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"), 86400)
+
+
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl concentration of events per user (hot-key screen) —
+    two exact integer sums, one ratio."""
+    from geomesa_spark.operators.stats import hhi_concentration
+
+    return hhi_concentration(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id"
+    )
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3110,6 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,
         "lag_autocorr": q_lag_autocorr,
         "benford": q_benford,
+        "retention": q_retention,
+        "hhi": q_hhi,
     }
 
 
@@ -5584,6 +5605,38 @@ def oracle_sql() -> dict[str, str]:
                          * (CAST(n AS DOUBLE) - CAST(tt AS DOUBLE) * ([{benford_list}])[digit])
                          / (CAST(tt AS DOUBLE) * ([{benford_list}])[digit]), 6) AS chi_term
             FROM c CROSS JOIN t
+        """,
+        "retention": """
+            WITH ev AS (
+              SELECT user_id AS k, (epoch_us(ts) // 1000000) // 86400 AS bin
+              FROM events
+            ),
+            first AS (SELECT k, min(bin) AS cohort FROM ev GROUP BY 1),
+            active AS (
+              SELECT f.cohort AS cohort_bin, e.bin - f.cohort AS "offset",
+                     CAST(count(DISTINCT e.k) AS BIGINT) AS n_active
+              FROM ev e JOIN first f ON e.k = f.k
+              GROUP BY 1, 2
+            ),
+            size_ AS (
+              SELECT cohort_bin, n_active AS sz FROM active WHERE "offset" = 0
+            )
+            SELECT a.cohort_bin, a."offset" AS offset, a.n_active,
+                   round(CAST(a.n_active AS DOUBLE) / s.sz, 6) AS retention
+            FROM active a JOIN size_ s ON a.cohort_bin = s.cohort_bin
+        """,
+        "hhi": """
+            WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+            agg AS (
+              SELECT count(*) AS n_keys,
+                     CAST(sum(c) AS BIGINT) AS t,
+                     CAST(sum(c * c) AS BIGINT) AS ss
+              FROM c
+            )
+            SELECT n_keys, t AS n_rows,
+                   round(CAST(ss AS DOUBLE) / (CAST(t AS DOUBLE) * t), 6) AS hhi,
+                   round(1.0 / (CAST(ss AS DOUBLE) / (CAST(t AS DOUBLE) * t)), 6) AS effective_keys
+            FROM agg
         """,
         "local_moran": f"""
             WITH {SQL_PTS},

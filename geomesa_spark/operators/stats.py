@@ -30,6 +30,7 @@ __all__ = [
     "directional_distribution",
     "colocation_quotient",
     "benford_digits",
+    "hhi_concentration",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -497,6 +498,30 @@ def benford_digits(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
         "n",
         F.round(e, 6).alias("expected_n"),
         F.round(diff * diff / e, 6).alias("chi_term"),
+    )
+
+
+def hhi_concentration(df: DataFrame, key_col: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of row share per key — the
+    skew screen (hot-key detection) a pipeline runs before choosing a
+    partitioning: HHI = Σ (c_k/T)² ∈ (1/n, 1], with the
+    effective-key-count 1/HHI alongside. Two exact integer sums (T,
+    Σc²) → HHI = Σc²/T² as one fixed double sequence; one hash
+    aggregate + one 1-row reduce. Output: (n_keys, n_rows, hhi,
+    effective_keys) round 6.
+    """
+    c = df.groupBy(key_col).agg(F.count("*").alias("c"))
+    agg = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("t"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    hhi = F.col("ss").cast("double") / (F.col("t").cast("double") * F.col("t"))
+    return agg.select(
+        "n_keys",
+        F.col("t").alias("n_rows"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(1.0 / hhi, 6).alias("effective_keys"),
     )
 
 

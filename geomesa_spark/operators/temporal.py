@@ -30,7 +30,53 @@ __all__ = [
     "sessionize",
     "transition_matrix",
     "lag_autocorr",
+    "cohort_retention",
 ]
+
+
+def cohort_retention(
+    events: DataFrame,
+    bin_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity bin
+    (the cohort), then for each later bin offset the fraction of the
+    cohort still active — the standard product-analytics retention
+    triangle.
+
+    Shape: one (key → first bin) aggregate, an equi-join back on the
+    key (both sides partitioned by the key — one shuffle pair AQE can
+    co-plan), then a distinct-count per (cohort, offset). The cohort
+    size is the offset-0 row of the SAME aggregate, attached by a
+    broadcast join on the cohort key (cohort count = time range /
+    bin — tiny). Exact integer counts; retention is one double
+    division, round 6. Output: (cohort_bin, offset, n_active,
+    retention).
+    """
+    b = F.expr(f"unix_seconds(CAST({ts_col} AS TIMESTAMP)) DIV {bin_seconds}")
+    ev = events.select(F.col(key_col).alias("__k"), b.alias("__bin"))
+    first = ev.groupBy("__k").agg(F.min("__bin").alias("__cohort"))
+    joined = ev.join(first, "__k")
+    active = joined.groupBy(
+        F.col("__cohort").alias("cohort_bin"),
+        (F.col("__bin") - F.col("__cohort")).alias("offset"),
+    ).agg(F.countDistinct("__k").alias("n_active"))
+    size = (
+        active.where(F.col("offset") == 0)
+        .select("cohort_bin", F.col("n_active").alias("__size"))
+    )
+    return (
+        active.join(F.broadcast(size), "cohort_bin")
+        .select(
+            "cohort_bin",
+            "offset",
+            "n_active",
+            F.round(F.col("n_active").cast("double") / F.col("__size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
 
 
 def lag_autocorr(

@@ -1413,6 +1413,40 @@ class TestRound5Operators:
         expect = round((sw - mean * wi) / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0))), 6)
         assert out[(0, 0)].gi == expect
 
+    def test_cohort_retention_triangle(self, spark):
+        """Users u1,u2 start day 0 (u1 returns day 1), u3 starts day 1
+        and returns day 2: cohort 0 retains 1/2 at offset 1; cohort 1
+        retains 1/1 at offset 1."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import cohort_retention
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        d = lambda k: t0 + timedelta(days=k, hours=1)  # noqa: E731
+        df = spark.createDataFrame(
+            [(1, d(0)), (2, d(0)), (1, d(1)), (3, d(1)), (3, d(2))],
+            "user_id long, ts timestamp",
+        )
+        out = {(r.cohort_bin - 19723, r.offset): r  # 2024-01-01 = day 19723
+               for r in cohort_retention(df, 86400).collect()}
+        assert (out[(0, 0)].n_active, out[(0, 0)].retention) == (2, 1.0)
+        assert (out[(0, 1)].n_active, out[(0, 1)].retention) == (1, 0.5)
+        assert (out[(1, 0)].n_active, out[(1, 1)].n_active) == (1, 1)
+        assert out[(1, 1)].retention == 1.0
+
+    def test_hhi_concentration(self, spark):
+        """Counts 3/1 over two keys: HHI = (9+1)/16 = 0.625, effective
+        keys = 1.6."""
+        from geomesa_spark.operators.stats import hhi_concentration
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("a",), ("b",)], "user_id string"
+        )
+        r = hhi_concentration(df, "user_id").collect()[0]
+        assert (r.n_keys, r.n_rows) == (2, 4)
+        assert (r.hhi, r.effective_keys) == (0.625, 1.6)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
