@@ -2776,6 +2776,49 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint over hourly event counts — exact-integer
+    argmax via one sorted in-array fold; no global window."""
+    from geomesa_spark.operators.temporal import cusum_changepoint
+
+    _utc(spark)
+    return cusum_changepoint(spark.read.parquet(f"{sf_dir}/events.parquet"), 3600)
+
+
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event_type × ISO weekday, with
+    Cramér's V — observed-cells-only telescoped sum, exact decimal
+    accumulation."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.stats import chi2_contingency
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "dow", F.expr("weekday(CAST(ts AS TIMESTAMP))")
+    )
+    return chi2_contingency(ev, "event_type", "dow")
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of events-per-user — count-of-counts fold,
+    no global window over the key table."""
+    from geomesa_spark.operators.stats import gini_concentration
+
+    return gini_concentration(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id"
+    )
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α=0.25) of hourly event counts — seeded in-array fold,
+    replayed ulp-identically by a recursive-CTE oracle."""
+    from geomesa_spark.operators.temporal import ewma_bins
+
+    _utc(spark)
+    return ewma_bins(spark.read.parquet(f"{sf_dir}/events.parquet"), 3600, alpha=0.25)
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3131,6 +3174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "retention": q_retention,
         "hhi": q_hhi,
+        "cusum": q_cusum,
+        "chi2": q_chi2,
+        "gini": q_gini,
+        "ewma": q_ewma,
     }
 
 
@@ -5637,6 +5684,112 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(ss AS DOUBLE) / (CAST(t AS DOUBLE) * t), 6) AS hhi,
                    round(1.0 / (CAST(ss AS DOUBLE) / (CAST(t AS DOUBLE) * t)), 6) AS effective_keys
             FROM agg
+        """,
+        "cusum": """
+            WITH b AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS bin FROM events),
+            cnt AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+            bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM cnt),
+            dense AS (
+              SELECT bounds.lo, t.b AS bin FROM bounds
+              CROSS JOIN LATERAL unnest(generate_series(lo, hi)) AS t(b)
+            ),
+            filled AS (
+              SELECT d.lo, d.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+              FROM dense d LEFT JOIN cnt c ON d.bin = c.bin
+            ),
+            w AS (
+              SELECT lo, bin, c,
+                     CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS s,
+                     CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+                     CAST(count(*) OVER () AS BIGINT) AS n,
+                     CAST(sum(c) OVER () AS BIGINT) AS t
+              FROM filled
+            ),
+            best AS (
+              SELECT * , abs(n * s - i * t) AS v FROM w
+              WHERE i < n
+              ORDER BY v DESC, i ASC LIMIT 1
+            )
+            SELECT n AS n_bins, t AS total, lo + i - 1 AS cp_bin, i AS cp_index,
+                   round(CAST(v AS DOUBLE) / n, 6) AS stat,
+                   round(CAST(s AS DOUBLE) / i, 6) AS mean_before,
+                   round(CAST(t - s AS DOUBLE) / (n - i), 6) AS mean_after
+            FROM best
+        """,
+        "ewma": """
+            WITH RECURSIVE b AS (
+              SELECT (epoch_us(ts) // 1000000) // 3600 AS bin FROM events
+            ),
+            cnt AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+            bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM cnt),
+            dense AS (
+              SELECT t.b AS bin FROM bounds
+              CROSS JOIN LATERAL unnest(generate_series(lo, hi)) AS t(b)
+            ),
+            f AS (
+              SELECT d.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+                     CAST(row_number() OVER (ORDER BY d.bin) AS BIGINT) AS i
+              FROM dense d LEFT JOIN cnt c ON d.bin = c.bin
+            ),
+            e(i, bin, c, s) AS (
+              SELECT i, bin, c, CAST(c AS DOUBLE) FROM f WHERE i = 1
+              UNION ALL
+              SELECT f.i, f.bin, f.c, 0.25e0 * f.c + (1.0e0 - 0.25e0) * e.s
+              FROM e JOIN f ON f.i = e.i + 1
+            )
+            SELECT bin, c, round(s, 6) AS ewma FROM e
+        """,
+        "chi2": """
+            WITH cells AS (
+              SELECT event_type AS a, isodow(ts) - 1 AS b, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cells GROUP BY 1),
+            cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM cells GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     CAST(count(DISTINCT a) AS BIGINT) AS r_cats,
+                     CAST(count(DISTINCT b) AS BIGINT) AS c_cats
+              FROM cells
+            ),
+            terms AS (
+              SELECT nn, r_cats, c_cats, n,
+                     CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE) AS e
+              FROM cells JOIN ra USING(a) JOIN cb USING(b) CROSS JOIN tot
+            ),
+            s AS (
+              SELECT nn, r_cats, c_cats,
+                     sum(CAST(round((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e
+                                    - e, 6) AS DECIMAL(30,6))) AS acc
+              FROM terms GROUP BY 1, 2, 3
+            )
+            SELECT nn AS n_obs, r_cats, c_cats,
+                   (r_cats - 1) * (c_cats - 1) AS dof,
+                   round(CAST(acc + CAST(nn AS DECIMAL(30,6)) AS DOUBLE), 6) AS chi2,
+                   round(CASE WHEN least(r_cats - 1, c_cats - 1) > 0 THEN
+                     sqrt(CAST(acc + CAST(nn AS DECIMAL(30,6)) AS DOUBLE)
+                          / (CAST(nn AS DOUBLE) * CAST(least(r_cats - 1, c_cats - 1) AS DOUBLE)))
+                   END, 6) AS cramers_v
+            FROM s
+        """,
+        "gini": """
+            WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+            cc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1),
+            w AS (
+              SELECT c, m,
+                     CAST(coalesce(sum(m) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS r
+              FROM cc
+            ),
+            s AS (
+              SELECT CAST(sum(m) AS BIGINT) AS n, CAST(sum(c * m) AS BIGINT) AS t,
+                     CAST(sum(c * (m * r + m * (m + 1) // 2)) AS BIGINT) AS a
+              FROM w
+            )
+            SELECT n AS n_keys, t AS n_rows,
+                   round(CAST(2 * a AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+            FROM s
         """,
         "local_moran": f"""
             WITH {SQL_PTS},

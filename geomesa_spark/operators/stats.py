@@ -31,6 +31,8 @@ __all__ = [
     "colocation_quotient",
     "benford_digits",
     "hhi_concentration",
+    "chi2_contingency",
+    "gini_concentration",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -522,6 +524,102 @@ def hhi_concentration(df: DataFrame, key_col: str) -> DataFrame:
         F.col("t").alias("n_rows"),
         F.round(hhi, 6).alias("hhi"),
         F.round(1.0 / hhi, 6).alias("effective_keys"),
+    )
+
+
+def chi2_contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V — "are these attributes associated?", the
+    screen a pipeline runs before conditioning one column on another.
+
+    Never materializes the dense category cross product: for observed
+    cell counts n with expectations e = r·c/N, the unobserved cells'
+    contribution Σe telescopes, giving chi² = Σ_obs((n−e)²/e − e) + N
+    exactly. Per-cell terms are a fixed IEEE sequence rounded to 6
+    decimals, then summed as DECIMAL(30,6) — order-independent, so the
+    result is deterministic under any partitioning. Shape: one hash
+    aggregate on (a,b), two tiny marginal aggregates DERIVED from it
+    (the fact table is scanned once) joined back broadcast, one 1-row
+    reduce. Cramér's V = sqrt(chi²/(N·min(r−1,c−1))) — sqrt-only,
+    NULL when either side is constant. Output: one row (n_obs,
+    r_cats, c_cats, dof, chi2, cramers_v).
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("n").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("n").alias("cb"))
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("a").alias("r_cats"),
+        F.countDistinct("b").alias("c_cats"),
+    )
+    e = F.col("ra").cast("double") * F.col("cb").cast("double") / F.col("nn").cast("double")
+    d = F.col("n").cast("double") - e
+    term = F.round(d * d / e - e, 6).cast("decimal(30,6)")
+    agg = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nn", "r_cats", "c_cats")
+        .agg(F.sum(term).alias("acc"))
+    )
+    chi2 = (F.col("acc") + F.col("nn").cast("decimal(30,6)")).cast("double")
+    m = F.least(F.col("r_cats") - 1, F.col("c_cats") - 1).cast("long")
+    return agg.select(
+        F.col("nn").alias("n_obs"),
+        "r_cats",
+        "c_cats",
+        ((F.col("r_cats") - 1).cast("long") * (F.col("c_cats") - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.when(m > 0, F.sqrt(chi2 / (F.col("nn").cast("double") * m.cast("double")))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
+    """Gini coefficient of the per-key row-count distribution — the
+    inequality companion to ``hhi_concentration``'s skew screen:
+    G = (2·Σᵢ i·cᵢ)/(n·T) − (n+1)/n over counts sorted ascending.
+
+    The global sort collapses to a COUNT-OF-COUNTS fold: keys sharing
+    count c occupy a contiguous rank block [R+1, R+m], whose rank-sum
+    is m·R + m(m+1)/2 — so A = Σ_blocks c·(m·R + m(m+1)/2) comes from
+    ONE sorted in-array fold over the tiny (count → #keys) table; no
+    global Window over the keys, no pairwise join. All integers until
+    the two final divisions (round 6); bigint-safe while T·n < 2^63.
+    Output: one row (n_keys, n_rows, gini).
+    """
+    c = df.groupBy(key_col).agg(F.count("*").alias("c"))
+    cc = c.groupBy("c").agg(F.count("*").alias("m"))
+    row = cc.agg(F.sort_array(F.collect_list(F.struct("c", "m"))).alias("arr"))
+    fold = F.expr(
+        """
+        aggregate(
+          arr,
+          named_struct('r', 0L, 'a', 0L),
+          (acc, x) -> named_struct(
+            'r', acc.r + x.m,
+            'a', acc.a + x.c * (x.m * acc.r + x.m * (x.m + 1L) DIV 2L)))
+        """
+    )
+    acc = row.select(
+        F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x["m"]).alias("n"),
+        F.aggregate(
+            "arr", F.lit(0).cast("long"), lambda a, x: a + x["c"] * x["m"]
+        ).alias("t"),
+        fold.alias("f"),
+    )
+    n, t = F.col("n"), F.col("t")
+    g = (2 * F.col("f.a")).cast("double") / (n.cast("double") * t.cast("double")) - (
+        n + 1
+    ).cast("double") / n.cast("double")
+    return acc.where(n > 0).select(
+        n.alias("n_keys"), t.alias("n_rows"), F.round(g, 6).alias("gini")
     )
 
 

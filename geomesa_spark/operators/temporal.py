@@ -31,6 +31,8 @@ __all__ = [
     "transition_matrix",
     "lag_autocorr",
     "cohort_retention",
+    "cusum_changepoint",
+    "ewma_bins",
 ]
 
 
@@ -126,6 +128,145 @@ def lag_autocorr(
     return s.select(
         n.alias("n_pairs"),
         F.round(F.when(den > 0.0, num / den), 6).alias("r"),
+    )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    bin_seconds: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Single-changepoint detection (CUSUM) over the binned
+    event-count series — "where did the rate shift?", the monitoring
+    companion to ``lag_autocorr``: maximize |S_i − i·T/n| over split
+    points i, where S_i is the count through bin i, T the total and n
+    the (dense, zero-filled) bin count.
+
+    All comparisons run on the EXACT integer |n·S_i − i·T| (the
+    statistic scaled by n), so the argmax — earliest bin on ties — is
+    float-free; only the three reported ratios are IEEE, round 6.
+    Shape: the lag_autocorr dense axis (bounds aggregate → sequence
+    explode → zero-fill left join; bin count = time range / width,
+    bounded by contract), then ONE sorted in-array fold on a 1-row
+    frame — never a global Window, no self-join. Integer-safe while
+    n·T < 2^63. Output: one row (n_bins, total, cp_bin, cp_index,
+    stat, mean_before, mean_after); empty when n_bins < 2.
+    """
+    binned = events.select(
+        F.expr(f"unix_seconds(CAST({ts_col} AS TIMESTAMP)) DIV {bin_seconds}").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    bounds = counts.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+    dense = bounds.select(
+        "lo", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bin")
+    )
+    filled = dense.join(counts, "bin", "left").select(
+        "lo", "bin", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
+    )
+    row = filled.groupBy("lo").agg(
+        F.sort_array(F.collect_list(F.struct("bin", "c"))).alias("arr")
+    )
+    # acc: i = bins consumed, s = running sum, bv/bi/bs = best |n·S−i·T|
+    # and its split index / prefix sum (strict > keeps the earliest).
+    fold = F.expr(
+        """
+        aggregate(
+          arr,
+          named_struct('i', 0L, 's', 0L, 'bv', -1L, 'bi', 0L, 'bs', 0L),
+          (a, x) -> named_struct(
+            'i', a.i + 1L,
+            's', a.s + x.c,
+            'bv', IF(a.i + 1L < size(arr) AND
+                     abs(size(arr) * (a.s + x.c) - (a.i + 1L) * t) > a.bv,
+                     abs(size(arr) * (a.s + x.c) - (a.i + 1L) * t), a.bv),
+            'bi', IF(a.i + 1L < size(arr) AND
+                     abs(size(arr) * (a.s + x.c) - (a.i + 1L) * t) > a.bv,
+                     a.i + 1L, a.bi),
+            'bs', IF(a.i + 1L < size(arr) AND
+                     abs(size(arr) * (a.s + x.c) - (a.i + 1L) * t) > a.bv,
+                     a.s + x.c, a.bs)))
+        """
+    )
+    acc = (
+        row.select(
+            "lo",
+            "arr",
+            F.size("arr").cast("long").alias("n"),
+            F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x["c"]).alias("t"),
+        )
+        .select("lo", "n", "t", fold.alias("f"))
+        .where(F.col("f.bi") > 0)
+    )
+    n, t = F.col("n"), F.col("t")
+    bi, bs = F.col("f.bi"), F.col("f.bs")
+    return acc.select(
+        n.alias("n_bins"),
+        t.alias("total"),
+        (F.col("lo") + bi - 1).alias("cp_bin"),
+        bi.alias("cp_index"),
+        F.round(F.col("f.bv").cast("double") / n, 6).alias("stat"),
+        F.round(bs.cast("double") / bi, 6).alias("mean_before"),
+        F.round((t - bs).cast("double") / (n - bi), 6).alias("mean_after"),
+    )
+
+
+def ewma_bins(
+    events: DataFrame,
+    bin_seconds: int,
+    alpha: float = 0.25,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponentially-weighted moving average of the (dense,
+    zero-filled) event-count series — the smoothed baseline a
+    monitoring pipeline charts next to ``cusum_changepoint``'s shift
+    detector: s₁ = x₁, sᵢ = α·xᵢ + (1−α)·sᵢ₋₁.
+
+    The recursion is ONE sorted in-array fold on a 1-row frame (the
+    lag_autocorr dense axis; bin count bounded by contract), seeded
+    from the first element so the step lambda carries no
+    accumulator-conditional branch — the DuckDB oracle replays the
+    identical α·x + (1−α)·s double sequence via a recursive CTE,
+    ulp-identical. ``alpha`` must be an exactly-representable binary
+    fraction (0.25, 0.5, …) so engine and oracle literals agree.
+    Output: (bin, c, ewma round 6) per dense bin.
+    """
+    a_lit = repr(float(alpha))
+    if float(a_lit) != alpha or not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be a float in (0, 1]")
+    binned = events.select(
+        F.expr(f"unix_seconds(CAST({ts_col} AS TIMESTAMP)) DIV {bin_seconds}").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    bounds = counts.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+    dense = bounds.select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bin"))
+    filled = dense.join(counts, "bin", "left").select(
+        "bin", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
+    )
+    row = filled.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "c"))).alias("arr")
+    ).where(F.size("arr") > 0)
+    step = f"{a_lit}D * x.c + (1.0D - {a_lit}D) * a.s"
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(arr, 2, size(arr) - 1),
+          named_struct(
+            's', CAST(element_at(arr, 1).c AS DOUBLE),
+            'out', array(named_struct(
+              'bin', element_at(arr, 1).bin,
+              'c', element_at(arr, 1).c,
+              's', CAST(element_at(arr, 1).c AS DOUBLE)))),
+          (a, x) -> named_struct(
+            's', {step},
+            'out', concat(a.out, array(named_struct(
+              'bin', x.bin, 'c', x.c, 's', {step})))),
+          acc -> acc.out)
+        """
+    )
+    return row.select(F.explode(fold).alias("e")).select(
+        F.col("e.bin").alias("bin"),
+        F.col("e.c").alias("c"),
+        F.round(F.col("e.s"), 6).alias("ewma"),
     )
 
 

@@ -1447,6 +1447,95 @@ class TestRound5Operators:
         assert (r.n_keys, r.n_rows) == (2, 4)
         assert (r.hhi, r.effective_keys) == (0.625, 1.6)
 
+    def test_cusum_changepoint_step(self, spark):
+        """Hourly counts 1,1,1,5,5 (T=13, n=5): |n·S−iT| peaks at
+        i=3 (24), so the split is after bin 3 — means 1.0 vs 5.0,
+        stat 24/5."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import cusum_changepoint
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        for h, c in enumerate([1, 1, 1, 5, 5]):
+            rows += [(t0 + timedelta(hours=h, minutes=m),) for m in range(c)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        r = cusum_changepoint(df, 3600).collect()[0]
+        assert (r.n_bins, r.total, r.cp_index) == (5, 13, 3)
+        assert r.cp_bin == 473352 + 2  # 2024-01-01 00:00 = hour 473352
+        assert (r.stat, r.mean_before, r.mean_after) == (4.8, 1.0, 5.0)
+
+    def test_cusum_single_bin_empty(self, spark):
+        """One bin has no valid split point — empty result, not 0/0."""
+        from datetime import datetime
+
+        from geomesa_spark.operators.temporal import cusum_changepoint
+
+        df = spark.createDataFrame([(datetime(2024, 1, 1),)], "ts timestamp")
+        assert cusum_changepoint(df, 3600).count() == 0
+
+    def test_chi2_contingency_2x2(self, spark):
+        """2×2 table [[10,20],[20,10]]: chi² = 60·(100−400)²/(30·30·30·30)
+        = 6.666667 (plus telescoped-identity check), V = sqrt(chi²/60)."""
+        import math
+
+        from geomesa_spark.operators.stats import chi2_contingency
+
+        rows = (
+            [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 20 + [("y", "v")] * 10
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi2_contingency(df, "a", "b").collect()[0]
+        assert (r.n_obs, r.r_cats, r.c_cats, r.dof) == (60, 2, 2, 1)
+        assert r.chi2 == 6.666668  # Σ of four round-6 terms + N
+        assert r.cramers_v == round(math.sqrt(6.666668 / 60.0), 6)
+
+    def test_chi2_constant_column_null_v(self, spark):
+        """One-category side: dof 0, Cramér's V NULL, chi² 0."""
+        from geomesa_spark.operators.stats import chi2_contingency
+
+        df = spark.createDataFrame(
+            [("x", "u"), ("x", "v"), ("x", "u")], "a string, b string"
+        )
+        r = chi2_contingency(df, "a", "b").collect()[0]
+        assert (r.dof, r.chi2, r.cramers_v) == (0, 0.0, None)
+
+    def test_gini_concentration(self, spark):
+        """Counts 1 and 3 over two keys: G = Σ|xi−xj|/(2n²μ) = 0.25;
+        uniform counts give G = 0."""
+        from geomesa_spark.operators.stats import gini_concentration
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("a",), ("b",)], "user_id string"
+        )
+        r = gini_concentration(df, "user_id").collect()[0]
+        assert (r.n_keys, r.n_rows, r.gini) == (2, 4, 0.25)
+        uni = spark.createDataFrame([("a",), ("b",), ("c",)], "user_id string")
+        assert gini_concentration(uni, "user_id").collect()[0].gini == 0.0
+
+    def test_ewma_bins_recursion(self, spark):
+        """Hourly counts 4, 0 (empty bin), 8 at α=0.5: s = 4, 2, 5 —
+        the empty middle bin is zero-filled before smoothing."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import ewma_bins
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        rows = [(t0 + timedelta(minutes=m),) for m in range(4)]
+        rows += [(t0 + timedelta(hours=2, minutes=m),) for m in range(8)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = sorted(ewma_bins(df, 3600, alpha=0.5).collect(), key=lambda r: r.bin)
+        assert [(r.c, r.ewma) for r in out] == [(4, 4.0), (0, 2.0), (8, 5.0)]
+
+    def test_ewma_rejects_inexact_alpha(self, spark):
+        from geomesa_spark.operators.temporal import ewma_bins
+
+        df = spark.createDataFrame([], "ts timestamp")
+        with pytest.raises(ValueError):
+            ewma_bins(df, 3600, alpha=0.0)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
