@@ -2819,6 +2819,16 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_bins(spark.read.parquet(f"{sf_dir}/events.parquet"), 3600, alpha=0.25)
 
 
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares isolines at count threshold 9 over the 72×34
+    grid — broadcast case-table join, exact-integer saddle rule."""
+    from geomesa_spark.operators.tiles import contour_segments
+
+    return contour_segments(
+        _points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34, 9
+    )
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3178,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2": q_chi2,
         "gini": q_gini,
         "ewma": q_ewma,
+        "contour": q_contour,
     }
 
 
@@ -3259,6 +3270,34 @@ def _hex_ring_join_sql() -> str:
           ON (abs(p.hq - q.hq) + abs(p.hr - q.hr)
               + abs((p.hq + p.hr) - (q.hq + q.hr))) / 2 <= 2
     """
+
+
+def _contour_edge_sql(axis: str, e: str) -> str:
+    """Endpoint coordinate (grid space) for marching-squares edge ``e``
+    — mirrors tiles.contour_segments' _gx/_gy CASE, threshold 9."""
+    if axis == "x":
+        return (
+            f"CASE {e} WHEN 0 THEN qx + CAST(9 - va AS DOUBLE) / CAST(vb - va AS DOUBLE)"
+            f" WHEN 1 THEN CAST(qx + 1 AS DOUBLE)"
+            f" WHEN 2 THEN qx + CAST(9 - vd AS DOUBLE) / CAST(vc - vd AS DOUBLE)"
+            f" ELSE CAST(qx AS DOUBLE) END"
+        )
+    return (
+        f"CASE {e} WHEN 0 THEN CAST(qy AS DOUBLE)"
+        f" WHEN 1 THEN qy + CAST(9 - vb AS DOUBLE) / CAST(vc - vb AS DOUBLE)"
+        f" WHEN 2 THEN CAST(qy + 1 AS DOUBLE)"
+        f" ELSE qy + CAST(9 - va AS DOUBLE) / CAST(vd - va AS DOUBLE) END"
+    )
+
+
+# marching-squares oracle (mirrors tiles._MS_CASES + contour_segments)
+SQL_CONTOUR_CASES = (
+    "(1,0,0,0,3),(2,0,0,0,1),(3,0,0,1,3),(4,0,0,1,2),"
+    "(5,0,1,2,3),(5,1,1,0,1),(5,0,-1,0,3),(5,1,-1,1,2),"
+    "(6,0,0,0,2),(7,0,0,2,3),(8,0,0,2,3),(9,0,0,0,2),"
+    "(10,0,1,0,3),(10,1,1,1,2),(10,0,-1,0,1),(10,1,-1,2,3),"
+    "(11,0,0,1,2),(12,0,0,1,3),(13,0,0,0,1),(14,0,0,0,3)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5738,6 +5777,52 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN f ON f.i = e.i + 1
             )
             SELECT bin, c, round(s, 6) AS ewma FROM e
+        """,
+        "contour": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            roles AS (
+              SELECT g.ix - r.ox AS qx, g.iy - r.oy AS qy, r.role, g.cnt
+              FROM grid g
+              CROSS JOIN (VALUES (0,0,0),(1,1,0),(2,1,1),(3,0,1)) AS r(role, ox, oy)
+            ),
+            quads AS (
+              SELECT qx, qy,
+                     CAST(coalesce(sum(CASE WHEN role = 0 THEN cnt END), 0) AS BIGINT) AS va,
+                     CAST(coalesce(sum(CASE WHEN role = 1 THEN cnt END), 0) AS BIGINT) AS vb,
+                     CAST(coalesce(sum(CASE WHEN role = 2 THEN cnt END), 0) AS BIGINT) AS vc,
+                     CAST(coalesce(sum(CASE WHEN role = 3 THEN cnt END), 0) AS BIGINT) AS vd
+              FROM roles GROUP BY 1, 2
+            ),
+            q AS (
+              SELECT *,
+                     (CASE WHEN va >= 9 THEN 1 ELSE 0 END
+                      + CASE WHEN vb >= 9 THEN 2 ELSE 0 END
+                      + CASE WHEN vc >= 9 THEN 4 ELSE 0 END
+                      + CASE WHEN vd >= 9 THEN 8 ELSE 0 END) AS idx,
+                     (va + vb + vc + vd) >= 36 AS cin
+              FROM quads
+            ),
+            m(idx, seg, cc, e1, e2) AS (VALUES {SQL_CONTOUR_CASES}),
+            j AS (
+              SELECT q.qx, q.qy, q.va, q.vb, q.vc, q.vd, m.seg, m.e1, m.e2
+              FROM q JOIN m ON m.idx = q.idx
+              WHERE q.idx > 0 AND q.idx < 15
+                AND (m.cc = 0 OR (m.cc = 1 AND q.cin) OR (m.cc = -1 AND NOT q.cin))
+            )
+            SELECT qx, qy, seg,
+                   round(-180.0 + (({_contour_edge_sql('x', 'e1')}) + 0.5) * 5.0, 6) AS x1,
+                   round(-85.0 + (({_contour_edge_sql('y', 'e1')}) + 0.5) * 5.0, 6) AS y1,
+                   round(-180.0 + (({_contour_edge_sql('x', 'e2')}) + 0.5) * 5.0, 6) AS x2,
+                   round(-85.0 + (({_contour_edge_sql('y', 'e2')}) + 0.5) * 5.0, 6) AS y2
+            FROM j
         """,
         "chi2": """
             WITH cells AS (

@@ -43,6 +43,20 @@ __all__ = [
     "quadkey_pyramid",
     "raster_algebra",
     "zonal_stats",
+    "contour_segments",
+]
+
+# marching-squares case table: (case index, segment slot, center rule,
+# edge pair) with edges B=0 R=1 T=2 L=3 and corner bits a(bl)=1 b(br)=2
+# c(tr)=4 d(tl)=8. Center rule: 0 = unconditional, 1 = only when the
+# quad's corner sum >= 4·threshold (saddle connects through the
+# center), -1 = only when it doesn't.
+_MS_CASES = [
+    (1, 0, 0, 0, 3), (2, 0, 0, 0, 1), (3, 0, 0, 1, 3), (4, 0, 0, 1, 2),
+    (5, 0, 1, 2, 3), (5, 1, 1, 0, 1), (5, 0, -1, 0, 3), (5, 1, -1, 1, 2),
+    (6, 0, 0, 0, 2), (7, 0, 0, 2, 3), (8, 0, 0, 2, 3), (9, 0, 0, 0, 2),
+    (10, 0, 1, 0, 3), (10, 1, 1, 1, 2), (10, 0, -1, 0, 1), (10, 1, -1, 2, 3),
+    (11, 0, 0, 1, 2), (12, 0, 0, 1, 3), (13, 0, 0, 0, 1), (14, 0, 0, 0, 3),
 ]
 
 # web-mercator valid latitude (slippy-map convention)
@@ -1134,4 +1148,117 @@ def write_tiles(
         },
         partitions=partitions,
         lineage={**(lineage or {}), "commit_rows": total_rows},
+    )
+
+
+def contour_segments(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    threshold: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Marching-squares isoline extraction at integer ``threshold``
+    over the width×height count grid — the vector dual of the
+    reference's DensityScan heatmap (cell values sampled at CELL
+    CENTERS; a node is "inside" when its count >= threshold; nodes
+    outside the data are 0, so contours close around the data).
+
+    Shape: the density_grid aggregate, a 4-role corner explode
+    (each occupied cell feeds the 4 quads it corners — the
+    _kernel_spread idea at radius bounded to the 2×2 quad), one hash
+    aggregate per quad, then an equi-join against the BROADCAST 20-row
+    marching-squares case table (_MS_CASES) — saddle cases (5/10)
+    resolve by the exact integer corner-sum-vs-4·threshold center
+    rule. Edge crossings interpolate t = (T−v0)/(v1−v0) — a single
+    division of exact integers, so endpoints are deterministic; output
+    lon/lat round 6. No UDF, no window; the only shuffle is the quad
+    aggregate. Output: (qx, qy, seg, x1, y1, x2, y2).
+    """
+    x0, y0, x1g, y1g = bbox
+    dx = (x1g - x0) / width
+    dy = (y1g - y0) / height
+    t_lit = int(threshold)
+    g = density_grid(points, bbox, width, height).select("ix", "iy", "cnt")
+    roles = g.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ix").alias("qx"), F.col("iy").alias("qy"),
+                         F.lit(0).alias("role")),
+                F.struct((F.col("ix") - 1).alias("qx"), F.col("iy").alias("qy"),
+                         F.lit(1).alias("role")),
+                F.struct((F.col("ix") - 1).alias("qx"), (F.col("iy") - 1).alias("qy"),
+                         F.lit(2).alias("role")),
+                F.struct(F.col("ix").alias("qx"), (F.col("iy") - 1).alias("qy"),
+                         F.lit(3).alias("role")),
+            )
+        ).alias("r"),
+        F.col("cnt"),
+    ).select("r.qx", "r.qy", "r.role", "cnt")
+    quads = roles.groupBy("qx", "qy").agg(
+        F.coalesce(F.sum(F.when(F.col("role") == 0, F.col("cnt"))), F.lit(0)).alias("va"),
+        F.coalesce(F.sum(F.when(F.col("role") == 1, F.col("cnt"))), F.lit(0)).alias("vb"),
+        F.coalesce(F.sum(F.when(F.col("role") == 2, F.col("cnt"))), F.lit(0)).alias("vc"),
+        F.coalesce(F.sum(F.when(F.col("role") == 3, F.col("cnt"))), F.lit(0)).alias("vd"),
+    )
+    t = F.lit(t_lit).cast("long")
+    idx = (
+        F.when(F.col("va") >= t, 1).otherwise(0)
+        + F.when(F.col("vb") >= t, 2).otherwise(0)
+        + F.when(F.col("vc") >= t, 4).otherwise(0)
+        + F.when(F.col("vd") >= t, 8).otherwise(0)
+    )
+    center_in = (F.col("va") + F.col("vb") + F.col("vc") + F.col("vd")) >= F.lit(
+        4 * t_lit
+    ).cast("long")
+    q = quads.withColumn("idx", idx).withColumn("cin", center_in).where(
+        (F.col("idx") > 0) & (F.col("idx") < 15)
+    )
+    spark = points.sparkSession
+    cases = spark.createDataFrame(
+        _MS_CASES, "idx int, seg int, cc int, e1 int, e2 int"
+    )
+    j = q.join(F.broadcast(cases), "idx").where(
+        (F.col("cc") == 0)
+        | ((F.col("cc") == 1) & F.col("cin"))
+        | ((F.col("cc") == -1) & ~F.col("cin"))
+    )
+    tb = (t - F.col("va")).cast("double") / (F.col("vb") - F.col("va")).cast("double")
+    tr = (t - F.col("vb")).cast("double") / (F.col("vc") - F.col("vb")).cast("double")
+    tt = (t - F.col("vd")).cast("double") / (F.col("vc") - F.col("vd")).cast("double")
+    tl = (t - F.col("va")).cast("double") / (F.col("vd") - F.col("va")).cast("double")
+
+    def _gx(e):
+        return (
+            F.when(e == 0, F.col("qx").cast("double") + tb)
+            .when(e == 1, (F.col("qx") + 1).cast("double"))
+            .when(e == 2, F.col("qx").cast("double") + tt)
+            .otherwise(F.col("qx").cast("double"))
+        )
+
+    def _gy(e):
+        return (
+            F.when(e == 0, F.col("qy").cast("double"))
+            .when(e == 1, F.col("qy").cast("double") + tr)
+            .when(e == 2, (F.col("qy") + 1).cast("double"))
+            .otherwise(F.col("qy").cast("double") + tl)
+        )
+
+    def _geo_x(gx):
+        return F.round(F.lit(x0) + (gx + F.lit(0.5)) * F.lit(dx), 6)
+
+    def _geo_y(gy):
+        return F.round(F.lit(y0) + (gy + F.lit(0.5)) * F.lit(dy), 6)
+
+    e1, e2 = F.col("e1"), F.col("e2")
+    return j.select(
+        "qx",
+        "qy",
+        "seg",
+        _geo_x(_gx(e1)).alias("x1"),
+        _geo_y(_gy(e1)).alias("y1"),
+        _geo_x(_gx(e2)).alias("x2"),
+        _geo_y(_gy(e2)).alias("y2"),
     )

@@ -1536,6 +1536,39 @@ class TestRound5Operators:
         with pytest.raises(ValueError):
             ewma_bins(df, 3600, alpha=0.0)
 
+    def test_contour_single_hot_node_diamond(self, spark):
+        """One hot cell (10 pts, T=5) on a 10×10 unit grid: the isoline
+        is a diamond through the 4 edge midpoints around node (5,5) —
+        cell-center geo coords, so midpoints sit at ±0.5 around 5.5."""
+        from geomesa_spark.operators.tiles import contour_segments
+
+        df = spark.createDataFrame([(5.2, 5.2)] * 10, "lon double, lat double")
+        out = contour_segments(df, (0.0, 0.0, 10.0, 10.0), 10, 10, 5).collect()
+        segs = {(r.qx, r.qy): (r.x1, r.y1, r.x2, r.y2) for r in out}
+        assert len(out) == 4
+        assert segs[(5, 5)] == (6.0, 5.5, 5.5, 6.0)  # bottom→left cut of corner a
+        assert segs[(4, 5)] == (5.0, 5.5, 5.5, 6.0)
+        assert segs[(4, 4)] == (5.5, 5.0, 5.0, 5.5)
+        assert segs[(5, 4)] == (6.0, 5.5, 5.5, 5.0)
+
+    def test_contour_saddle_center_rule(self, spark):
+        """Diagonal hot nodes (5,5) and (6,6) make quad (5,5) case 5
+        with corner sum 20 = 4T — center counts as inside, so the two
+        segments cut the OUTSIDE corners (top-left and bottom-right)."""
+        from geomesa_spark.operators.tiles import contour_segments
+
+        df = spark.createDataFrame(
+            [(5.2, 5.2)] * 10 + [(6.2, 6.2)] * 10, "lon double, lat double"
+        )
+        out = contour_segments(df, (0.0, 0.0, 10.0, 10.0), 10, 10, 5).collect()
+        saddle = sorted(
+            ((r.seg, r.x1, r.y1, r.x2, r.y2) for r in out if (r.qx, r.qy) == (5, 5))
+        )
+        assert saddle == [
+            (0, 6.0, 6.5, 5.5, 6.0),  # top→left pair cuts corner d
+            (1, 6.0, 5.5, 6.5, 6.0),  # bottom→right pair cuts corner b
+        ]
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
