@@ -2829,6 +2829,15 @@ def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope dissolve over the 500-rect layer — cell-cover pair
+    fence + pointer-jumping CC + min/max merge (no float sums)."""
+    from geomesa_spark.operators.tiles import dissolve_envelopes
+    from geomesa_spark.tables import rect_layer
+
+    return dissolve_envelopes(rect_layer(spark, N_RECTS))
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3189,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,
         "ewma": q_ewma,
         "contour": q_contour,
+        "dissolve": q_dissolve,
     }
 
 
@@ -5777,6 +5787,42 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN f ON f.i = e.i + 1
             )
             SELECT bin, c, round(s, 6) AS ewma FROM e
+        """,
+        "dissolve": f"""
+            WITH RECURSIVE {SQL_RECTS},
+            cell AS (
+              SELECT rect_id, min_lon, min_lat, max_lon, max_lat, cx.v AS cx, cy.v AS cy
+              FROM rects_env
+              CROSS JOIN LATERAL unnest(generate_series(
+                CAST(floor(min_lon / 5.0) AS BIGINT),
+                CAST(floor(max_lon / 5.0) AS BIGINT))) AS cx(v)
+              CROSS JOIN LATERAL unnest(generate_series(
+                CAST(floor(min_lat / 5.0) AS BIGINT),
+                CAST(floor(max_lat / 5.0) AS BIGINT))) AS cy(v)
+            ),
+            prs AS (
+              SELECT DISTINCT a.rect_id AS s, b.rect_id AS d
+              FROM cell a JOIN cell b
+                ON a.cx = b.cx AND a.cy = b.cy AND a.rect_id < b.rect_id
+              WHERE a.min_lon <= b.max_lon AND b.min_lon <= a.max_lon
+                AND a.min_lat <= b.max_lat AND b.min_lat <= a.max_lat
+            ),
+            edges AS (SELECT s, d FROM prs UNION SELECT d, s FROM prs),
+            reach (node, lbl) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node
+            ),
+            lab AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node),
+            alln AS (
+              SELECT coalesce(l.label, r.rect_id) AS cluster,
+                     r.min_lon, r.min_lat, r.max_lon, r.max_lat
+              FROM rects_env r LEFT JOIN lab l ON l.node = r.rect_id
+            )
+            SELECT cluster, CAST(count(*) AS BIGINT) AS n_rects,
+                   min(min_lon) AS min_lon, min(min_lat) AS min_lat,
+                   max(max_lon) AS max_lon, max(max_lat) AS max_lat
+            FROM alln GROUP BY cluster
         """,
         "contour": f"""
             WITH {SQL_PTS},

@@ -44,6 +44,7 @@ __all__ = [
     "raster_algebra",
     "zonal_stats",
     "contour_segments",
+    "dissolve_envelopes",
 ]
 
 # marching-squares case table: (case index, segment slot, center rule,
@@ -1261,4 +1262,76 @@ def contour_segments(
         _geo_y(_gy(e1)).alias("y1"),
         _geo_x(_gx(e2)).alias("x2"),
         _geo_y(_gy(e2)).alias("y2"),
+    )
+
+
+def dissolve_envelopes(
+    rects: DataFrame,
+    cell_deg: float = 5.0,
+    id_col: str = "rect_id",
+) -> DataFrame:
+    """Envelope dissolve (the ST_Union/dissolve analogue at envelope
+    resolution): merge transitively-overlapping rectangles into
+    clusters and report each cluster's member count + merged envelope.
+    Boundary touches count as overlap (closed envelopes).
+
+    Shape: candidate pairs come from a cell-cover equi-join on a
+    ``cell_deg`` grid (each rect explodes to the cells its envelope
+    spans — the rasterize_coverage fence; NEVER an all-pairs product),
+    refined by the exact envelope-overlap test; connected components
+    run through dedup_clusters' pointer-jumping HashMin (bounded
+    rounds, raises on non-convergence); singletons rejoin via a left
+    join with label = own id. Envelope merge is min/max only — no
+    float summation, so the result is bit-deterministic. Output:
+    (cluster, n_rects, min_lon, min_lat, max_lon, max_lat).
+    """
+    from geomesa_spark.operators.dedup import dedup_clusters
+
+    env = rects.select(
+        F.col(id_col).alias("rid"), "min_lon", "min_lat", "max_lon", "max_lat"
+    )
+    cells = env.select(
+        "rid", "min_lon", "min_lat", "max_lon", "max_lat",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("min_lon") / cell_deg).cast("long"),
+                F.floor(F.col("max_lon") / cell_deg).cast("long"),
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("min_lat") / cell_deg).cast("long"),
+                F.floor(F.col("max_lat") / cell_deg).cast("long"),
+            )
+        ).alias("cy"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .where(
+            (F.col("a.min_lon") <= F.col("b.max_lon"))
+            & (F.col("b.min_lon") <= F.col("a.max_lon"))
+            & (F.col("a.min_lat") <= F.col("b.max_lat"))
+            & (F.col("b.min_lat") <= F.col("a.max_lat"))
+        )
+        .select(F.col("a.rid").alias("key_a"), F.col("b.rid").alias("key_b"))
+    )
+    labels = dedup_clusters(pairs)
+    merged = env.join(labels, env["rid"] == labels["node"], "left").select(
+        F.coalesce(F.col("label"), F.col("rid")).alias("cluster"),
+        "min_lon", "min_lat", "max_lon", "max_lat",
+    )
+    return merged.groupBy("cluster").agg(
+        F.count("*").alias("n_rects"),
+        F.min("min_lon").alias("min_lon"),
+        F.min("min_lat").alias("min_lat"),
+        F.max("max_lon").alias("max_lon"),
+        F.max("max_lat").alias("max_lat"),
     )

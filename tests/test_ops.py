@@ -1569,6 +1569,30 @@ class TestRound5Operators:
             (1, 6.0, 5.5, 6.5, 6.0),  # bottom→right pair cuts corner b
         ]
 
+    def test_dissolve_envelopes_chain_and_singleton(self, spark):
+        """A–B overlap, B–C touch at an edge (closed envelopes merge),
+        D is disjoint: clusters {A,B,C} with the union envelope and
+        {D} alone."""
+        from geomesa_spark.operators.tiles import dissolve_envelopes
+
+        df = spark.createDataFrame(
+            [
+                ("a", 0.0, 0.0, 2.0, 2.0),
+                ("b", 1.0, 1.0, 3.0, 3.0),
+                ("c", 3.0, 0.0, 4.0, 4.0),  # touches b at lon=3
+                ("d", 20.0, 20.0, 21.0, 21.0),
+            ],
+            "rect_id string, min_lon double, min_lat double, "
+            "max_lon double, max_lat double",
+        )
+        out = {r.cluster: r for r in dissolve_envelopes(df).collect()}
+        assert set(out) == {"a", "d"}
+        assert out["a"].n_rects == 3
+        assert (
+            out["a"].min_lon, out["a"].min_lat, out["a"].max_lon, out["a"].max_lat
+        ) == (0.0, 0.0, 4.0, 4.0)
+        assert out["d"].n_rects == 1
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
