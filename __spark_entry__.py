@@ -2838,6 +2838,35 @@ def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dissolve_envelopes(rect_layer(spark, N_RECTS))
 
 
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ANTI join: geo spans outside every rect envelope — one
+    LEFT ANTI hash join on the cell key, containment as residual."""
+    from geomesa_spark.operators.joins import envelope_anti_join
+    from geomesa_spark.tables import rect_layer
+
+    return envelope_anti_join(_points(spark, sf_dir), rect_layer(spark, N_RECTS))
+
+
+def q_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen relation between each user's click span and view span —
+    exact epoch-micros comparisons, first-match CASE."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.temporal import allen_relations
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def span(t):
+        return (
+            ev.where(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+        )
+
+    return allen_relations(span("click"), span("view"), "user_id")
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3199,6 +3228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "contour": q_contour,
         "dissolve": q_dissolve,
+        "anti_join": q_anti_join,
+        "allen": q_allen,
     }
 
 
@@ -3280,6 +3311,15 @@ def _hex_ring_join_sql() -> str:
           ON (abs(p.hq - q.hq) + abs(p.hr - q.hr)
               + abs((p.hq + p.hr) - (q.hq + q.hr))) / 2 <= 2
     """
+
+
+def _allen_case_sql() -> str:
+    """WHEN branches for the Allen classification, generated from the
+    SAME ordered list the engine compiles (temporal._ALLEN_CASES) so
+    first-match semantics agree by construction."""
+    from geomesa_spark.operators.temporal import _ALLEN_CASES
+
+    return " ".join(f"WHEN {cond} THEN '{name}'" for name, cond in _ALLEN_CASES)
 
 
 def _contour_edge_sql(axis: str, e: str) -> str:
@@ -5787,6 +5827,29 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN f ON f.i = e.i + 1
             )
             SELECT bin, c, round(s, 6) AS ewma FROM e
+        """,
+        "anti_join": f"""
+            WITH {SQL_PTS}, {SQL_RECTS}
+            SELECT p.doc_id, p.span_offset, p.lon, p.lat
+            FROM pts p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM rects_env e
+              WHERE p.lon >= e.min_lon AND p.lon <= e.max_lon
+                AND p.lat >= e.min_lat AND p.lat <= e.max_lat
+            )
+        """,
+        "allen": f"""
+            WITH c AS (
+              SELECT user_id, epoch_us(min(ts)) AS ls, epoch_us(max(ts)) AS le
+              FROM events WHERE event_type = 'click' GROUP BY 1
+            ),
+            v AS (
+              SELECT user_id, epoch_us(min(ts)) AS rs, epoch_us(max(ts)) AS re
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            )
+            SELECT c.user_id, ls, le, rs, re,
+                   CASE {_allen_case_sql()} END AS relation
+            FROM c JOIN v USING (user_id)
         """,
         "dissolve": f"""
             WITH RECURSIVE {SQL_RECTS},

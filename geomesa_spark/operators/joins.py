@@ -43,6 +43,7 @@ __all__ = [
     "tube_select",
     "densify_track",
     "attribute_join",
+    "envelope_anti_join",
 ]
 
 METERS_PER_DEG_LAT = 111_195.0  # spherical: pi/180 * R
@@ -712,3 +713,59 @@ def attribute_join(
     if broadcast:
         keys = F.broadcast(keys)
     return records.join(keys, on=fid_col, how="inner")
+
+
+def envelope_anti_join(
+    points: DataFrame,
+    rects: DataFrame,
+    cell_deg: float = 5.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spatial ANTI join: points contained by NO rectangle envelope
+    (boundary-inclusive) — the negative-space complement of the
+    points-in-polys join (ECQL `NOT (bbox OR bbox …)` / DISJOINT-from-
+    layer), e.g. "events outside every service area".
+
+    One LEFT ANTI hash join: the rect side explodes its cell cover on
+    a ``cell_deg`` grid (bounded fan-out like dissolve_envelopes), the
+    point side computes its single cell, and the exact containment
+    test rides as the join residual — a point survives only if no
+    (cell-colocated) rect contains it. Containment implies the rect's
+    cover includes the point's cell, so no false survivors; no
+    distinct, no second pass, and the anti join shuffles only on the
+    integer cell key. Output: the point rows unchanged.
+    """
+    cover = rects.select(
+        F.col("min_lon").alias("__x0"), F.col("min_lat").alias("__y0"),
+        F.col("max_lon").alias("__x1"), F.col("max_lat").alias("__y1"),
+    )
+    cover = cover.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__x0") / cell_deg).cast("long"),
+                F.floor(F.col("__x1") / cell_deg).cast("long"),
+            )
+        ).alias("__cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__y0") / cell_deg).cast("long"),
+                F.floor(F.col("__y1") / cell_deg).cast("long"),
+            )
+        ).alias("__cy"),
+    )
+    px = F.floor(F.col(lon) / cell_deg).cast("long")
+    py = F.floor(F.col(lat) / cell_deg).cast("long")
+    p = points.withColumn("__cx", px).withColumn("__cy", py)
+    cond = (
+        (p["__cx"] == cover["__cx"])
+        & (p["__cy"] == cover["__cy"])
+        & (p[lon] >= cover["__x0"])
+        & (p[lon] <= cover["__x1"])
+        & (p[lat] >= cover["__y0"])
+        & (p[lat] <= cover["__y1"])
+    )
+    return p.join(cover, cond, "left_anti").drop("__cx", "__cy")

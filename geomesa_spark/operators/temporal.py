@@ -33,6 +33,27 @@ __all__ = [
     "cohort_retention",
     "cusum_changepoint",
     "ewma_bins",
+    "allen_relations",
+]
+
+# Allen's 13 interval relations, classified from exact integer
+# comparisons of (ls, le) vs (rs, re) — the complete algebra behind the
+# OGC/ECQL temporal operators (BEFORE/AFTER/DURING/TEQUALS plus the
+# MEETS/OVERLAPS family GeoTools' filter spec names).
+_ALLEN_CASES = [
+    ("equals", "ls = rs AND le = re"),
+    ("before", "le < rs"),
+    ("after", "re < ls"),
+    ("meets", "le = rs"),
+    ("met_by", "re = ls"),
+    ("starts", "ls = rs AND le < re"),
+    ("started_by", "ls = rs AND re < le"),
+    ("finishes", "le = re AND rs < ls"),
+    ("finished_by", "le = re AND ls < rs"),
+    ("during", "rs < ls AND le < re"),
+    ("contains", "ls < rs AND re < le"),
+    ("overlaps", "ls < rs AND rs < le AND le < re"),
+    ("overlapped_by", "rs < ls AND ls < re AND re < le"),
 ]
 
 
@@ -267,6 +288,50 @@ def ewma_bins(
         F.col("e.bin").alias("bin"),
         F.col("e.c").alias("c"),
         F.round(F.col("e.s"), 6).alias("ewma"),
+    )
+
+
+def allen_relations(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+) -> DataFrame:
+    """Classify each (left, right) interval pair sharing the ``on`` key
+    into its Allen relation — the full 13-relation algebra generalizing
+    the reference's ECQL temporal predicates (DURING / BEFORE / AFTER /
+    TEQUALS and the GeoTools Meets/TOverlaps family) from
+    interval-vs-literal filters to an interval×interval join.
+
+    One equi-join on the key (the pair fence — never a time-range
+    nested loop), then a first-match CASE over exact epoch-micros
+    integer comparisons: for non-degenerate intervals (start < end) the
+    13 relations are mutually exclusive and exhaustive; zero-length
+    intervals resolve deterministically by the fixed match order. Total
+    and float-free. Output: key + (ls, le, rs, re) micros + relation.
+    """
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.expr(f"unix_micros(CAST({left_start} AS TIMESTAMP))").alias("ls"),
+        F.expr(f"unix_micros(CAST({left_end} AS TIMESTAMP))").alias("le"),
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.expr(f"unix_micros(CAST({right_start} AS TIMESTAMP))").alias("rs"),
+        F.expr(f"unix_micros(CAST({right_end} AS TIMESTAMP))").alias("re"),
+    )
+    case = "CASE " + " ".join(
+        f"WHEN {cond} THEN '{name}'" for name, cond in _ALLEN_CASES
+    ) + " END"
+    return (
+        l.join(r, "__k")
+        .select(
+            F.col("__k").alias(on), "ls", "le", "rs", "re",
+            F.expr(case).alias("relation"),
+        )
     )
 
 

@@ -1593,6 +1593,80 @@ class TestRound5Operators:
         ) == (0.0, 0.0, 4.0, 4.0)
         assert out["d"].n_rects == 1
 
+    def test_envelope_anti_join(self, spark):
+        """Inside point and boundary point are dropped (closed
+        envelopes); far point and same-cell-but-outside point
+        survive."""
+        from geomesa_spark.operators.joins import envelope_anti_join
+
+        pts = spark.createDataFrame(
+            [
+                ("in", 0.5, 0.5),
+                ("edge", 1.0, 1.0),     # on the rect corner → contained
+                ("near", 1.5, 1.5),     # same 5° cell, outside
+                ("far", 50.0, 50.0),
+            ],
+            "pid string, lon double, lat double",
+        )
+        rects = spark.createDataFrame(
+            [("r", 0.0, 0.0, 1.0, 1.0)],
+            "rect_id string, min_lon double, min_lat double, "
+            "max_lon double, max_lat double",
+        )
+        out = {r.pid for r in envelope_anti_join(pts, rects).collect()}
+        assert out == {"near", "far"}
+
+    def test_envelope_anti_join_rect_spans_cells(self, spark):
+        """A rect spanning a cell boundary still blocks points in BOTH
+        cells (cover explode), and keeps its own outside corners."""
+        from geomesa_spark.operators.joins import envelope_anti_join
+
+        pts = spark.createDataFrame(
+            [("a", 4.9, 0.5), ("b", 5.1, 0.5), ("c", 7.0, 0.5)],
+            "pid string, lon double, lat double",
+        )
+        rects = spark.createDataFrame(
+            [("r", 4.0, 0.0, 6.0, 1.0)],
+            "rect_id string, min_lon double, min_lat double, "
+            "max_lon double, max_lat double",
+        )
+        out = {r.pid for r in envelope_anti_join(pts, rects).collect()}
+        assert out == {"c"}
+
+    def test_allen_relations_all_pairings(self, spark):
+        """One keyed pair per classic Allen shape."""
+        from datetime import datetime
+
+        from geomesa_spark.operators.temporal import allen_relations
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        h = lambda k: datetime(2024, 1, 1, k)  # noqa: E731
+        shapes = {
+            "before": ((0, 1), (2, 3)),
+            "meets": ((0, 2), (2, 3)),
+            "overlaps": ((0, 2), (1, 3)),
+            "starts": ((1, 2), (1, 3)),
+            "during": ((2, 3), (1, 4)),
+            "finishes": ((2, 4), (1, 4)),
+            "equals": ((1, 2), (1, 2)),
+            "after": ((3, 4), (1, 2)),
+            "met_by": ((2, 3), (1, 2)),
+            "contains": ((0, 5), (1, 2)),
+            "overlapped_by": ((1, 3), (0, 2)),
+            "started_by": ((1, 4), (1, 2)),
+            "finished_by": ((1, 4), (2, 4)),
+        }
+        left = spark.createDataFrame(
+            [(k, h(a), h(b)) for k, ((a, b), _) in shapes.items()],
+            "k string, start timestamp, end timestamp",
+        )
+        right = spark.createDataFrame(
+            [(k, h(a), h(b)) for k, (_, (a, b)) in shapes.items()],
+            "k string, start timestamp, end timestamp",
+        )
+        out = {r.k: r.relation for r in allen_relations(left, right, "k").collect()}
+        assert out == {k: k for k in shapes}
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
