@@ -2867,6 +2867,40 @@ def q_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allen_relations(span("click"), span("view"), "user_id")
 
 
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 6-hour event debounce per user — per-key seeded fold,
+    recursive-CTE oracle (min-ts chaining)."""
+    from geomesa_spark.operators.temporal import debounce
+
+    _utc(spark)
+    return debounce(spark.read.parquet(f"{sf_dir}/events.parquet"), 21600)
+
+
+def q_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: purchase×error event pairs with |Δvalue| <= 0.05 —
+    bucket-fenced equi join, exact residual."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.joins import band_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    l = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"), "value"
+    )
+    r = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"), "value"
+    )
+    return band_join(l, r, "a_id", "b_id", eps=0.05)
+
+
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the 64 embedding dims —
+    pair posexplode + decimal-exact sums, broadcast mean join."""
+    from geomesa_spark.operators.ann import embedding_covariance
+
+    return embedding_covariance(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3230,6 +3264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve": q_dissolve,
         "anti_join": q_anti_join,
         "allen": q_allen,
+        "debounce": q_debounce,
+        "band": q_band,
+        "embed_cov": q_embed_cov,
     }
 
 
@@ -5827,6 +5864,63 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN f ON f.i = e.i + 1
             )
             SELECT bin, c, round(s, 6) AS ewma FROM e
+        """,
+        "debounce": """
+            WITH RECURSIVE e AS (
+              SELECT user_id AS k, epoch_us(ts) AS t FROM events
+            ),
+            seed AS (SELECT k, min(t) AS t FROM e GROUP BY 1),
+            keep(k, t) AS (
+              SELECT k, t FROM seed
+              UNION ALL
+              SELECT j.k,
+                     (SELECT min(e.t) FROM e
+                      WHERE e.k = j.k AND e.t >= j.t + 21600000000)
+              FROM keep j
+              WHERE EXISTS (SELECT 1 FROM e
+                            WHERE e.k = j.k AND e.t >= j.t + 21600000000)
+            )
+            SELECT k AS user_id, t AS ts_us FROM keep
+        """,
+        "band": """
+            WITH l AS (
+              SELECT event_id AS a_id, value AS v_l,
+                     CAST(floor(value / 0.05e0) AS BIGINT) AS b
+              FROM events WHERE event_type = 'purchase'
+            ),
+            r AS (
+              SELECT event_id AS b_id, value AS v_r,
+                     CAST(floor(value / 0.05e0) AS BIGINT) + d.d AS b
+              FROM events CROSS JOIN (VALUES (-1), (0), (1)) AS d(d)
+              WHERE event_type = 'error'
+            )
+            SELECT a_id, b_id, v_l, v_r, round(abs(v_l - v_r), 6) AS diff
+            FROM l JOIN r USING (b)
+            WHERE abs(v_l - v_r) <= 0.05e0
+        """,
+        "embed_cov": """
+            WITH e AS (SELECT embedding AS v FROM embeddings),
+            a AS (
+              SELECT v, i.i AS i, CAST(v[i.i + 1] AS DOUBLE) AS xi
+              FROM e CROSS JOIN LATERAL unnest(generate_series(0, len(v) - 1)) AS i(i)
+            ),
+            p AS (
+              SELECT i, j.j AS j, xi, CAST(v[j.j + 1] AS DOUBLE) AS xj
+              FROM a CROSS JOIN LATERAL unnest(generate_series(i, len(v) - 1)) AS j(j)
+            ),
+            s2 AS (
+              SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(xi * xj AS DECIMAL(30,12))) AS sxy
+              FROM p GROUP BY 1, 2
+            ),
+            s1 AS (
+              SELECT i, sum(CAST(xi AS DECIMAL(30,12))) AS s FROM a GROUP BY 1
+            )
+            SELECT s2.i, s2.j, s2.n,
+                   round(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(si.s AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sj.s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cov
+            FROM s2 JOIN s1 si ON si.i = s2.i JOIN s1 sj ON sj.i = s2.j
         """,
         "anti_join": f"""
             WITH {SQL_PTS}, {SQL_RECTS}

@@ -34,6 +34,7 @@ __all__ = [
     "ivf_topk",
     "train_ivf_centroids",
     "cosine_dup_pairs",
+    "embedding_covariance",
 ]
 
 MIX = 2_654_435_761
@@ -616,4 +617,50 @@ def cosine_dup_pairs(
         cand.withColumn("sim_r", F.round(sim, round_digits))
         .where(F.col("sim_r") >= threshold)
         .select("key_a", "key_b", "sim_r")
+    )
+
+
+def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Population covariance matrix of the embedding dimensions — the
+    PCA/whitening precursor of an embedding pipeline (and the input a
+    Mahalanobis near-dup metric needs).
+
+    Upper triangle only (i <= j): each vector posexplodes its dims,
+    then a second posexplode over slice(v, i+1, d-i) yields the pair
+    products — a d(d+1)/2 fan-out that map-side partials collapse
+    BEFORE the shuffle, so only (#partitions x d^2/2) partial rows
+    move. Products are computed in double (one rounding) and summed as
+    DECIMAL(30,12) — order-independent; dim means join back broadcast
+    (d rows). cov = Sxy/n - (Si/n)(Sj/n), round 6. Output: (i, j, n,
+    cov).
+    """
+    e = emb.select(F.col(vec_col).alias("v"))
+    a = e.select("v", F.posexplode("v").alias("i", "xi")).select(
+        "v", "i", F.col("xi").cast("double").alias("xi")
+    )
+    p = a.select(
+        "i",
+        "xi",
+        F.expr("posexplode(slice(v, i + 1, size(v) - i))").alias("dj", "xj"),
+    ).select(
+        "i",
+        (F.col("i") + F.col("dj")).alias("j"),
+        "xi",
+        F.col("xj").cast("double").alias("xj"),
+    )
+    s2 = p.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("xi") * F.col("xj")).cast("decimal(30,12)")).alias("sxy"),
+    )
+    s1 = a.groupBy("i").agg(F.sum(F.col("xi").cast("decimal(30,12)")).alias("s"))
+    si = s1.select(F.col("i").alias("__i"), F.col("s").alias("__si"))
+    sj = s1.select(F.col("i").alias("__j"), F.col("s").alias("__sj"))
+    n = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") / n - (
+        F.col("__si").cast("double") / n
+    ) * (F.col("__sj").cast("double") / n)
+    return (
+        s2.join(F.broadcast(si), s2["i"] == si["__i"])
+        .join(F.broadcast(sj), s2["j"] == sj["__j"])
+        .select("i", "j", "n", F.round(cov, 6).alias("cov"))
     )

@@ -44,6 +44,7 @@ __all__ = [
     "densify_track",
     "attribute_join",
     "envelope_anti_join",
+    "band_join",
 ]
 
 METERS_PER_DEG_LAT = 111_195.0  # spherical: pi/180 * R
@@ -769,3 +770,50 @@ def envelope_anti_join(
         & (p[lat] <= cover["__y1"])
     )
     return p.join(cover, cond, "left_anti").drop("__cx", "__cy")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    value_col: str = "value",
+    eps: float = 1.0,
+) -> DataFrame:
+    """1-D band (inequality) join: pairs with |left.value - right.value|
+    <= eps — the numeric sibling of DWITHIN and the knox_test time leg,
+    exposed as its own operator (Catalyst would plan the raw theta join
+    as a nested loop).
+
+    Bucketing fence: bucket = floor(v / eps); the right side explodes
+    to {b-1, b, b+1}, the join is an EQUI join on the bucket (hash,
+    scalable), the exact |diff| <= eps test is the residual. A left row
+    has ONE bucket and the right explode's three buckets are distinct,
+    so each qualifying pair appears exactly once - no dedup. Output:
+    (left_id, right_id, v_l, v_r, diff round 6).
+    """
+    lb = F.floor(F.col("v_l") / eps).cast("long")
+    l = left.select(F.col(left_id), F.col(value_col).alias("v_l")).withColumn(
+        "__b", lb
+    )
+    r = right.select(F.col(right_id), F.col(value_col).alias("v_r")).withColumn(
+        "__b",
+        F.explode(
+            F.array(
+                F.floor(F.col("v_r") / eps).cast("long") - 1,
+                F.floor(F.col("v_r") / eps).cast("long"),
+                F.floor(F.col("v_r") / eps).cast("long") + 1,
+            )
+        ),
+    )
+    return (
+        l.join(r, "__b")
+        .where(F.abs(F.col("v_l") - F.col("v_r")) <= eps)
+        .select(
+            left_id,
+            right_id,
+            "v_l",
+            "v_r",
+            F.round(F.abs(F.col("v_l") - F.col("v_r")), 6).alias("diff"),
+        )
+    )

@@ -34,6 +34,7 @@ __all__ = [
     "cusum_changepoint",
     "ewma_bins",
     "allen_relations",
+    "debounce",
 ]
 
 # Allen's 13 interval relations, classified from exact integer
@@ -423,6 +424,45 @@ def funnel_depths(
         seq.select(depth.alias("depth"))
         .groupBy("depth")
         .agg(F.count("*").alias("n_keys"))
+    )
+
+
+def debounce(
+    events: DataFrame,
+    cooldown_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Greedy per-key event debouncing (rate limiting / alert
+    throttling): keep an event iff it is at least ``cooldown_seconds``
+    after the PREVIOUSLY KEPT event — always the key's first event,
+    then the earliest event past each cooldown. NOT expressible as a
+    lag() window: whether a row survives depends on which earlier rows
+    survived, so the chain is a per-key fold.
+
+    Spark shape: ONE groupBy collects the sorted epoch-micros array
+    (bounded by per-key event count — the funnel_depths contract),
+    seeded-fold keeps the chain (no accumulator-conditional branch on
+    an empty seed), explode returns the kept rows. Exact integer
+    comparisons end-to-end. The DuckDB oracle replays the chain as a
+    recursive CTE (min-ts chaining), NOT list_reduce — the same DuckDB
+    1.0 defect funnel_depths documents. Output: (key, ts_us).
+    """
+    c_us = int(cooldown_seconds) * 1_000_000
+    seq = events.select(
+        F.col(key_col).alias("__k"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("__t"),
+    ).groupBy("__k").agg(F.sort_array(F.collect_list("__t")).alias("arr"))
+    kept = F.expr(
+        f"""
+        aggregate(
+          slice(arr, 2, size(arr) - 1),
+          array(element_at(arr, 1)),
+          (a, x) -> IF(x >= element_at(a, -1) + {c_us}L, concat(a, array(x)), a))
+        """
+    )
+    return seq.select(
+        F.col("__k").alias(key_col), F.explode(kept).alias("ts_us")
     )
 
 

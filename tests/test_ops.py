@@ -1667,6 +1667,46 @@ class TestRound5Operators:
         out = {r.k: r.relation for r in allen_relations(left, right, "k").collect()}
         assert out == {k: k for k in shapes}
 
+    def test_debounce_greedy_chain(self, spark):
+        """Events at 0/10/30/65 s, cooldown 30 s: keep 0 (first), drop
+        10, keep 30 (>= 0+30), keep 65 (>= 30+30)."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import debounce
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0 + timedelta(seconds=s)) for s in (0, 10, 30, 65)],
+            "user_id long, ts timestamp",
+        )
+        base = int(t0.timestamp()) * 1_000_000
+        out = sorted(r.ts_us - base for r in debounce(df, 30).collect())
+        assert out == [0, 30_000_000, 65_000_000]
+
+    def test_band_join_pairs(self, spark):
+        """eps=1: (a1=5.0) pairs with 4.2 and 6.0 (boundary included),
+        not 6.5; bucket fence spans adjacent buckets."""
+        from geomesa_spark.operators.joins import band_join
+
+        l = spark.createDataFrame([("a1", 5.0)], "a_id string, value double")
+        r = spark.createDataFrame(
+            [("b1", 4.2), ("b2", 6.0), ("b3", 6.5)], "b_id string, value double"
+        )
+        out = {(x.a_id, x.b_id): x.diff for x in band_join(l, r, "a_id", "b_id", eps=1.0).collect()}
+        assert out == {("a1", "b1"): 0.8, ("a1", "b2"): 1.0}
+
+    def test_embedding_covariance_2d(self, spark):
+        """Vectors (1,2) and (3,4): population covariance matrix is
+        all-ones; upper triangle only."""
+        from geomesa_spark.operators.ann import embedding_covariance
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<float>"
+        )
+        out = {(r.i, r.j): (r.n, r.cov) for r in embedding_covariance(df).collect()}
+        assert out == {(0, 0): (2, 1.0), (0, 1): (2, 1.0), (1, 1): (2, 1.0)}
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
