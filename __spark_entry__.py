@@ -2901,6 +2901,38 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z: purchase rate of even- vs odd-id users — one
+    conditional aggregate, sqrt-only tail."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.stats import two_proportion_z
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 2 == 0).alias("grp"),
+        (F.col("event_type") == "purchase").alias("succ"),
+    )
+    return two_proportion_z(ev, "grp", "succ")
+
+
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend of hourly event counts over the dense zero-filled
+    axis — five exact integer sums, fixed IEEE tail."""
+    from geomesa_spark.operators.temporal import trend_bins
+
+    _utc(spark)
+    return trend_bins(spark.read.parquet(f"{sf_dir}/events.parquet"), 3600)
+
+
+def q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap stats — one keyed lag window + one
+    hash aggregate, micros-exact."""
+    from geomesa_spark.operators.temporal import inter_arrival
+
+    _utc(spark)
+    return inter_arrival(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3267,6 +3299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce": q_debounce,
         "band": q_band,
         "embed_cov": q_embed_cov,
+        "abtest": q_abtest,
+        "trend": q_trend,
+        "gaps": q_gaps,
     }
 
 
@@ -5864,6 +5899,82 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN f ON f.i = e.i + 1
             )
             SELECT bin, c, round(s, 6) AS ewma FROM e
+        """,
+        "abtest": """
+            WITH agg AS (
+              SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                     CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                     CAST(sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS s2
+              FROM events
+            )
+            SELECT n1, s1, n2, s2,
+                   round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+                   round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2,
+                   round(CASE WHEN n1 > 0 AND n2 > 0 AND
+                       sqrt(((CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                            * (1.0e0 - (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                            * (1.0e0 / CAST(n1 AS DOUBLE) + 1.0e0 / CAST(n2 AS DOUBLE))) > 0.0e0
+                     THEN (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                          / sqrt(((CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                                 * (1.0e0 - (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                                 * (1.0e0 / CAST(n1 AS DOUBLE) + 1.0e0 / CAST(n2 AS DOUBLE)))
+                   END, 6) AS z
+            FROM agg
+        """,
+        "trend": """
+            WITH b AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS bin FROM events),
+            cnt AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+            bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM cnt),
+            dense AS (
+              SELECT bounds.lo, t.b AS bin FROM bounds
+              CROSS JOIN LATERAL unnest(generate_series(lo, hi)) AS t(b)
+            ),
+            filled AS (
+              SELECT d.bin - d.lo AS x, CAST(coalesce(c.c, 0) AS BIGINT) AS y
+              FROM dense d LEFT JOIN cnt c ON d.bin = c.bin
+            ),
+            s AS (
+              SELECT count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM filled
+            )
+            SELECT n AS n_bins,
+                   round(CASE WHEN n > 1 THEN
+                     (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END, 6) AS slope,
+                   round(CASE WHEN n > 1 THEN
+                     (CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+                     / CAST(n AS DOUBLE) END, 6) AS intercept,
+                   round(CASE WHEN n > 1 AND
+                       CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0.0e0 THEN
+                     (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) END, 6) AS r2
+            FROM s
+        """,
+        "gaps": """
+            WITH e AS (
+              SELECT user_id AS key, epoch_us(ts) AS t FROM events
+            ),
+            g AS (
+              SELECT key, t - lag(t) OVER (PARTITION BY key ORDER BY t) AS gap
+              FROM e
+            )
+            SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(round(CAST(sum(gap) AS DOUBLE) / count(*), 0) AS BIGINT) AS mean_gap_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY key
         """,
         "debounce": """
             WITH RECURSIVE e AS (

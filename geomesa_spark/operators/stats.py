@@ -33,6 +33,7 @@ __all__ = [
     "hhi_concentration",
     "chi2_contingency",
     "gini_concentration",
+    "two_proportion_z",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -578,6 +579,44 @@ def chi2_contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.when(m > 0, F.sqrt(chi2 / (F.col("nn").cast("double") * m.cast("double")))),
             6,
         ).alias("cramers_v"),
+    )
+
+
+def two_proportion_z(
+    df: DataFrame, cond_col: str, success_col: str
+) -> DataFrame:
+    """Two-proportion z-test (the A/B-test primitive; the 2×2 special
+    case of ``chi2_contingency`` reported as a signed z): group A =
+    rows where boolean ``cond_col`` is true, group B = the rest;
+    success = boolean ``success_col``. z = (p1−p2)/sqrt(p̂(1−p̂)(1/n1 +
+    1/n2)) with pooled p̂.
+
+    ONE hash aggregate with conditional counts (no join, no second
+    scan); four exact integers feed a fixed IEEE tail, sqrt-only.
+    Output: one row (n1, s1, n2, s2, p1, p2, z) round 6; z is NULL
+    when either group is empty or p̂ is degenerate (0 or 1).
+    """
+    c = F.col(cond_col)
+    s = F.col(success_col).cast("long")
+    agg = df.agg(
+        F.sum(F.when(c, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(c, s).otherwise(0)).alias("s1"),
+        F.sum(F.when(~c, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~c, s).otherwise(0)).alias("s2"),
+    )
+    n1, s1 = F.col("n1").cast("double"), F.col("s1").cast("double")
+    n2, s2 = F.col("n2").cast("double"), F.col("s2").cast("double")
+    p1, p2 = s1 / n1, s2 / n2
+    pp = (s1 + s2) / (n1 + n2)
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
+    return agg.select(
+        "n1", "s1", "n2", "s2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(
+            F.when((F.col("n1") > 0) & (F.col("n2") > 0) & (se > 0.0), (p1 - p2) / se),
+            6,
+        ).alias("z"),
     )
 
 

@@ -35,6 +35,8 @@ __all__ = [
     "ewma_bins",
     "allen_relations",
     "debounce",
+    "trend_bins",
+    "inter_arrival",
 ]
 
 # Allen's 13 interval relations, classified from exact integer
@@ -463,6 +465,87 @@ def debounce(
     )
     return seq.select(
         F.col("__k").alias(key_col), F.explode(kept).alias("ts_us")
+    )
+
+
+def trend_bins(
+    events: DataFrame,
+    bin_seconds: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """OLS linear trend of the dense, zero-filled event-count series —
+    the "is traffic growing?" summary next to cusum_changepoint's
+    shift detector and emerging_hotspots' per-cell Mann-Kendall:
+    y = count per bin regressed on x = bin index (0-based).
+
+    The lag_autocorr dense axis, then ONE aggregate of five exact
+    integer sums (x is the renumbered 0..n−1 index so every sum is
+    integer); slope/intercept/r² are a fixed IEEE tail — r² as the
+    exact-integer ratio (nΣxy−ΣxΣy)²/((nΣxx−(Σx)²)(nΣyy−(Σy)²))
+    evaluated in doubles. Output: one row (n_bins, slope, intercept,
+    r2) round 6; slope NULL when n_bins < 2.
+    """
+    binned = events.select(
+        F.expr(f"unix_seconds(CAST({ts_col} AS TIMESTAMP)) DIV {bin_seconds}").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    bounds = counts.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+    dense = bounds.select(
+        "lo", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bin")
+    )
+    filled = dense.join(counts, "bin", "left").select(
+        (F.col("bin") - F.col("lo")).alias("x"),
+        F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("y"),
+    )
+    s = filled.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    dx = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    slope = num / dx
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / n
+    return s.select(
+        F.col("n").alias("n_bins"),
+        F.round(F.when(F.col("n") > 1, slope), 6).alias("slope"),
+        F.round(F.when(F.col("n") > 1, intercept), 6).alias("intercept"),
+        F.round(F.when((F.col("n") > 1) & (dy > 0.0), num * num / (dx * dy)), 6).alias("r2"),
+    )
+
+
+def inter_arrival(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key inter-arrival gap statistics (the burstiness/SLA metric
+    of an event stream): consecutive time-ordered gaps in micros via
+    one lag() window on the key partition, then one hash aggregate —
+    (key, n_gaps, min_gap_us, max_gap_us, mean_gap_us). Keys with a
+    single event drop out (no gaps). Exact integers except the one
+    mean division, which is reported as WHOLE micros: at ~1e10-micros
+    magnitude a double's ulp (~8e-6) exceeds 1e-6, so a round-6 value
+    is engine-dependent by construction — integer micros granularity
+    sits far above the ulp and hashes identically. Equal-micros ties
+    leave the gap MULTISET (and so every aggregate) unchanged, so the
+    result is deterministic."""
+    t = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
+    g = events.select(F.col(key_col).alias("key"), t.alias("__t")).withColumn(
+        "__gap", F.col("__t") - F.lag("__t").over(Window.partitionBy("key").orderBy(F.col("__t").asc()))
+    ).where(F.col("__gap").isNotNull())
+    return g.groupBy("key").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("__gap").alias("min_gap_us"),
+        F.max("__gap").alias("max_gap_us"),
+        F.round(F.sum("__gap").cast("double") / F.count("*"), 0)
+        .cast("long")
+        .alias("mean_gap_us"),
     )
 
 

@@ -1707,6 +1707,56 @@ class TestRound5Operators:
         out = {(r.i, r.j): (r.n, r.cov) for r in embedding_covariance(df).collect()}
         assert out == {(0, 0): (2, 1.0), (0, 1): (2, 1.0), (1, 1): (2, 1.0)}
 
+    def test_two_proportion_z(self, spark):
+        """A: 8/10 vs B: 2/10 → pooled p=0.5, se=sqrt(0.05), z =
+        0.6/sqrt(0.05)."""
+        import math
+
+        from geomesa_spark.operators.stats import two_proportion_z
+
+        rows = [(True, i < 8) for i in range(10)] + [(False, i < 2) for i in range(10)]
+        df = spark.createDataFrame(rows, "grp boolean, succ boolean")
+        r = two_proportion_z(df, "grp", "succ").collect()[0]
+        assert (r.n1, r.s1, r.n2, r.s2, r.p1, r.p2) == (10, 8, 10, 2, 0.8, 0.2)
+        assert r.z == round(0.6 / math.sqrt(0.05), 6)
+
+    def test_trend_bins_linear(self, spark):
+        """Hourly counts 1, 0 (empty), 3 → x=[0,1,2], y=[1,0,3]: slope
+        1.0, intercept 1/3, r² = 36/84."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import trend_bins
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        rows = [(t0,)] + [(t0 + timedelta(hours=2, minutes=m),) for m in range(3)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        r = trend_bins(df, 3600).collect()[0]
+        assert (r.n_bins, r.slope) == (3, 1.0)
+        assert r.r2 == round(36.0 / 84.0, 6)
+        assert r.intercept == round(1.0 / 3.0, 6)
+
+    def test_inter_arrival_gaps(self, spark):
+        """Gaps 10 s and 30 s → n=2, min/max/mean = 10/30/20 s; a
+        single-event key is absent."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import inter_arrival
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0), (1, t0 + timedelta(seconds=10)), (1, t0 + timedelta(seconds=40)),
+             (2, t0)],
+            "user_id long, ts timestamp",
+        )
+        out = {r.key: r for r in inter_arrival(df).collect()}
+        assert set(out) == {1}
+        r = out[1]
+        assert (r.n_gaps, r.min_gap_us, r.max_gap_us, r.mean_gap_us) == (
+            2, 10_000_000, 30_000_000, 20_000_000
+        )
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
