@@ -3412,14 +3412,13 @@ def _contour_edge_sql(axis: str, e: str) -> str:
     )
 
 
-# marching-squares oracle (mirrors tiles._MS_CASES + contour_segments)
-SQL_CONTOUR_CASES = (
-    "(1,0,0,0,3),(2,0,0,0,1),(3,0,0,1,3),(4,0,0,1,2),"
-    "(5,0,1,2,3),(5,1,1,0,1),(5,0,-1,0,3),(5,1,-1,1,2),"
-    "(6,0,0,0,2),(7,0,0,2,3),(8,0,0,2,3),(9,0,0,0,2),"
-    "(10,0,1,0,3),(10,1,1,1,2),(10,0,-1,0,1),(10,1,-1,2,3),"
-    "(11,0,0,1,2),(12,0,0,1,3),(13,0,0,0,1),(14,0,0,0,3)"
-)
+def _contour_cases_sql() -> str:
+    """VALUES rows for the marching-squares case table, generated from
+    the SAME list the engine broadcasts (tiles._MS_CASES) so engine and
+    oracle can never drift — the _allen_case_sql construction."""
+    from geomesa_spark.operators.tiles import _MS_CASES
+
+    return ",".join("(" + ",".join(str(v) for v in row) + ")" for row in _MS_CASES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6124,7 +6123,7 @@ def oracle_sql() -> dict[str, str]:
                      (va + vb + vc + vd) >= 36 AS cin
               FROM quads
             ),
-            m(idx, seg, cc, e1, e2) AS (VALUES {SQL_CONTOUR_CASES}),
+            m(idx, seg, cc, e1, e2) AS (VALUES {_contour_cases_sql()}),
             j AS (
               SELECT q.qx, q.qy, q.va, q.vb, q.vc, q.vd, m.seg, m.e1, m.e2
               FROM q JOIN m ON m.idx = q.idx

@@ -45,6 +45,7 @@ __all__ = [
     "attribute_join",
     "envelope_anti_join",
     "band_join",
+    "explode_envelope_cover",
 ]
 
 METERS_PER_DEG_LAT = 111_195.0  # spherical: pi/180 * R
@@ -716,6 +717,42 @@ def attribute_join(
     return records.join(keys, on=fid_col, how="inner")
 
 
+def explode_envelope_cover(
+    df: DataFrame,
+    cell_deg: float,
+    x0: str = "min_lon",
+    y0: str = "min_lat",
+    x1: str = "max_lon",
+    y1: str = "max_lat",
+    cx: str = "__cx",
+    cy: str = "__cy",
+) -> DataFrame:
+    """Explode each envelope row into the grid cells it spans on a
+    ``cell_deg`` grid — the shared candidate-pair fence behind
+    envelope_anti_join / tiles.dissolve_envelopes (floor(min/cell) ..
+    floor(max/cell) per axis, two sequence explodes). Envelopes must
+    satisfy min <= max on both axes (Spark's sequence() would silently
+    DESCEND on an inverted envelope while DuckDB's generate_series
+    returns empty — keep the contract)."""
+    return df.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(x0) / cell_deg).cast("long"),
+                F.floor(F.col(x1) / cell_deg).cast("long"),
+            )
+        ).alias(cx),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(y0) / cell_deg).cast("long"),
+                F.floor(F.col(y1) / cell_deg).cast("long"),
+            )
+        ).alias(cy),
+    )
+
+
 def envelope_anti_join(
     points: DataFrame,
     rects: DataFrame,
@@ -737,26 +774,12 @@ def envelope_anti_join(
     distinct, no second pass, and the anti join shuffles only on the
     integer cell key. Output: the point rows unchanged.
     """
-    cover = rects.select(
-        F.col("min_lon").alias("__x0"), F.col("min_lat").alias("__y0"),
-        F.col("max_lon").alias("__x1"), F.col("max_lat").alias("__y1"),
-    )
-    cover = cover.select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("__x0") / cell_deg).cast("long"),
-                F.floor(F.col("__x1") / cell_deg).cast("long"),
-            )
-        ).alias("__cx"),
-    ).select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("__y0") / cell_deg).cast("long"),
-                F.floor(F.col("__y1") / cell_deg).cast("long"),
-            )
-        ).alias("__cy"),
+    cover = explode_envelope_cover(
+        rects.select(
+            F.col("min_lon").alias("__x0"), F.col("min_lat").alias("__y0"),
+            F.col("max_lon").alias("__x1"), F.col("max_lat").alias("__y1"),
+        ),
+        cell_deg, x0="__x0", y0="__y0", x1="__x1", y1="__y1",
     )
     px = F.floor(F.col(lon) / cell_deg).cast("long")
     py = F.floor(F.col(lat) / cell_deg).cast("long")
@@ -796,15 +819,9 @@ def band_join(
     l = left.select(F.col(left_id), F.col(value_col).alias("v_l")).withColumn(
         "__b", lb
     )
+    rb = F.floor(F.col("v_r") / eps).cast("long")
     r = right.select(F.col(right_id), F.col(value_col).alias("v_r")).withColumn(
-        "__b",
-        F.explode(
-            F.array(
-                F.floor(F.col("v_r") / eps).cast("long") - 1,
-                F.floor(F.col("v_r") / eps).cast("long"),
-                F.floor(F.col("v_r") / eps).cast("long") + 1,
-            )
-        ),
+        "__b", F.explode(F.array(rb - 1, rb, rb + 1))
     )
     return (
         l.join(r, "__b")

@@ -657,8 +657,12 @@ def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
     g = (2 * F.col("f.a")).cast("double") / (n.cast("double") * t.cast("double")) - (
         n + 1
     ).cast("double") / n.cast("double")
-    return acc.where(n > 0).select(
-        n.alias("n_keys"), t.alias("n_rows"), F.round(g, 6).alias("gini")
+    # empty input → one row of NULLs, matching the oracle's ungrouped
+    # aggregate (and the sibling hhi_concentration's shape)
+    return acc.select(
+        F.when(n > 0, n).alias("n_keys"),
+        F.when(n > 0, t).alias("n_rows"),
+        F.round(F.when(n > 0, g), 6).alias("gini"),
     )
 
 

@@ -60,6 +60,26 @@ _ALLEN_CASES = [
 ]
 
 
+def _dense_counts(events: DataFrame, bin_seconds: int, ts_col: str) -> DataFrame:
+    """The shared dense, zero-filled bin axis behind lag_autocorr /
+    cusum_changepoint / ewma_bins / trend_bins: counts per
+    ``bin_seconds`` bucket INCLUDING empty buckets — a bounds
+    aggregate, a sequence explode (bin count = time range / width,
+    bounded by contract — never a global Window), and a zero-fill left
+    join. Output: (lo, bin, c) with c a non-null long."""
+    binned = events.select(
+        F.expr(f"unix_seconds(CAST({ts_col} AS TIMESTAMP)) DIV {bin_seconds}").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    bounds = counts.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+    dense = bounds.select(
+        "lo", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bin")
+    )
+    return dense.join(counts, "bin", "left").select(
+        "lo", "bin", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     bin_seconds: int,
@@ -124,15 +144,7 @@ def lag_autocorr(
     reduces to six exact integer sums and a fixed IEEE tail. Output:
     one row (n_pairs, r) round 6.
     """
-    binned = events.select(
-        F.expr(f"unix_seconds(CAST({ts_col} AS TIMESTAMP)) DIV {bin_seconds}").alias("bin")
-    )
-    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
-    bounds = counts.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
-    dense = bounds.select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bin"))
-    filled = dense.join(counts, "bin", "left").select(
-        "bin", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
-    )
+    filled = _dense_counts(events, bin_seconds, ts_col).select("bin", "c")
     a = filled.select(F.col("bin").alias("b1"), F.col("c").alias("x"))
     bb = filled.select((F.col("bin") - lag).alias("b1"), F.col("c").alias("y"))
     pairs = a.join(bb, "b1")
@@ -176,17 +188,7 @@ def cusum_changepoint(
     n·T < 2^63. Output: one row (n_bins, total, cp_bin, cp_index,
     stat, mean_before, mean_after); empty when n_bins < 2.
     """
-    binned = events.select(
-        F.expr(f"unix_seconds(CAST({ts_col} AS TIMESTAMP)) DIV {bin_seconds}").alias("bin")
-    )
-    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
-    bounds = counts.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
-    dense = bounds.select(
-        "lo", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bin")
-    )
-    filled = dense.join(counts, "bin", "left").select(
-        "lo", "bin", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
-    )
+    filled = _dense_counts(events, bin_seconds, ts_col)
     row = filled.groupBy("lo").agg(
         F.sort_array(F.collect_list(F.struct("bin", "c"))).alias("arr")
     )
@@ -250,22 +252,16 @@ def ewma_bins(
     from the first element so the step lambda carries no
     accumulator-conditional branch — the DuckDB oracle replays the
     identical α·x + (1−α)·s double sequence via a recursive CTE,
-    ulp-identical. ``alpha`` must be an exactly-representable binary
-    fraction (0.25, 0.5, …) so engine and oracle literals agree.
+    ulp-identical. Any float ``alpha`` in (0, 1] parses to the same
+    double in both engines (repr round-trips; both parsers are
+    correctly rounded) and 1−α is the same single IEEE subtraction on
+    each side, so the oracle only has to quote the SAME literal.
     Output: (bin, c, ewma round 6) per dense bin.
     """
-    a_lit = repr(float(alpha))
-    if float(a_lit) != alpha or not (0.0 < alpha <= 1.0):
+    if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be a float in (0, 1]")
-    binned = events.select(
-        F.expr(f"unix_seconds(CAST({ts_col} AS TIMESTAMP)) DIV {bin_seconds}").alias("bin")
-    )
-    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
-    bounds = counts.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
-    dense = bounds.select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bin"))
-    filled = dense.join(counts, "bin", "left").select(
-        "bin", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
-    )
+    a_lit = repr(float(alpha))
+    filled = _dense_counts(events, bin_seconds, ts_col).select("bin", "c")
     row = filled.agg(
         F.sort_array(F.collect_list(F.struct("bin", "c"))).alias("arr")
     ).where(F.size("arr") > 0)
@@ -485,17 +481,8 @@ def trend_bins(
     evaluated in doubles. Output: one row (n_bins, slope, intercept,
     r2) round 6; slope NULL when n_bins < 2.
     """
-    binned = events.select(
-        F.expr(f"unix_seconds(CAST({ts_col} AS TIMESTAMP)) DIV {bin_seconds}").alias("bin")
-    )
-    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
-    bounds = counts.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
-    dense = bounds.select(
-        "lo", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bin")
-    )
-    filled = dense.join(counts, "bin", "left").select(
-        (F.col("bin") - F.col("lo")).alias("x"),
-        F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("y"),
+    filled = _dense_counts(events, bin_seconds, ts_col).select(
+        (F.col("bin") - F.col("lo")).alias("x"), F.col("c").alias("y")
     )
     s = filled.agg(
         F.count("*").alias("n"),

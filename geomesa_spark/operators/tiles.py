@@ -1290,23 +1290,9 @@ def dissolve_envelopes(
     env = rects.select(
         F.col(id_col).alias("rid"), "min_lon", "min_lat", "max_lon", "max_lat"
     )
-    cells = env.select(
-        "rid", "min_lon", "min_lat", "max_lon", "max_lat",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("min_lon") / cell_deg).cast("long"),
-                F.floor(F.col("max_lon") / cell_deg).cast("long"),
-            )
-        ).alias("cx"),
-    ).select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("min_lat") / cell_deg).cast("long"),
-                F.floor(F.col("max_lat") / cell_deg).cast("long"),
-            )
-        ).alias("cy"),
-    )
+    from geomesa_spark.operators.joins import explode_envelope_cover
+
+    cells = explode_envelope_cover(env, cell_deg, cx="cx", cy="cy")
     a, b = cells.alias("a"), cells.alias("b")
     pairs = (
         a.join(

@@ -1514,6 +1514,16 @@ class TestRound5Operators:
         uni = spark.createDataFrame([("a",), ("b",), ("c",)], "user_id string")
         assert gini_concentration(uni, "user_id").collect()[0].gini == 0.0
 
+    def test_gini_empty_input_null_row(self, spark):
+        """Empty input yields ONE row of NULLs (the oracle's ungrouped
+        aggregate shape), not zero rows."""
+        from geomesa_spark.operators.stats import gini_concentration
+
+        empty = spark.createDataFrame([], "user_id string")
+        rows = gini_concentration(empty, "user_id").collect()
+        assert len(rows) == 1
+        assert (rows[0].n_keys, rows[0].n_rows, rows[0].gini) == (None, None, None)
+
     def test_ewma_bins_recursion(self, spark):
         """Hourly counts 4, 0 (empty bin), 8 at α=0.5: s = 4, 2, 5 —
         the empty middle bin is zero-filled before smoothing."""
