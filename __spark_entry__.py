@@ -2933,6 +2933,32 @@ def q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter_arrival(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding by 15 min over the events stream — pins
+    Spark's built-in window() semantics against an exact micros
+    oracle."""
+    from geomesa_spark.operators.temporal import sliding_window_counts
+
+    _utc(spark)
+    return sliding_window_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), 3600, 900
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the hyperplane-LSH index vs brute-force cosine —
+    the index-evaluation loop, composed from the two certified ANN
+    paths; oracle composes their shared SQL fragments."""
+    from geomesa_spark.operators.ann import cosine_topk, lsh_cosine_topk, recall_at_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 5)
+    return recall_at_k(
+        lsh_cosine_topk(emb, probes, k=5, n_planes=4),
+        cosine_topk(emb, probes, k=5),
+    )
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3302,6 +3328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abtest": q_abtest,
         "trend": q_trend,
         "gaps": q_gaps,
+        "sliding": q_sliding,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -3384,6 +3412,37 @@ def _hex_ring_join_sql() -> str:
               + abs((p.hq + p.hr) - (q.hq + q.hr))) / 2 <= 2
     """
 
+
+# hyperplane-LSH candidate sims: mirrors ann.py::_plane_component exactly
+# (integer mix/shift is bit-exact; the projection fold is a left-fold
+# from 0.0 like Spark's F.aggregate, via list_reduce with a prepended
+# 0.0 so summation order matches). Shared by the ann_lsh and ann_recall
+# oracles so the fragment can never drift between them.
+SQL_LSH = """
+lbkt AS (
+  SELECT vec_id, embedding,
+    CAST(list_sum(list_transform(generate_series(0, 3), p ->
+      CASE WHEN list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(embedding)), i ->
+              CAST(embedding[i] AS DOUBLE) *
+              CAST((((((p * 1000003) + (i - 1)) * 2654435761) >> 13) & 1) * 2 - 1 AS DOUBLE))),
+          (a, x) -> a + x) > 0
+      THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+  FROM embeddings
+),
+lqv AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, bucket FROM lbkt WHERE vec_id < 5),
+lsims AS (
+  SELECT e.vec_id, q.q_vec_id,
+    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(generate_series(1, len(q.q_emb)),
+         i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))) AS sim
+  FROM lbkt e JOIN lqv q ON e.bucket = q.bucket AND e.vec_id <> q.q_vec_id
+)
+"""
 
 def _allen_case_sql() -> str:
     """WHEN branches for the Allen classification, generated from the
@@ -4811,38 +4870,12 @@ def oracle_sql() -> dict[str, str]:
               FROM sims
             ) WHERE rnk <= 5
         """,
-        # hyperplane-LSH bucket: mirrors ann.py::_plane_component exactly
-        # (integer mix/shift is bit-exact; the projection fold is a
-        # left-fold from 0.0 like Spark's F.aggregate, via list_reduce
-        # with a prepended 0.0 so summation order matches)
         "ann_lsh": f"""
-            WITH bkt AS (
-              SELECT vec_id, embedding,
-                CAST(list_sum(list_transform(generate_series(0, 3), p ->
-                  CASE WHEN list_reduce(
-                      list_prepend(CAST(0.0 AS DOUBLE),
-                        list_transform(generate_series(1, len(embedding)), i ->
-                          CAST(embedding[i] AS DOUBLE) *
-                          CAST((((((p * 1000003) + (i - 1)) * 2654435761) >> 13) & 1) * 2 - 1 AS DOUBLE))),
-                      (a, x) -> a + x) > 0
-                  THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
-              FROM embeddings
-            ),
-            qv AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, bucket FROM bkt WHERE vec_id < 5),
-            sims AS (
-              SELECT e.vec_id, q.q_vec_id,
-                list_sum(list_transform(generate_series(1, len(e.embedding)),
-                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
-                / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
-                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
-                   * sqrt(list_sum(list_transform(generate_series(1, len(q.q_emb)),
-                     i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))) AS sim
-              FROM bkt e JOIN qv q ON e.bucket = q.bucket AND e.vec_id <> q.q_vec_id
-            )
+            WITH {SQL_LSH}
             SELECT q_vec_id, vec_id, round(sim, 6) AS sim_r, CAST(rnk AS INT) AS rank FROM (
               SELECT *, row_number() OVER (
                 PARTITION BY q_vec_id ORDER BY round(sim, 6) DESC, vec_id ASC) AS rnk
-              FROM sims
+              FROM lsims
             ) WHERE rnk <= 5
         """,
         # IVF: centroid scores use the same sequential fold as the
@@ -5898,6 +5931,46 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN f ON f.i = e.i + 1
             )
             SELECT bin, c, round(s, 6) AS ewma FROM e
+        """,
+        "ann_recall": f"""
+            WITH {SQL_COSINE},
+            {SQL_LSH},
+            exact AS (
+              SELECT q_vec_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q_vec_id ORDER BY round(sim, 6) DESC, vec_id ASC) AS rnk
+                FROM sims
+              ) WHERE rnk <= 5
+            ),
+            approx AS (
+              SELECT q_vec_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q_vec_id ORDER BY round(sim, 6) DESC, vec_id ASC) AS rnk
+                FROM lsims
+              ) WHERE rnk <= 5
+            ),
+            per AS (
+              SELECT e.q_vec_id, CAST(count(*) AS BIGINT) AS n_exact,
+                     CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              FROM exact e LEFT JOIN approx a
+                ON a.q_vec_id = e.q_vec_id AND a.vec_id = e.vec_id
+              GROUP BY 1
+            )
+            SELECT q_vec_id, n_exact, n_hit,
+                   round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+            FROM per
+        """,
+        "sliding": """
+            WITH e AS (SELECT epoch_us(ts) AS t FROM events),
+            w AS (
+              SELECT k.k * 900000000 AS ws_us, k.k * 900000000 + 3600000000 AS we_us
+              FROM e
+              CROSS JOIN LATERAL unnest(generate_series(
+                (t - 3600000000) // 900000000 + 1,
+                t // 900000000)) AS k(k)
+            )
+            SELECT ws_us, we_us, CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY 1, 2
         """,
         "abtest": """
             WITH agg AS (

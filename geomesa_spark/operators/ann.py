@@ -35,6 +35,7 @@ __all__ = [
     "train_ivf_centroids",
     "cosine_dup_pairs",
     "embedding_covariance",
+    "recall_at_k",
 ]
 
 MIX = 2_654_435_761
@@ -663,4 +664,42 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
         s2.join(F.broadcast(si), s2["i"] == si["__i"])
         .join(F.broadcast(sj), s2["j"] == sj["__j"])
         .select("i", "j", "n", F.round(cov, 6).alias("cov"))
+    )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "q_vec_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall of an approximate ANN result against the exact top-k —
+    the evaluation loop an embedding pipeline runs before trusting an
+    index (LSH table count, IVF nprobe) at scale: per query,
+    |approx ∩ exact| / |exact|.
+
+    One LEFT join of the exact rows against the approx rows on
+    (query, id) — both results are ≤ |queries|·k rows, tiny next to
+    the corpus — then one hash aggregate. Exact integer counts; recall
+    is one double division, round 6. Output: (query_col, n_exact,
+    n_hit, recall).
+    """
+    e = exact.select(F.col(query_col).alias("__q"), F.col(id_col).alias("__i"))
+    a = approx.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__i"),
+        F.lit(1).alias("__hit"),
+    )
+    per = (
+        e.join(a, ["__q", "__i"], "left")
+        .groupBy("__q")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    return per.select(
+        F.col("__q").alias(query_col),
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6).alias("recall"),
     )

@@ -37,6 +37,7 @@ __all__ = [
     "debounce",
     "trend_bins",
     "inter_arrival",
+    "sliding_window_counts",
 ]
 
 # Allen's 13 interval relations, classified from exact integer
@@ -533,6 +534,44 @@ def inter_arrival(
         F.round(F.sum("__gap").cast("double") / F.count("*"), 0)
         .cast("long")
         .alias("mean_gap_us"),
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    size_seconds: int,
+    slide_seconds: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding (hopping) window counts — the batch shape of the
+    Structured Streaming `window(ts, size, slide)` aggregation the
+    live layer runs: each event lands in size/slide overlapping
+    windows; one groupBy on Spark's BUILT-IN window() expression (an
+    internal explode + hash aggregate, codegen end-to-end).
+
+    The oracle derives the same window set from first principles —
+    epoch-aligned starts k·slide in (t−size, t] — so this query also
+    PINS Spark's window-assignment semantics (half-open [start, end),
+    epoch alignment) against an exact integer reimplementation.
+    Output: (ws_us, we_us, n) in epoch micros.
+    """
+    if size_seconds % slide_seconds != 0:
+        # Spark supports non-divisor slides, but pin the common case
+        # contract the streaming layer uses (size = k·slide)
+        raise ValueError("size_seconds must be a multiple of slide_seconds")
+    w = F.window(
+        F.col(ts_col).cast("timestamp"),
+        f"{size_seconds} seconds",
+        f"{slide_seconds} seconds",
+    )
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.expr("unix_micros(w.start)").alias("ws_us"),
+            F.expr("unix_micros(w.end)").alias("we_us"),
+            "n",
+        )
     )
 
 

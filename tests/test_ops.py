@@ -1767,6 +1767,54 @@ class TestRound5Operators:
             2, 10_000_000, 30_000_000, 20_000_000
         )
 
+    def test_sliding_window_counts(self, spark):
+        """Two events 20 min apart, 1-h windows sliding 15 min: each
+        event is in 4 windows, 3 shared → counts [1,2,2,2,1]."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import sliding_window_counts
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1, 1, 0, 0)
+        df = spark.createDataFrame(
+            [(t0,), (t0 + timedelta(minutes=20),)], "ts timestamp"
+        )
+        out = sorted(
+            (r.ws_us, r.we_us, r.n)
+            for r in sliding_window_counts(df, 3600, 900).collect()
+        )
+        base = int(t0.timestamp()) * 1_000_000
+        m15 = 900 * 1_000_000
+        assert out == [
+            (base - 3 * m15, base - 3 * m15 + 3600_000_000, 1),
+            (base - 2 * m15, base - 2 * m15 + 3600_000_000, 2),
+            (base - 1 * m15, base - 1 * m15 + 3600_000_000, 2),
+            (base, base + 3600_000_000, 2),
+            (base + m15, base + m15 + 3600_000_000, 1),
+        ]
+
+    def test_sliding_rejects_non_divisor_slide(self, spark):
+        from geomesa_spark.operators.temporal import sliding_window_counts
+
+        df = spark.createDataFrame([], "ts timestamp")
+        with pytest.raises(ValueError):
+            sliding_window_counts(df, 3600, 1000)
+
+    def test_recall_at_k(self, spark):
+        """Query 1 recovers 2/3 exact ids; query 2 recovers 0 (approx
+        returned nothing for it — left join keeps it at recall 0)."""
+        from geomesa_spark.operators.ann import recall_at_k
+
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 20)], "q_vec_id long, vec_id long"
+        )
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 12), (1, 99)], "q_vec_id long, vec_id long"
+        )
+        out = {r.q_vec_id: r for r in recall_at_k(approx, exact).collect()}
+        assert (out[1].n_exact, out[1].n_hit, out[1].recall) == (3, 2, 0.666667)
+        assert (out[2].n_exact, out[2].n_hit, out[2].recall) == (1, 0, 0.0)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
