@@ -476,3 +476,79 @@ class TestConvexHullProperties:
                     e1[1] - e0[1]
                 ) * (pts[:, 0] - e0[0])
                 assert (cross >= 0).all()
+
+
+class TestAllenAlgebraProperties:
+    """The 13-relation case list is exhaustive and mutually exclusive
+    for non-degenerate intervals, and relation(L,R) is always the
+    converse of relation(R,L) — checked by evaluating the SAME
+    condition strings the engine compiles and the oracle quotes."""
+
+    _CONVERSE = {
+        "equals": "equals", "before": "after", "after": "before",
+        "meets": "met_by", "met_by": "meets", "starts": "started_by",
+        "started_by": "starts", "finishes": "finished_by",
+        "finished_by": "finishes", "during": "contains",
+        "contains": "during", "overlaps": "overlapped_by",
+        "overlapped_by": "overlaps",
+    }
+
+    @staticmethod
+    def _classify(ls, le, rs, re):
+        from geomesa_spark.operators.temporal import _ALLEN_CASES
+
+        env = {"ls": ls, "le": le, "rs": rs, "re": re}
+        hits = [
+            name
+            for name, cond in _ALLEN_CASES
+            if eval(cond.replace(" = ", " == ").replace(" AND ", " and "), env)  # noqa: S307
+        ]
+        return hits
+
+    @given(st.lists(st.integers(min_value=0, max_value=20), min_size=4, max_size=4))
+    @settings(max_examples=500, deadline=None)
+    def test_exhaustive_exclusive_and_converse(self, vals):
+        a, b, c, d = vals
+        ls, le = min(a, b), max(a, b)
+        rs, re = min(c, d), max(c, d)
+        if ls == le or rs == re:
+            return  # degenerate: first-match order decides (documented)
+        hits = self._classify(ls, le, rs, re)
+        assert len(hits) == 1, (ls, le, rs, re, hits)
+        back = self._classify(rs, re, ls, le)
+        assert back == [self._CONVERSE[hits[0]]]
+
+
+class TestMarchingSquaresCaseTable:
+    """tiles._MS_CASES validated from first principles, exhaustively
+    over all corner-value sign patterns (values in {0,3,7,10}^4 at
+    T=5): the emitted segments' edge multiset equals the boundary's
+    crossed-edge set exactly once each, saddles included."""
+
+    def test_segments_consume_each_crossed_edge_once(self):
+        from itertools import product
+
+        from geomesa_spark.operators.tiles import _MS_CASES
+
+        T = 5
+        # edge id -> its two corners (a=bl, b=br, c=tr, d=tl)
+        edges = {0: ("a", "b"), 1: ("b", "c"), 2: ("d", "c"), 3: ("a", "d")}
+        for va, vb, vc, vd in product([0, 3, 7, 10], repeat=4):
+            corner = {"a": va, "b": vb, "c": vc, "d": vd}
+            inside = {k: v >= T for k, v in corner.items()}
+            idx = inside["a"] * 1 + inside["b"] * 2 + inside["c"] * 4 + inside["d"] * 8
+            crossed = sorted(
+                e for e, (c1, c2) in edges.items() if inside[c1] != inside[c2]
+            )
+            cin = va + vb + vc + vd >= 4 * T
+            rows = [
+                r for r in _MS_CASES
+                if r[0] == idx and (r[2] == 0 or (r[2] == 1) == cin)
+            ]
+            used = sorted(e for r in rows for e in (r[3], r[4]))
+            if idx in (0, 15):
+                assert crossed == [] and rows == []
+            else:
+                assert used == crossed, (va, vb, vc, vd, idx, used, crossed)
+                # each segment's two edges are distinct
+                assert all(r[3] != r[4] for r in rows)
