@@ -2959,6 +2959,33 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal min/max/sum/count over the 72×34 grid's Moore
+    neighborhoods — kernel explode + one hash aggregate, all
+    integers."""
+    from geomesa_spark.operators.tiles import focal_stats
+
+    return focal_stats(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
+
+
+def q_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn's-method slope magnitude on the count raster — exact
+    integer 8×gradients, sqrt-only tail."""
+    from geomesa_spark.operators.tiles import slope_grid
+
+    return slope_grid(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
+
+
+def q_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows owned by the 10 heaviest users — count-of-counts block
+    fold, no window over the key table."""
+    from geomesa_spark.operators.stats import top_share
+
+    return top_share(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id", 10
+    )
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3330,6 +3357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaps": q_gaps,
         "sliding": q_sliding,
         "ann_recall": q_ann_recall,
+        "focal": q_focal,
+        "slope": q_slope,
+        "topshare": q_topshare,
     }
 
 
@@ -5931,6 +5961,74 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN f ON f.i = e.i + 1
             )
             SELECT bin, c, round(s, 6) AS ewma FROM e
+        """,
+        "focal": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            sp AS (
+              SELECT CAST(g.ix + kx.v AS INT) AS ix, CAST(g.iy + ky.v AS INT) AS iy, g.cnt
+              FROM grid g
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+            )
+            SELECT ix, iy, CAST(min(cnt) AS BIGINT) AS f_min,
+                   CAST(max(cnt) AS BIGINT) AS f_max,
+                   CAST(sum(cnt) AS BIGINT) AS f_sum,
+                   CAST(count(*) AS BIGINT) AS f_n
+            FROM sp GROUP BY 1, 2
+        """,
+        "slope": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            sp AS (
+              SELECT CAST(g.ix + kx.v AS INT) AS ix, CAST(g.iy + ky.v AS INT) AS iy,
+                     g.cnt, kx.v AS kx, ky.v AS ky
+              FROM grid g
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+            ),
+            agg AS (
+              SELECT ix, iy,
+                     CAST(sum(cnt * ((-kx) * (2 - abs(ky)))) AS BIGINT) AS gx8,
+                     CAST(sum(cnt * ((-ky) * (2 - abs(kx)))) AS BIGINT) AS gy8
+              FROM sp GROUP BY 1, 2
+            )
+            SELECT ix, iy, gx8, gy8,
+                   round(sqrt((CAST(gx8 AS DOUBLE) / 8.0) * (CAST(gx8 AS DOUBLE) / 8.0)
+                              + (CAST(gy8 AS DOUBLE) / 8.0) * (CAST(gy8 AS DOUBLE) / 8.0)), 6) AS slope
+            FROM agg
+        """,
+        "topshare": """
+            WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+            cc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1),
+            w AS (
+              SELECT c, m,
+                     CAST(coalesce(sum(m) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+              FROM cc
+            ),
+            s AS (
+              SELECT CAST(sum(m) AS BIGINT) AS n, CAST(sum(c * m) AS BIGINT) AS t,
+                     CAST(sum(c * least(m, greatest(10 - prior, 0))) AS BIGINT) AS tr
+              FROM w
+            )
+            SELECT CAST(10 AS BIGINT) AS k, n AS n_keys, t AS n_rows, tr AS top_rows,
+                   round(CAST(tr AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+            FROM s
         """,
         "ann_recall": f"""
             WITH {SQL_COSINE},

@@ -34,6 +34,7 @@ __all__ = [
     "chi2_contingency",
     "gini_concentration",
     "two_proportion_z",
+    "top_share",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -856,3 +857,52 @@ def _grouped_stat(df: DataFrame, attr: str, iname: str, iraw: str) -> DataFrame:
                 aggs.append(F.covar_samp(a, b2).alias(f"cov_{a}_{b2}"))
         return df.groupBy(attr).agg(*aggs)
     raise ValueError(f"unsupported GroupBy inner stat: {iname!r}")
+
+
+def top_share(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Pareto concentration: the fraction of all rows owned by the
+    ``k`` heaviest keys — the "does 1% of users generate 90% of
+    events?" screen completing the gini/hhi trio (and the direct
+    input to a hot-key salting decision: share(k)/k is the skew of
+    the head).
+
+    Same count-of-counts collapse as gini_concentration: keys sharing
+    a count form one block, so the top-k cut is ONE fold over the
+    count-descending block list (take min(m, k_left) keys per block)
+    — no global window over the key table, no sort of |keys| rows.
+    Exact integers; share is one double division, round 6. Output:
+    one row (k, n_keys, n_rows, top_rows, share); NULLs when the
+    input is empty.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    c = df.groupBy(key_col).agg(F.count("*").alias("c"))
+    cc = c.groupBy("c").agg(F.count("*").alias("m"))
+    row = cc.agg(
+        F.reverse(F.sort_array(F.collect_list(F.struct("c", "m")))).alias("arr")
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          arr,
+          named_struct('left', {int(k)}L, 'rows', 0L),
+          (a, x) -> named_struct(
+            'left', greatest(a.left - x.m, 0L),
+            'rows', a.rows + x.c * least(x.m, a.left)))
+        """
+    )
+    acc = row.select(
+        F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x["m"]).alias("n"),
+        F.aggregate(
+            "arr", F.lit(0).cast("long"), lambda a, x: a + x["c"] * x["m"]
+        ).alias("t"),
+        fold.alias("f"),
+    )
+    n, t, tr = F.col("n"), F.col("t"), F.col("f.rows")
+    return acc.select(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.when(n > 0, n).alias("n_keys"),
+        F.when(n > 0, t).alias("n_rows"),
+        F.when(n > 0, tr).alias("top_rows"),
+        F.round(F.when(n > 0, tr.cast("double") / t.cast("double")), 6).alias("share"),
+    )

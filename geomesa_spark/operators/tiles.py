@@ -45,6 +45,8 @@ __all__ = [
     "zonal_stats",
     "contour_segments",
     "dissolve_envelopes",
+    "focal_stats",
+    "slope_grid",
 ]
 
 # marching-squares case table: (case index, segment slot, center rule,
@@ -1320,4 +1322,73 @@ def dissolve_envelopes(
         F.min("min_lat").alias("min_lat"),
         F.max("max_lon").alias("max_lon"),
         F.max("max_lat").alias("max_lat"),
+    )
+
+
+def focal_stats(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    radius: int = 1,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Focal (neighborhood) statistics over the count grid — the
+    raster morphology pass next to smooth_density's weighted mean:
+    per target cell, min / max / sum / cell-count of the occupied
+    cells in its (2r+1)^2 Moore footprint (focal max = grayscale
+    DILATE, focal min over occupied = ERODE-on-support).
+
+    One _kernel_spread explode of the AGGREGATED grid (never the raw
+    points) + one hash aggregate on the target cell. Exact integers
+    end-to-end; targets are every cell receiving at least one occupied
+    neighbor, so the sparse support grows by the footprint only.
+    Output: (ix, iy, f_min, f_max, f_sum, f_n).
+    """
+    g = density_grid(points, bbox, width, height).select("ix", "iy", "cnt")
+    sp = _kernel_spread(g, ["cnt"], radius)
+    return sp.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
+        F.min("cnt").alias("f_min"),
+        F.max("cnt").alias("f_max"),
+        F.sum("cnt").alias("f_sum"),
+        F.count("*").alias("f_n"),
+    )
+
+
+def slope_grid(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Horn's-method slope magnitude over the count raster (value =
+    cell count, absent cells = 0): gx = Σ v·wx, gy = Σ v·wy with the
+    classic 3×3 weights wx = dx·(2−|dy|), wy = dy·(2−|dx|) for the
+    source's offset (dx, dy) from the target, slope =
+    sqrt((gx/8)² + (gy/8)²) in value units per cell.
+
+    The weighted sums are EXACT integers from one _kernel_spread
+    explode + hash aggregate (dx = sx−tx = −kx on the spread rows);
+    only the final two divisions and the sqrt are IEEE, round 6 —
+    sqrt-only, per the repo's oracled-trig rule (aspect would need
+    atan2, which diverges from DuckDB's libm at the last ulp).
+    Output: (ix, iy, gx8, gy8, slope) with gx8/gy8 the exact
+    integer 8×gradients.
+    """
+    g = density_grid(points, bbox, width, height).select("ix", "iy", "cnt")
+    sp = _kernel_spread(g, ["cnt"], 1)
+    wx = (-F.col("kx")) * (2 - F.abs(F.col("ky")))
+    wy = (-F.col("ky")) * (2 - F.abs(F.col("kx")))
+    agg = sp.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
+        F.sum(F.col("cnt") * wx).alias("gx8"),
+        F.sum(F.col("cnt") * wy).alias("gy8"),
+    )
+    gx = F.col("gx8").cast("double") / F.lit(8.0)
+    gy = F.col("gy8").cast("double") / F.lit(8.0)
+    return agg.select(
+        "ix", "iy", "gx8", "gy8",
+        F.round(F.sqrt(gx * gx + gy * gy), 6).alias("slope"),
     )

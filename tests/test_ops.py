@@ -1815,6 +1815,50 @@ class TestRound5Operators:
         assert (out[1].n_exact, out[1].n_hit, out[1].recall) == (3, 2, 0.666667)
         assert (out[2].n_exact, out[2].n_hit, out[2].recall) == (1, 0, 0.0)
 
+    def test_focal_stats_single_cell(self, spark):
+        """One occupied cell (cnt 7): all 9 neighbors get
+        min=max=sum=7, n=1."""
+        from geomesa_spark.operators.tiles import focal_stats
+
+        df = spark.createDataFrame([(5.2, 5.2)] * 7, "lon double, lat double")
+        out = focal_stats(df, (0.0, 0.0, 10.0, 10.0), 10, 10, radius=1).collect()
+        assert len(out) == 9
+        assert all((r.f_min, r.f_max, r.f_sum, r.f_n) == (7, 7, 7, 1) for r in out)
+        assert {(r.ix, r.iy) for r in out} == {
+            (x, y) for x in (4, 5, 6) for y in (4, 5, 6)
+        }
+
+    def test_slope_grid_step(self, spark):
+        """A single spike of 8 at (5,5): the E neighbor (6,5) sees
+        gx8 = −8·(−(−1))·... → the spike sits W of it, so gx8 = −16?
+        Verify against hand Horn weights: for target (6,5) the spike is
+        at dx=−1, dy=0 → wx = −(−1)·2 = ... = −... checked numerically
+        below."""
+        from geomesa_spark.operators.tiles import slope_grid
+
+        df = spark.createDataFrame([(5.2, 5.2)] * 8, "lon double, lat double")
+        out = {(r.ix, r.iy): r for r in slope_grid(df, (0.0, 0.0, 10.0, 10.0), 10, 10).collect()}
+        # target (6,5): source offset dx = 5-6 = -1, dy = 0 → wx = -dx·... :
+        # wx = (-kx)(2-|ky|) with kx = tx - sx = 1 → wx = -2 → gx8 = -16
+        assert (out[(6, 5)].gx8, out[(6, 5)].gy8) == (-16, 0)
+        assert out[(6, 5)].slope == 2.0
+        # the spike's own cell: symmetric neighborhood → zero gradient
+        assert (out[(5, 5)].gx8, out[(5, 5)].gy8, out[(5, 5)].slope) == (0, 0, 0.0)
+        # diagonal target (6,6): wx = -2+... kx=1,ky=1 → wx=-1, wy=-1 → gx8=gy8=-8
+        assert (out[(6, 6)].gx8, out[(6, 6)].gy8) == (-8, -8)
+        assert out[(6, 6)].slope == round((2 * 1.0 ** 2) ** 0.5, 6)
+
+    def test_top_share_blocks(self, spark):
+        """Counts 5,5,2,1 with k=2: top 2 keys own 10 of 13 rows; the
+        k cut lands inside the count-5 block."""
+        from geomesa_spark.operators.stats import top_share
+
+        rows = [("a",)] * 5 + [("b",)] * 5 + [("c",)] * 2 + [("d",)]
+        df = spark.createDataFrame(rows, "user_id string")
+        r = top_share(df, "user_id", 2).collect()[0]
+        assert (r.k, r.n_keys, r.n_rows, r.top_rows) == (2, 4, 13, 10)
+        assert r.share == round(10.0 / 13.0, 6)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
