@@ -2986,6 +2986,16 @@ def q_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: words in > 50% of documents dropped,
+    order-preserving rebuild — broadcast anti join on the frequent
+    vocabulary."""
+    from geomesa_spark.operators.corpus import remove_frequent_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_frequent_lines(docs.select("doc_id", "text"))
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3360,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal": q_focal,
         "slope": q_slope,
         "topshare": q_topshare,
+        "boilerplate": q_boilerplate,
     }
 
 
@@ -5961,6 +5972,31 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN f ON f.i = e.i + 1
             )
             SELECT bin, c, round(s, 6) AS ewma FROM e
+        """,
+        "boilerplate": """
+            WITH tok AS (
+              SELECT doc_id, i.i AS pos, string_split(text, ' ')[i.i + 1] AS w
+              FROM documents
+              CROSS JOIN LATERAL unnest(generate_series(0,
+                len(string_split(text, ' ')) - 1)) AS i(i)
+            ),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+            dfq AS (
+              SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfq FROM tok GROUP BY 1
+            ),
+            freq AS (
+              SELECT w FROM dfq CROSS JOIN nd
+              WHERE CAST(dfq AS DOUBLE) / CAST(n AS DOUBLE) > 0.5e0
+            ),
+            kept AS (SELECT * FROM tok WHERE w NOT IN (SELECT w FROM freq)),
+            reb AS (
+              SELECT doc_id, array_to_string(list(w ORDER BY pos), ' ') AS clean_text,
+                     CAST(count(*) AS BIGINT) AS nk
+              FROM kept GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   CAST(len(string_split(d.text, ' ')) - coalesce(r.nk, 0) AS BIGINT) AS n_removed
+            FROM documents d LEFT JOIN reb r USING (doc_id)
         """,
         "focal": f"""
             WITH {SQL_PTS},

@@ -33,6 +33,7 @@ __all__ = [
     "chunk_text",
     "vocab_stats",
     "pack_sequences",
+    "remove_frequent_lines",
 ]
 
 
@@ -338,4 +339,59 @@ def pack_sequences(
         df.withColumn("n_tokens", n.cast("long"))
         .withColumn("pack_id", F.floor(cum_before / seq_tokens).cast("long"))
         .withColumn("pack_offset", F.pmod(cum_before, F.lit(seq_tokens)).cast("long"))
+    )
+
+
+def remove_frequent_lines(
+    docs: DataFrame,
+    sep: str = " ",
+    max_doc_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate removal (the Common Crawl cleaning step): drop every
+    ``sep``-delimited unit that appears in more than ``max_doc_frac``
+    of documents, preserving the surviving units' original order.
+
+    Shape: posexplode the units, ONE document-frequency aggregate, a
+    BROADCAST anti join against the (vocabulary-sized) frequent set,
+    then a per-doc sort_array(collect_list(struct(pos, w))) rebuild —
+    bounded by document length, the track_lines contract. Documents
+    whose every unit is boilerplate come back as '' via the final left
+    join rather than vanishing. The frequency threshold comparison is
+    the same double division in engine and oracle. Output: (id_col,
+    clean_text, n_removed).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "w"),
+    )
+    nd = docs.agg(F.countDistinct(id_col).alias("__n"))
+    dfq = tok.groupBy("w").agg(F.countDistinct("__id").alias("__dfq"))
+    freq = (
+        dfq.crossJoin(F.broadcast(nd))
+        .where(F.col("__dfq").cast("double") / F.col("__n").cast("double") > max_doc_frac)
+        .select("w")
+    )
+    kept = tok.join(F.broadcast(freq), "w", "left_anti")
+    reb = kept.groupBy("__id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))), lambda x: x["w"]
+            ),
+        ).alias("__clean"),
+        F.count("*").alias("__nk"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("__norig"),
+    )
+    return (
+        base.join(reb, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"),
+            (F.col("__norig") - F.coalesce(F.col("__nk"), F.lit(0))).alias("n_removed"),
+        )
     )

@@ -1859,6 +1859,18 @@ class TestRound5Operators:
         assert (r.k, r.n_keys, r.n_rows, r.top_rows) == (2, 4, 13, 10)
         assert r.share == round(10.0 / 13.0, 6)
 
+    def test_remove_frequent_lines(self, spark):
+        """'a' (3/3 docs) and 'b' (2/3) exceed frac 0.5 and are
+        removed everywhere; a fully-boilerplate doc survives as ''."""
+        from geomesa_spark.operators.corpus import remove_frequent_lines
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a d"), (3, "a b")], "doc_id long, text string"
+        )
+        out = {r.doc_id: (r.clean_text, r.n_removed)
+               for r in remove_frequent_lines(df).collect()}
+        assert out == {1: ("c", 2), 2: ("d", 1), 3: ("", 2)}
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
