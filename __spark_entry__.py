@@ -2996,6 +2996,37 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_frequent_lines(docs.select("doc_id", "text"))
 
 
+def q_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user co-presence micros between daily click spans and
+    daily view spans — one keyed sweep-line window."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.temporal import overlap_duration
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def spans(t):
+        return (
+            ev.where(F.col("event_type") == t)
+            .groupBy(
+                "user_id",
+                F.expr("unix_seconds(CAST(ts AS TIMESTAMP)) DIV 86400").alias("__d"),
+            )
+            .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+        )
+
+    return overlap_duration(spans("click"), spans("view"), "user_id")
+
+
+def q_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal mode over the 72×34 grid — per-target partitioned
+    row_number, smallest-value tie-break."""
+    from geomesa_spark.operators.tiles import majority_filter
+
+    return majority_filter(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3371,6 +3402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slope": q_slope,
         "topshare": q_topshare,
         "boilerplate": q_boilerplate,
+        "overlap": q_overlap,
+        "majority": q_majority,
     }
 
 
@@ -5972,6 +6005,63 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN f ON f.i = e.i + 1
             )
             SELECT bin, c, round(s, 6) AS ewma FROM e
+        """,
+        "overlap": """
+            WITH a AS (
+              SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, (epoch_us(ts) // 1000000) // 86400
+            ),
+            b AS (
+              SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+              FROM events WHERE event_type = 'view'
+              GROUP BY user_id, (epoch_us(ts) // 1000000) // 86400
+            ),
+            edges AS (
+              SELECT user_id AS k, s AS t, 1 AS da, 0 AS db FROM a
+              UNION ALL SELECT user_id, e, -1, 0 FROM a
+              UNION ALL SELECT user_id, s, 0, 1 FROM b
+              UNION ALL SELECT user_id, e, 0, -1 FROM b
+            ),
+            seg AS (
+              SELECT k, t,
+                     sum(da) OVER (PARTITION BY k ORDER BY t, da, db
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                     sum(db) OVER (PARTITION BY k ORDER BY t, da, db
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+                     lead(t) OVER (PARTITION BY k ORDER BY t, da, db) AS nt
+              FROM edges
+            )
+            SELECT k AS user_id,
+                   CAST(coalesce(sum(CASE WHEN ca > 0 AND cb > 0 AND nt IS NOT NULL
+                                     THEN nt - t END), 0) AS BIGINT) AS overlap_us
+            FROM seg GROUP BY k
+        """,
+        "majority": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            sp AS (
+              SELECT CAST(g.ix + kx.v AS INT) AS ix, CAST(g.iy + ky.v AS INT) AS iy, g.cnt
+              FROM grid g
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+            ),
+            pv AS (
+              SELECT ix, iy, cnt, CAST(count(*) AS BIGINT) AS m FROM sp GROUP BY 1, 2, 3
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY ix, iy
+                ORDER BY m DESC, cnt ASC) AS rn
+              FROM pv
+            )
+            SELECT ix, iy, cnt AS mode_cnt, m AS mode_n FROM r WHERE rn = 1
         """,
         "boilerplate": """
             WITH tok AS (

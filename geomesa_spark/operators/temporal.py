@@ -38,6 +38,7 @@ __all__ = [
     "trend_bins",
     "inter_arrival",
     "sliding_window_counts",
+    "overlap_duration",
 ]
 
 # Allen's 13 interval relations, classified from exact integer
@@ -702,4 +703,65 @@ def sessionize(
     return df.withColumn(
         out,
         F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def overlap_duration(
+    a: DataFrame,
+    b: DataFrame,
+    on: str,
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Total co-presence time per key: micros during which at least
+    one A interval AND at least one B interval are simultaneously
+    active — the quantitative companion to allen_relations (how MUCH
+    do the schedules overlap, summed over every interval of each
+    side).
+
+    Classic sweep line as ONE keyed window: each interval contributes
+    a +1/−1 edge, two running sums track the active counts, and each
+    inter-edge segment adds (next_t − t) where both counts are
+    positive. Tie order at equal timestamps is irrelevant — zero-width
+    segments contribute 0 and the post-group state is a plain sum —
+    so the result is deterministic without a tie-break column. Exact
+    integer micros end-to-end. Output: (key, overlap_us).
+    """
+
+    def _edges(df, sc, ec, da, db):
+        t_s = F.expr(f"unix_micros(CAST({sc} AS TIMESTAMP))")
+        t_e = F.expr(f"unix_micros(CAST({ec} AS TIMESTAMP))")
+        return df.select(
+            F.col(on).alias("__k"),
+            F.explode(
+                F.array(
+                    F.struct(t_s.alias("t"), F.lit(da).alias("da"), F.lit(db).alias("db")),
+                    F.struct(t_e.alias("t"), F.lit(-da).alias("da"), F.lit(-db).alias("db")),
+                )
+            ).alias("e"),
+        ).select("__k", "e.t", "e.da", "e.db")
+    edges = _edges(a, start_col, end_col, 1, 0).unionByName(
+        _edges(b, start_col, end_col, 0, 1)
+    )
+    w = Window.partitionBy("__k").orderBy("t", "da", "db").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.partitionBy("__k").orderBy("t", "da", "db")
+    seg = edges.select(
+        "__k",
+        "t",
+        F.sum("da").over(w).alias("ca"),
+        F.sum("db").over(w).alias("cb"),
+        F.lead("t").over(wl).alias("nt"),
+    )
+    return seg.groupBy(F.col("__k").alias(on)).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("ca") > 0) & (F.col("cb") > 0) & F.col("nt").isNotNull(),
+                    F.col("nt") - F.col("t"),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("overlap_us")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geomesa_spark.sources.catalog import write_manifest
@@ -47,6 +47,7 @@ __all__ = [
     "dissolve_envelopes",
     "focal_stats",
     "slope_grid",
+    "majority_filter",
 ]
 
 # marching-squares case table: (case index, segment slot, center rule,
@@ -1391,4 +1392,36 @@ def slope_grid(
     return agg.select(
         "ix", "iy", "gx8", "gy8",
         F.round(F.sqrt(gx * gx + gy * gy), 6).alias("slope"),
+    )
+
+
+def majority_filter(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    radius: int = 1,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Focal MODE (majority filter — the classic raster noise-cleanup
+    pass beside focal_stats' min/max): per target cell, the most
+    frequent occupied-neighbor value in the (2r+1)^2 footprint, ties
+    broken toward the SMALLEST value so the answer is deterministic.
+
+    _kernel_spread explode + a (target, value) hash aggregate + a
+    per-target row_number window — PARTITIONED by the target cell
+    (never global). Exact integers. Output: (ix, iy, mode_cnt,
+    mode_n) where mode_n is how many footprint cells carry the mode.
+    """
+    g = density_grid(points, bbox, width, height).select("ix", "iy", "cnt")
+    sp = _kernel_spread(g, ["cnt"], radius)
+    per_val = sp.groupBy(
+        F.col("tx").alias("ix"), F.col("ty").alias("iy"), F.col("cnt")
+    ).agg(F.count("*").alias("m"))
+    w = Window.partitionBy("ix", "iy").orderBy(F.col("m").desc(), F.col("cnt").asc())
+    return (
+        per_val.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("ix", "iy", F.col("cnt").alias("mode_cnt"), F.col("m").alias("mode_n"))
     )

@@ -1871,6 +1871,46 @@ class TestRound5Operators:
                for r in remove_frequent_lines(df).collect()}
         assert out == {1: ("c", 2), 2: ("d", 1), 3: ("", 2)}
 
+    def test_overlap_duration_sweep(self, spark):
+        """A = [0,10] and [20,30]; B = [5,25]: overlap (5..10) +
+        (20..25) = 10 s. A key with disjoint sides overlaps 0."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import overlap_duration
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        sec = lambda x: t0 + timedelta(seconds=x)  # noqa: E731
+        a = spark.createDataFrame(
+            [(1, sec(0), sec(10)), (1, sec(20), sec(30)), (2, sec(0), sec(5))],
+            "k long, start timestamp, end timestamp",
+        )
+        b = spark.createDataFrame(
+            [(1, sec(5), sec(25)), (2, sec(6), sec(9))],
+            "k long, start timestamp, end timestamp",
+        )
+        out = {r.k: r.overlap_us for r in overlap_duration(a, b, "k").collect()}
+        assert out == {1: 10_000_000, 2: 0}
+
+    def test_majority_filter_mode(self, spark):
+        """Cells with counts 3,3,1 in one footprint: mode 3 appears
+        twice; the tie between values on m is broken to the smaller
+        value when counts tie."""
+        from geomesa_spark.operators.tiles import majority_filter
+
+        pts = [(5.2, 5.2)] * 3 + [(6.2, 5.2)] * 3 + [(5.2, 6.2)]
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        out = {(r.ix, r.iy): (r.mode_cnt, r.mode_n)
+               for r in majority_filter(df, (0.0, 0.0, 10.0, 10.0), 10, 10).collect()}
+        # target (5,5): neighbors are cells (5,5)=3, (6,5)=3, (5,6)=1 → mode 3 ×2
+        assert out[(5, 5)] == (3, 2)
+        # target (6,6): neighbors (5,5)=3, (6,5)=3, (5,6)=1 → mode 3 ×2
+        assert out[(6, 6)] == (3, 2)
+        # target (4,6): neighbors (5,5)? no — (5,6)=1 and (5,5)=3? (4,6)'s
+        # footprint covers (5,6) and (5,5)... counts 1 and 3 each once →
+        # m ties at 1, tie-break to smaller value 1
+        assert out[(4, 6)] == (1, 1)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
