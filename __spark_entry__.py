@@ -3027,6 +3027,25 @@ def q_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return majority_filter(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
 
 
+def q_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user active micros: union measure of hourly activity spans
+    (overlap counted once) — the single-set sweep."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.temporal import union_duration
+
+    _utc(spark)
+    spans = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "user_id",
+            F.expr("unix_seconds(CAST(ts AS TIMESTAMP)) DIV 3600").alias("__h"),
+        )
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    )
+    return union_duration(spans, "user_id")
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3404,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "overlap": q_overlap,
         "majority": q_majority,
+        "active_time": q_active_time,
     }
 
 
@@ -6035,6 +6055,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT k AS user_id,
                    CAST(coalesce(sum(CASE WHEN ca > 0 AND cb > 0 AND nt IS NOT NULL
                                      THEN nt - t END), 0) AS BIGINT) AS overlap_us
+            FROM seg GROUP BY k
+        """,
+        "active_time": """
+            WITH sp AS (
+              SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+              FROM events
+              GROUP BY user_id, (epoch_us(ts) // 1000000) // 3600
+            ),
+            edges AS (
+              SELECT user_id AS k, s AS t, 1 AS d FROM sp
+              UNION ALL SELECT user_id, e, -1 FROM sp
+            ),
+            seg AS (
+              SELECT k, t, d,
+                     sum(d) OVER (PARTITION BY k ORDER BY t, d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                     lead(t) OVER (PARTITION BY k ORDER BY t, d) AS nt
+              FROM edges
+            )
+            SELECT k AS user_id,
+                   CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals,
+                   CAST(coalesce(sum(CASE WHEN ca > 0 AND nt IS NOT NULL
+                                     THEN nt - t END), 0) AS BIGINT) AS active_us
             FROM seg GROUP BY k
         """,
         "majority": f"""

@@ -39,6 +39,7 @@ __all__ = [
     "inter_arrival",
     "sliding_window_counts",
     "overlap_duration",
+    "union_duration",
 ]
 
 # Allen's 13 interval relations, classified from exact integer
@@ -764,4 +765,51 @@ def overlap_duration(
             ),
             F.lit(0),
         ).cast("long").alias("overlap_us")
+    )
+
+
+def union_duration(
+    df: DataFrame,
+    on: str,
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Total covered time per key — the measure of the UNION of the
+    key's (possibly overlapping) intervals, i.e. "how long was this
+    user/device actually active": overlap-counted time is counted
+    once. The single-set sibling of overlap_duration, same sweep: ±1
+    edges, one keyed running sum, add each inter-edge segment while
+    the active count is positive. Exact integer micros. Output:
+    (key, n_intervals, active_us).
+    """
+    t_s = F.expr(f"unix_micros(CAST({start_col} AS TIMESTAMP))")
+    t_e = F.expr(f"unix_micros(CAST({end_col} AS TIMESTAMP))")
+    edges = df.select(
+        F.col(on).alias("__k"),
+        F.explode(
+            F.array(
+                F.struct(t_s.alias("t"), F.lit(1).alias("d")),
+                F.struct(t_e.alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("e"),
+    ).select("__k", "e.t", "e.d")
+    w = Window.partitionBy("__k").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.partitionBy("__k").orderBy("t", "d")
+    seg = edges.select(
+        "__k", "t", "d",
+        F.sum("d").over(w).alias("ca"),
+        F.lead("t").over(wl).alias("nt"),
+    )
+    return seg.groupBy(F.col("__k").alias(on)).agg(
+        (F.sum(F.when(F.col("d") == 1, 1).otherwise(0))).cast("long").alias("n_intervals"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("ca") > 0) & F.col("nt").isNotNull(), F.col("nt") - F.col("t")
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("active_us"),
     )

@@ -1911,6 +1911,23 @@ class TestRound5Operators:
         # m ties at 1, tie-break to smaller value 1
         assert out[(4, 6)] == (1, 1)
 
+    def test_union_duration_merges_overlaps(self, spark):
+        """[0,10] ∪ [5,20] ∪ [30,40] = 20 + 10 = 30 s from 3
+        intervals; overlap counted once."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import union_duration
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        sec = lambda x: t0 + timedelta(seconds=x)  # noqa: E731
+        df = spark.createDataFrame(
+            [(1, sec(0), sec(10)), (1, sec(5), sec(20)), (1, sec(30), sec(40))],
+            "k long, start timestamp, end timestamp",
+        )
+        r = union_duration(df, "k").collect()[0]
+        assert (r.n_intervals, r.active_us) == (3, 30_000_000)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
