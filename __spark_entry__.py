@@ -3046,6 +3046,23 @@ def q_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_duration(spans, "user_id")
 
 
+def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style Hilbert cell ids of the geo spans on a 256×256 grid —
+    one integer fold per row, recursive-CTE oracle replays the
+    levels."""
+    from geomesa_spark.curves.hilbert import hilbert_col
+
+    pts = _points(spark, sf_dir)
+    ix = F.least(F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * 256), F.lit(0)), F.lit(255))
+    iy = F.least(F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * 256), F.lit(0)), F.lit(255))
+    return pts.select(
+        "doc_id",
+        "span_offset",
+        ix.cast("long").alias("ix"),
+        iy.cast("long").alias("iy"),
+    ).withColumn("hd", hilbert_col("ix", "iy", 8))
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3424,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap": q_overlap,
         "majority": q_majority,
         "active_time": q_active_time,
+        "hilbert_cells": q_hilbert,
     }
 
 
@@ -6056,6 +6074,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN ca > 0 AND cb > 0 AND nt IS NOT NULL
                                      THEN nt - t END), 0) AS BIGINT) AS overlap_us
             FROM seg GROUP BY k
+        """,
+        "hilbert_cells": f"""
+            WITH RECURSIVE {SQL_PTS},
+            cells AS (
+              SELECT doc_id, span_offset,
+                     CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256), 0), 255) AS BIGINT) AS ix,
+                     CAST(least(greatest(floor((lat + 90.0) / 180.0 * 256), 0), 255) AS BIGINT) AS iy
+              FROM pts
+            ),
+            it (doc_id, span_offset, ix0, iy0, i, x, y, d) AS (
+              SELECT doc_id, span_offset, ix, iy, 7, ix, iy, CAST(0 AS BIGINT) FROM cells
+              UNION ALL
+              SELECT doc_id, span_offset, ix0, iy0, i - 1,
+                     CASE WHEN ((y >> i) & 1) = 0 THEN
+                       CASE WHEN ((x >> i) & 1) = 1 THEN 255 - y ELSE y END
+                     ELSE x END,
+                     CASE WHEN ((y >> i) & 1) = 0 THEN
+                       CASE WHEN ((x >> i) & 1) = 1 THEN 255 - x ELSE x END
+                     ELSE y END,
+                     d + (CAST(1 AS BIGINT) << (2 * i))
+                         * (3 * ((x >> i) & 1) + ((y >> i) & 1)
+                            - 2 * ((x >> i) & 1) * ((y >> i) & 1))
+              FROM it WHERE i >= 0
+            )
+            SELECT doc_id, span_offset, ix0 AS ix, iy0 AS iy, d AS hd
+            FROM it WHERE i = -1
         """,
         "active_time": """
             WITH sp AS (

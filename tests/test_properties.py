@@ -478,6 +478,42 @@ class TestConvexHullProperties:
                 assert (cross >= 0).all()
 
 
+class TestHilbertProperties:
+    """Hilbert kernel: bijection, exact inverse, and the curve's
+    defining unit-step adjacency (consecutive ids are 4-adjacent cells
+    — the locality property Z-order lacks at quadrant seams)."""
+
+    def test_bijection_inverse_adjacency_p4(self):
+        from geomesa_spark.curves.hilbert import hilbert_d2xy, hilbert_xy2d
+
+        p, n = 4, 16
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        d = hilbert_xy2d(p, xs.ravel(), ys.ravel())
+        assert sorted(d.tolist()) == list(range(n * n))
+        x2, y2 = hilbert_d2xy(p, d)
+        assert (x2 == xs.ravel()).all() and (y2 == ys.ravel()).all()
+        order = np.argsort(d)
+        ox, oy = xs.ravel()[order], ys.ravel()[order]
+        steps = np.abs(np.diff(ox)) + np.abs(np.diff(oy))
+        assert (steps == 1).all()
+
+    @given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                    min_size=1, max_size=64))
+    @settings(max_examples=50, deadline=None)
+    def test_column_fold_matches_numpy(self, spark_module_df, pts):
+        """The Column-expression fold is bit-identical to the NumPy
+        spec kernel on random p=8 coordinates."""
+        from geomesa_spark.curves.hilbert import hilbert_col, hilbert_xy2d
+
+        spark = spark_module_df[0].sparkSession
+        df = spark.createDataFrame(pts, "ix long, iy long")
+        got = [r.hd for r in df.withColumn("hd", hilbert_col("ix", "iy", 8))
+               .orderBy("ix", "iy", "hd").collect()]
+        xs = sorted(pts)
+        want = hilbert_xy2d(8, [a for a, _ in xs], [b for _, b in xs]).tolist()
+        assert got == want
+
+
 class TestAllenAlgebraProperties:
     """The 13-relation case list is exhaustive and mutually exclusive
     for non-degenerate intervals, and relation(L,R) is always the
