@@ -3063,6 +3063,17 @@ def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("hd", hilbert_col("ix", "iy", 8))
 
 
+def q_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Hellinger drift between event-type value histograms
+    (50 bins on [0, 500]) — sqrt-only, decimal-summed terms."""
+    from geomesa_spark.operators.stats import hellinger_pairs
+
+    return hellinger_pairs(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        "event_type", "value", 0.0, 500.0, 50,
+    )
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3442,6 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority": q_majority,
         "active_time": q_active_time,
         "hilbert_cells": q_hilbert,
+        "hellinger": q_hellinger,
     }
 
 
@@ -6074,6 +6086,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN ca > 0 AND cb > 0 AND nt IS NOT NULL
                                      THEN nt - t END), 0) AS BIGINT) AS overlap_us
             FROM seg GROUP BY k
+        """,
+        "hellinger": """
+            WITH cells AS (
+              SELECT event_type AS g,
+                     CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+            pg AS (
+              SELECT cells.g, bin, CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+              FROM cells JOIN tot ON cells.g = tot.g
+            ),
+            pr AS (
+              SELECT a.g AS group_a, b.g AS group_b, a.bin,
+                     CAST(round(sqrt(a.p * b.p), 6) AS DECIMAL(20,6)) AS term
+              FROM pg a JOIN pg b ON a.bin = b.bin AND a.g < b.g
+            ),
+            agg AS (
+              SELECT group_a, group_b, CAST(count(*) AS BIGINT) AS n_bins_shared,
+                     sum(term) AS bc_d
+              FROM pr GROUP BY 1, 2
+            )
+            SELECT group_a, group_b, n_bins_shared,
+                   round(CAST(bc_d AS DOUBLE), 6) AS bc,
+                   round(sqrt(greatest(1.0e0 - CAST(bc_d AS DOUBLE), 0.0e0)), 6) AS hellinger
+            FROM agg
         """,
         "hilbert_cells": f"""
             WITH RECURSIVE {SQL_PTS},

@@ -35,6 +35,7 @@ __all__ = [
     "gini_concentration",
     "two_proportion_z",
     "top_share",
+    "hellinger_pairs",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -905,4 +906,58 @@ def top_share(df: DataFrame, key_col: str, k: int) -> DataFrame:
         F.when(n > 0, t).alias("n_rows"),
         F.when(n > 0, tr).alias("top_rows"),
         F.round(F.when(n > 0, tr.cast("double") / t.cast("double")), 6).alias("share"),
+    )
+
+
+def hellinger_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Pairwise Hellinger distance between the groups' value
+    distributions — the distribution-DRIFT screen (is segment A's
+    value histogram shaped like segment B's?) built sqrt-only, unlike
+    KL/PSI/JSD whose logarithms the repo's oracled-trig rule excludes:
+    BC = Σᵢ √(pᵢ·qᵢ) (Bhattacharyya), H = √(1 − BC).
+
+    Shape: one histogram aggregate per (group, bin) (clamped
+    fixed-width bins), per-group totals joined back BROADCAST, then a
+    bin equi-join of the group pairs (group_a < group_b) — absent
+    bins contribute 0 to BC, so the inner join is exact. Per-bin
+    terms are a fixed IEEE sequence rounded to 6 decimals and summed
+    as DECIMAL — order-independent under any partitioning; BC ≤ 1 up
+    to rounding, so 1 − BC is clamped at 0 before the final sqrt.
+    Output: (group_a, group_b, n_bins_shared, bc, hellinger).
+    """
+    width = (hi - lo) / nbins
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("long")
+    cells = (
+        df.select(F.col(group_col).alias("g"), b.alias("bin"))
+        .groupBy("g", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cells.groupBy("g").agg(F.sum("c").alias("t"))
+    pg = cells.join(F.broadcast(tot), "g").select(
+        "g", "bin", (F.col("c").cast("double") / F.col("t").cast("double")).alias("p")
+    )
+    a = pg.select(F.col("g").alias("group_a"), "bin", F.col("p").alias("pa"))
+    bb = pg.select(F.col("g").alias("group_b"), "bin", F.col("p").alias("pb"))
+    pairs = a.join(bb, "bin").where(F.col("group_a") < F.col("group_b"))
+    term = F.round(F.sqrt(F.col("pa") * F.col("pb")), 6).cast("decimal(20,6)")
+    agg = pairs.groupBy("group_a", "group_b").agg(
+        F.count("*").alias("n_bins_shared"), F.sum(term).alias("bc_d")
+    )
+    bc = F.col("bc_d").cast("double")
+    return agg.select(
+        "group_a",
+        "group_b",
+        "n_bins_shared",
+        F.round(bc, 6).alias("bc"),
+        F.round(F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))), 6).alias("hellinger"),
     )

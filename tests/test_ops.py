@@ -1928,6 +1928,27 @@ class TestRound5Operators:
         r = union_duration(df, "k").collect()[0]
         assert (r.n_intervals, r.active_us) == (3, 30_000_000)
 
+    def test_hellinger_pairs(self, spark):
+        """Histograms (2/3,1/3) vs (1/3,2/3): BC = 2·√2/3 (per-term
+        round 6), H = √(1−BC); identical groups give H = 0."""
+        import math
+
+        from geomesa_spark.operators.stats import hellinger_pairs
+
+        rows = [("a", 1.0), ("a", 1.0), ("a", 11.0),
+                ("b", 1.0), ("b", 11.0), ("b", 11.0),
+                ("c", 1.0), ("c", 1.0), ("c", 11.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {(r.group_a, r.group_b): r
+               for r in hellinger_pairs(df, "g", "v", 0.0, 20.0, 2).collect()}
+        t = round(math.sqrt((2 / 3) * (1 / 3)), 6)
+        bc = round(2 * t, 6)
+        assert out[("a", "b")].bc == bc
+        assert out[("a", "b")].hellinger == round(math.sqrt(1.0 - bc), 6)
+        # a and c are identical distributions → BC = 1, H = 0
+        assert (out[("a", "c")].bc, out[("a", "c")].hellinger) == (
+            round(round(2 / 3, 6) + round(1 / 3, 6), 6), 0.0)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
