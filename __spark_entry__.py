@@ -3074,6 +3074,23 @@ def q_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chebyshev distance-to-nearest-occupied-cell surface (radius 3)
+    over the 72×34 grid — spread + min aggregate, exact integers."""
+    from geomesa_spark.operators.tiles import proximity_grid
+
+    return proximity_grid(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
+
+
+def q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on hourly counts vs the exact integer
+    mean threshold — sqrt-only tail."""
+    from geomesa_spark.operators.temporal import runs_test
+
+    _utc(spark)
+    return runs_test(spark.read.parquet(f"{sf_dir}/events.parquet"), 3600)
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3454,6 +3471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_time": q_active_time,
         "hilbert_cells": q_hilbert,
         "hellinger": q_hellinger,
+        "proximity": q_proximity,
+        "runs": q_runs,
     }
 
 
@@ -6086,6 +6105,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN ca > 0 AND cb > 0 AND nt IS NOT NULL
                                      THEN nt - t END), 0) AS BIGINT) AS overlap_us
             FROM seg GROUP BY k
+        """,
+        "proximity": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            sp AS (
+              SELECT CAST(g.ix + kx.v AS INT) AS ix, CAST(g.iy + ky.v AS INT) AS iy,
+                     greatest(abs(kx.v), abs(ky.v)) AS d
+              FROM grid g
+              CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS v) kx
+              CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS v) ky
+            )
+            SELECT ix, iy, CAST(min(d) AS BIGINT) AS dist FROM sp GROUP BY 1, 2
+        """,
+        "runs": """
+            WITH b AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS bin FROM events),
+            cnt AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+            bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM cnt),
+            dense AS (
+              SELECT t.b AS bin FROM bounds
+              CROSS JOIN LATERAL unnest(generate_series(lo, hi)) AS t(b)
+            ),
+            filled AS (
+              SELECT d.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+              FROM dense d LEFT JOIN cnt c ON d.bin = c.bin
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS t FROM filled),
+            signed AS (
+              SELECT bin, CASE WHEN c * n > t THEN 1 ELSE 0 END AS s
+              FROM filled CROSS JOIN tot
+            ),
+            trans AS (
+              SELECT CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS BIGINT) AS chg
+              FROM signed a JOIN signed b ON b.bin = a.bin + 1
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n1,
+                     CAST(sum(1 - s) AS BIGINT) AS n2
+              FROM signed
+            )
+            SELECT n AS n_bins, n1 AS n_above, n2 AS n_below, chg + 1 AS runs,
+                   round(CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+                     (CAST(chg + 1 AS DOUBLE)
+                      - (1.0e0 + 2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / sqrt((2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             * (2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE)))
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+                   END, 6) AS z
+            FROM agg CROSS JOIN trans
         """,
         "hellinger": """
             WITH cells AS (

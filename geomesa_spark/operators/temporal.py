@@ -40,6 +40,7 @@ __all__ = [
     "sliding_window_counts",
     "overlap_duration",
     "union_duration",
+    "runs_test",
 ]
 
 # Allen's 13 interval relations, classified from exact integer
@@ -812,4 +813,56 @@ def union_duration(
             ),
             F.lit(0),
         ).cast("long").alias("active_us"),
+    )
+
+
+def runs_test(
+    events: DataFrame,
+    bin_seconds: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on the dense binned count series — "is
+    the traffic pattern random, or does it clump?" next to
+    lag_autocorr's linear-dependence check. Each bin is classified
+    above/below the MEAN via the exact integer comparison c·n > T (no
+    quantile interpolation), runs are counted from the bin/bin+1
+    pairing join, and z = (R − μ)/σ with μ = 1 + 2·n1·n2/n,
+    σ² = 2·n1·n2·(2·n1·n2 − n) / (n²·(n−1)) — all inputs exact
+    integers, sqrt-only tail, round 6.
+
+    Shape: the shared dense axis, a broadcast 1-row totals join, one
+    pairing equi-join, one reduce. Output: one row (n_bins, n_above,
+    n_below, runs, z); z NULL when either class is empty or n < 2.
+    """
+    filled = _dense_counts(events, bin_seconds, ts_col).select("bin", "c")
+    tot = filled.agg(
+        F.count("*").alias("n"), F.sum("c").alias("t")
+    )
+    signed = filled.crossJoin(F.broadcast(tot)).select(
+        "bin", (F.col("c") * F.col("n") > F.col("t")).cast("int").alias("s")
+    )
+    a = signed.select(F.col("bin").alias("b"), F.col("s").alias("s1"))
+    b = signed.select((F.col("bin") - 1).alias("b"), F.col("s").alias("s2"))
+    trans = a.join(b, "b").agg(
+        F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)).alias("chg")
+    )
+    agg = signed.agg(
+        F.count("*").alias("n"),
+        F.sum("s").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).alias("n2"),
+    ).crossJoin(F.broadcast(trans))
+    n = F.col("n").cast("double")
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    runs = (F.col("chg") + 1).cast("long")
+    mu = F.lit(1.0) + 2.0 * n1 * n2 / n
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - F.lit(1.0)))
+    z = (runs.cast("double") - mu) / F.sqrt(var)
+    return agg.select(
+        F.col("n").alias("n_bins"),
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        runs.alias("runs"),
+        F.round(
+            F.when((F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") > 1), z), 6
+        ).alias("z"),
     )

@@ -48,6 +48,7 @@ __all__ = [
     "focal_stats",
     "slope_grid",
     "majority_filter",
+    "proximity_grid",
 ]
 
 # marching-squares case table: (case index, segment slot, center rule,
@@ -1424,4 +1425,33 @@ def majority_filter(
         per_val.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("ix", "iy", F.col("cnt").alias("mode_cnt"), F.col("m").alias("mode_n"))
+    )
+
+
+def proximity_grid(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    radius: int = 3,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Truncated discrete distance transform: per cell within
+    ``radius`` of the data, the CHEBYSHEV distance (in cells) to the
+    nearest occupied cell — the "how far is the closest feature"
+    surface (site-selection / coverage-gap analytics; the raster dual
+    of a DWITHIN buffer). Occupied cells read 0; cells farther than
+    ``radius`` from everything are absent (the sparse support only
+    grows by the footprint).
+
+    One _kernel_spread explode of the aggregated grid + a min hash
+    aggregate on the target cell. Exact integers. Output: (ix, iy,
+    dist).
+    """
+    g = density_grid(points, bbox, width, height).select("ix", "iy")
+    sp = _kernel_spread(g, [], radius)
+    d = F.greatest(F.abs(F.col("kx")), F.abs(F.col("ky")))
+    return sp.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
+        F.min(d).cast("long").alias("dist")
     )

@@ -1949,6 +1949,38 @@ class TestRound5Operators:
         assert (out[("a", "c")].bc, out[("a", "c")].hellinger) == (
             round(round(2 / 3, 6) + round(1 / 3, 6), 6), 0.0)
 
+    def test_proximity_grid_distance(self, spark):
+        """One occupied cell: dist = Chebyshev ring index out to the
+        radius; the occupied cell itself reads 0."""
+        from geomesa_spark.operators.tiles import proximity_grid
+
+        df = spark.createDataFrame([(5.2, 5.2)], "lon double, lat double")
+        out = {(r.ix, r.iy): r.dist
+               for r in proximity_grid(df, (0.0, 0.0, 10.0, 10.0), 10, 10, radius=2).collect()}
+        assert out[(5, 5)] == 0
+        assert out[(6, 5)] == 1 and out[(6, 6)] == 1
+        assert out[(7, 5)] == 2 and out[(7, 7)] == 2
+        assert len(out) == 25
+
+    def test_runs_test_alternating(self, spark):
+        """Counts 3,1,3,1 (mean 2): signs alternate → 4 runs, the
+        maximum; z matches the closed form."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import runs_test
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        for h, c in enumerate([3, 1, 3, 1]):
+            rows += [(t0 + timedelta(hours=h, minutes=m),) for m in range(c)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        r = runs_test(df, 3600).collect()[0]
+        assert (r.n_bins, r.n_above, r.n_below, r.runs) == (4, 2, 2, 4)
+        mu = 1.0 + 2.0 * 2 * 2 / 4
+        var = (2.0 * 2 * 2 * (2.0 * 2 * 2 - 4)) / (4.0 * 4 * 3)
+        assert r.z == round((4 - mu) / var ** 0.5, 6)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
