@@ -3091,6 +3091,29 @@ def q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs_test(spark.read.parquet(f"{sf_dir}/events.parquet"), 3600)
 
 
+def q_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local maxima of hourly event counts (1-D hotspots) —
+    two shifted left joins on the dense axis, exact integers."""
+    from geomesa_spark.operators.temporal import peak_bins
+
+    _utc(spark)
+    return peak_bins(spark.read.parquet(f"{sf_dir}/events.parquet"), 3600)
+
+
+def q_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% CI of the purchase rate per user segment
+    (user_id % 10) — rank segments by ci_low, not raw rate."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.stats import wilson_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 10).alias("segment"),
+        (F.col("event_type") == "purchase").alias("succ"),
+    )
+    return wilson_intervals(ev, "segment", "succ")
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3473,6 +3496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hellinger": q_hellinger,
         "proximity": q_proximity,
         "runs": q_runs,
+        "peaks": q_peaks,
+        "wilson": q_wilson,
     }
 
 
@@ -6105,6 +6130,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN ca > 0 AND cb > 0 AND nt IS NOT NULL
                                      THEN nt - t END), 0) AS BIGINT) AS overlap_us
             FROM seg GROUP BY k
+        """,
+        "peaks": """
+            WITH b AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS bin FROM events),
+            cnt AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+            bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM cnt),
+            dense AS (
+              SELECT t.b AS bin FROM bounds
+              CROSS JOIN LATERAL unnest(generate_series(lo, hi)) AS t(b)
+            ),
+            filled AS (
+              SELECT d.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+              FROM dense d LEFT JOIN cnt c ON d.bin = c.bin
+            ),
+            p AS (SELECT bin + 1 AS bin, c AS pc FROM filled),
+            nx AS (SELECT bin - 1 AS bin, c AS nc FROM filled)
+            SELECT f.bin, f.c,
+                   CAST(coalesce(p.pc, 0) AS BIGINT) AS prev_c,
+                   CAST(coalesce(nx.nc, 0) AS BIGINT) AS next_c
+            FROM filled f LEFT JOIN p USING (bin) LEFT JOIN nx USING (bin)
+            WHERE f.c >= 1 AND f.c > coalesce(p.pc, 0) AND f.c > coalesce(nx.nc, 0)
+        """,
+        "wilson": """
+            WITH g AS (
+              SELECT user_id % 10 AS segment, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS s
+              FROM events GROUP BY 1
+            )
+            SELECT segment, n, s,
+                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+                   round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                          + (1.96e0 * 1.96e0) / (2.0e0 * CAST(n AS DOUBLE)))
+                         / (1.0e0 + (1.96e0 * 1.96e0) / CAST(n AS DOUBLE))
+                         - 1.96e0 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                             * (1.0e0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                             + (1.96e0 * 1.96e0) / (4.0e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           / (1.0e0 + (1.96e0 * 1.96e0) / CAST(n AS DOUBLE)), 6) AS ci_low,
+                   round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                          + (1.96e0 * 1.96e0) / (2.0e0 * CAST(n AS DOUBLE)))
+                         / (1.0e0 + (1.96e0 * 1.96e0) / CAST(n AS DOUBLE))
+                         + 1.96e0 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                             * (1.0e0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                             + (1.96e0 * 1.96e0) / (4.0e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           / (1.0e0 + (1.96e0 * 1.96e0) / CAST(n AS DOUBLE)), 6) AS ci_high
+            FROM g
         """,
         "proximity": f"""
             WITH {SQL_PTS},

@@ -36,6 +36,7 @@ __all__ = [
     "two_proportion_z",
     "top_share",
     "hellinger_pairs",
+    "wilson_intervals",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -960,4 +961,45 @@ def hellinger_pairs(
         "n_bins_shared",
         F.round(bc, 6).alias("bc"),
         F.round(F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))), 6).alias("hellinger"),
+    )
+
+
+def wilson_intervals(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score confidence interval for each group's success rate
+    — the ranking-under-uncertainty primitive (sort segments by
+    ci_low, not by the raw rate, so small-n groups can't fake the
+    top): center = (p̂ + z²/2n)/(1 + z²/n), half-width =
+    z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n).
+
+    One conditional hash aggregate per group; two exact integers per
+    group feed a fixed sqrt-only IEEE tail (the same double sequence
+    in the oracle — ``z`` must be quoted identically, repr handles
+    it). Output: (group, n, s, rate, ci_low, ci_high) round 6.
+    """
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("s"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("s").cast("double") / n
+    z2 = float(z) * float(z)
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (p + F.lit(z2) / (2.0 * n)) / denom
+    hw = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / n + F.lit(z2) / (4.0 * n * n))
+        / denom
+    )
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "s",
+        F.round(p, 6).alias("rate"),
+        F.round(center - hw, 6).alias("ci_low"),
+        F.round(center + hw, 6).alias("ci_high"),
     )

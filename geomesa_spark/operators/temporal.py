@@ -41,6 +41,7 @@ __all__ = [
     "overlap_duration",
     "union_duration",
     "runs_test",
+    "peak_bins",
 ]
 
 # Allen's 13 interval relations, classified from exact integer
@@ -865,4 +866,40 @@ def runs_test(
         F.round(
             F.when((F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") > 1), z), 6
         ).alias("z"),
+    )
+
+
+def peak_bins(
+    events: DataFrame,
+    bin_seconds: int,
+    min_count: int = 1,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict local maxima of the dense binned count series — the 1-D
+    analogue of tiles.hotspots (traffic spikes): bins with count >=
+    ``min_count`` that strictly exceed BOTH neighbors (missing
+    neighbors — the series ends — count as 0, like the spatial
+    hotspots' empty cells).
+
+    Two shifted self-equi-joins on the dense axis (left joins so edge
+    bins keep zero neighbors), exact integers. Output: (bin, c,
+    prev_c, next_c).
+    """
+    filled = _dense_counts(events, bin_seconds, ts_col).select("bin", "c")
+    prev = filled.select((F.col("bin") + 1).alias("bin"), F.col("c").alias("prev_c"))
+    nxt = filled.select((F.col("bin") - 1).alias("bin"), F.col("c").alias("next_c"))
+    j = (
+        filled.join(prev, "bin", "left")
+        .join(nxt, "bin", "left")
+        .select(
+            "bin",
+            "c",
+            F.coalesce("prev_c", F.lit(0).cast("long")).alias("prev_c"),
+            F.coalesce("next_c", F.lit(0).cast("long")).alias("next_c"),
+        )
+    )
+    return j.where(
+        (F.col("c") >= min_count)
+        & (F.col("c") > F.col("prev_c"))
+        & (F.col("c") > F.col("next_c"))
     )

@@ -1981,6 +1981,43 @@ class TestRound5Operators:
         var = (2.0 * 2 * 2 * (2.0 * 2 * 2 - 4)) / (4.0 * 4 * 3)
         assert r.z == round((4 - mu) / var ** 0.5, 6)
 
+    def test_peak_bins_local_maxima(self, spark):
+        """Counts 1,3,2,2,5: peaks at bin 1 (3 > 1,2) and bin 4
+        (5 > 2 and > trailing 0); the 2,2 plateau is NOT a peak."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import peak_bins
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        for h, c in enumerate([1, 3, 2, 2, 5]):
+            rows += [(t0 + timedelta(hours=h, minutes=m),) for m in range(c)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        base = 473352  # 2024-01-01 00:00 in hours
+        out = {r.bin - base: (r.c, r.prev_c, r.next_c)
+               for r in peak_bins(df, 3600).collect()}
+        assert out == {1: (3, 1, 2), 4: (5, 2, 0)}
+
+    def test_wilson_intervals(self, spark):
+        """8/10 successes: the Wilson interval matches the closed form
+        and brackets the rate asymmetrically."""
+        import math
+
+        from geomesa_spark.operators.stats import wilson_intervals
+
+        df = spark.createDataFrame(
+            [("a", i < 8) for i in range(10)], "grp string, succ boolean"
+        )
+        r = wilson_intervals(df, "grp", "succ").collect()[0]
+        z, n, p = 1.96, 10.0, 0.8
+        z2 = z * z
+        denom = 1.0 + z2 / n
+        center = (p + z2 / (2.0 * n)) / denom
+        hw = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+        assert (r.n, r.s, r.rate) == (10, 8, 0.8)
+        assert (r.ci_low, r.ci_high) == (round(center - hw, 6), round(center + hw, 6))
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
