@@ -3114,6 +3114,26 @@ def q_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilson_intervals(ev, "segment", "succ")
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial SEMI join: geo spans inside at least one rect envelope,
+    emitted once — LEFT SEMI on the cell key."""
+    from geomesa_spark.operators.joins import envelope_semi_join
+    from geomesa_spark.tables import rect_layer
+
+    return envelope_semi_join(_points(spark, sf_dir), rect_layer(spark, N_RECTS))
+
+
+def q_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view→purchase conversion latency (first view to first
+    purchase at/after it); censored keys keep NULL latency."""
+    from geomesa_spark.operators.temporal import time_to_event
+
+    _utc(spark)
+    return time_to_event(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "view", "purchase"
+    )
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3498,6 +3518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs": q_runs,
         "peaks": q_peaks,
         "wilson": q_wilson,
+        "semi_join": q_semi_join,
+        "conversion": q_conversion,
     }
 
 
@@ -6130,6 +6152,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN ca > 0 AND cb > 0 AND nt IS NOT NULL
                                      THEN nt - t END), 0) AS BIGINT) AS overlap_us
             FROM seg GROUP BY k
+        """,
+        "semi_join": f"""
+            WITH {SQL_PTS}, {SQL_RECTS}
+            SELECT p.doc_id, p.span_offset, p.lon, p.lat
+            FROM pts p
+            WHERE EXISTS (
+              SELECT 1 FROM rects_env e
+              WHERE p.lon >= e.min_lon AND p.lon <= e.max_lon
+                AND p.lat >= e.min_lat AND p.lat <= e.max_lat
+            )
+        """,
+        "conversion": """
+            WITH base AS (
+              SELECT user_id AS key, event_type AS et, epoch_us(ts) AS t FROM events
+            ),
+            ff AS (
+              SELECT key, CAST(min(t) AS BIGINT) AS first_from_us
+              FROM base WHERE et = 'view' GROUP BY 1
+            ),
+            agg AS (
+              SELECT ff.key, ff.first_from_us,
+                     CAST(min(CASE WHEN b.t >= ff.first_from_us THEN b.t END) AS BIGINT)
+                       AS first_to_us
+              FROM ff LEFT JOIN base b ON b.key = ff.key AND b.et = 'purchase'
+              GROUP BY 1, 2
+            )
+            SELECT key, first_from_us, first_to_us,
+                   first_to_us - first_from_us AS latency_us
+            FROM agg
         """,
         "peaks": """
             WITH b AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS bin FROM events),

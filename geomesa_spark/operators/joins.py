@@ -44,6 +44,7 @@ __all__ = [
     "densify_track",
     "attribute_join",
     "envelope_anti_join",
+    "envelope_semi_join",
     "band_join",
     "explode_envelope_cover",
 ]
@@ -834,3 +835,42 @@ def band_join(
             F.round(F.abs(F.col("v_l") - F.col("v_r")), 6).alias("diff"),
         )
     )
+
+
+def envelope_semi_join(
+    points: DataFrame,
+    rects: DataFrame,
+    cell_deg: float = 5.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spatial SEMI join: points contained by AT LEAST ONE rectangle
+    envelope, each point emitted once no matter how many envelopes
+    cover it — the existence filter ("inside any service area")
+    complementing envelope_anti_join's negative space; a plain inner
+    cover join would duplicate a point per covering rect and need a
+    dedup exchange.
+
+    One LEFT SEMI hash join on the cell key with the exact containment
+    residual, sharing explode_envelope_cover with the anti join.
+    Output: the point rows unchanged.
+    """
+    cover = explode_envelope_cover(
+        rects.select(
+            F.col("min_lon").alias("__x0"), F.col("min_lat").alias("__y0"),
+            F.col("max_lon").alias("__x1"), F.col("max_lat").alias("__y1"),
+        ),
+        cell_deg, x0="__x0", y0="__y0", x1="__x1", y1="__y1",
+    )
+    p = points.withColumn(
+        "__cx", F.floor(F.col(lon) / cell_deg).cast("long")
+    ).withColumn("__cy", F.floor(F.col(lat) / cell_deg).cast("long"))
+    cond = (
+        (p["__cx"] == cover["__cx"])
+        & (p["__cy"] == cover["__cy"])
+        & (p[lon] >= cover["__x0"])
+        & (p[lon] <= cover["__x1"])
+        & (p[lat] >= cover["__y0"])
+        & (p[lat] <= cover["__y1"])
+    )
+    return p.join(cover, cond, "left_semi").drop("__cx", "__cy")

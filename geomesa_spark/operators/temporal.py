@@ -42,6 +42,7 @@ __all__ = [
     "union_duration",
     "runs_test",
     "peak_bins",
+    "time_to_event",
 ]
 
 # Allen's 13 interval relations, classified from exact integer
@@ -902,4 +903,49 @@ def peak_bins(
         (F.col("c") >= min_count)
         & (F.col("c") > F.col("prev_c"))
         & (F.col("c") > F.col("next_c"))
+    )
+
+
+def time_to_event(
+    events: DataFrame,
+    from_type: str,
+    to_type: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion latency per key: micros from the FIRST ``from_type``
+    event to the FIRST ``to_type`` event at or after it — the
+    time-to-convert / time-to-resolution metric (view→purchase,
+    error→recovery).
+
+    ONE conditional hash aggregate: first_from = min ts over from-type
+    rows; the converting event is min ts over to-type rows ≥
+    first_from, folded into the SAME aggregate as min(CASE …) over a
+    per-key self-contained expression — no join, no window. Keys with
+    a from-event and no later to-event report NULL latency (observed
+    censoring); keys with no from-event drop out. Exact integer
+    micros. Output: (key, first_from_us, first_to_us, latency_us).
+    """
+    t = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
+    base = events.select(
+        F.col(key_col).alias("key"), F.col(type_col).alias("et"), t.alias("t")
+    )
+    ff = base.where(F.col("et") == from_type).groupBy("key").agg(
+        F.min("t").alias("first_from_us")
+    )
+    to = base.where(F.col("et") == to_type).select("key", F.col("t").alias("__tt"))
+    # conditional min INSIDE the aggregate (min ignores nulls): keys
+    # with no to-event — or only to-events BEFORE the first from-event
+    # — keep their row with NULL latency instead of vanishing
+    out = ff.join(to, "key", "left").groupBy("key", "first_from_us").agg(
+        F.min(
+            F.when(F.col("__tt") >= F.col("first_from_us"), F.col("__tt"))
+        ).alias("first_to_us")
+    )
+    return out.select(
+        "key",
+        "first_from_us",
+        "first_to_us",
+        (F.col("first_to_us") - F.col("first_from_us")).alias("latency_us"),
     )

@@ -2018,6 +2018,45 @@ class TestRound5Operators:
         assert (r.n, r.s, r.rate) == (10, 8, 0.8)
         assert (r.ci_low, r.ci_high) == (round(center - hw, 6), round(center + hw, 6))
 
+    def test_envelope_semi_join_once(self, spark):
+        """A point covered by TWO overlapping rects appears once; an
+        outside point is dropped."""
+        from geomesa_spark.operators.joins import envelope_semi_join
+
+        pts = spark.createDataFrame(
+            [("in", 0.5, 0.5), ("out", 9.0, 9.0)], "pid string, lon double, lat double"
+        )
+        rects = spark.createDataFrame(
+            [("r1", 0.0, 0.0, 1.0, 1.0), ("r2", 0.25, 0.25, 2.0, 2.0)],
+            "rect_id string, min_lon double, min_lat double, "
+            "max_lon double, max_lat double",
+        )
+        out = [r.pid for r in envelope_semi_join(pts, rects).collect()]
+        assert out == ["in"]
+
+    def test_time_to_event_censoring(self, spark):
+        """u1 converts 30 s after first view; u2's purchase PRECEDES
+        the first view → NULL latency (not a vanished row); u3 never
+        purchases → NULL; u4 never views → absent."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import time_to_event
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        sec = lambda x: t0 + timedelta(seconds=x)  # noqa: E731
+        df = spark.createDataFrame(
+            [
+                (1, "view", sec(0)), (1, "purchase", sec(30)),
+                (2, "purchase", sec(0)), (2, "view", sec(10)),
+                (3, "view", sec(0)),
+                (4, "purchase", sec(0)),
+            ],
+            "user_id long, event_type string, ts timestamp",
+        )
+        out = {r.key: r.latency_us for r in time_to_event(df, "view", "purchase").collect()}
+        assert out == {1: 30_000_000, 2: None, 3: None}
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
