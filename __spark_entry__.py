@@ -6241,6 +6241,8 @@ def oracle_sql() -> dict[str, str]:
               FROM grid g
               CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS v) kx
               CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS v) ky
+              WHERE g.ix + kx.v >= 0 AND g.ix + kx.v < 72
+                AND g.iy + ky.v >= 0 AND g.iy + ky.v < 34
             )
             SELECT ix, iy, CAST(min(d) AS BIGINT) AS dist FROM sp GROUP BY 1, 2
         """,
@@ -6262,7 +6264,7 @@ def oracle_sql() -> dict[str, str]:
               FROM filled CROSS JOIN tot
             ),
             trans AS (
-              SELECT CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS BIGINT) AS chg
+              SELECT CAST(coalesce(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END), 0) AS BIGINT) AS chg
               FROM signed a JOIN signed b ON b.bin = a.bin + 1
             ),
             agg AS (
@@ -6298,14 +6300,19 @@ def oracle_sql() -> dict[str, str]:
               FROM pg a JOIN pg b ON a.bin = b.bin AND a.g < b.g
             ),
             agg AS (
-              SELECT group_a, group_b, CAST(count(*) AS BIGINT) AS n_bins_shared,
+              SELECT group_a, group_b, CAST(count(*) AS BIGINT) AS nb,
                      sum(term) AS bc_d
               FROM pr GROUP BY 1, 2
+            ),
+            univ AS (
+              SELECT a.g AS group_a, b.g AS group_b
+              FROM tot a JOIN tot b ON a.g < b.g
             )
-            SELECT group_a, group_b, n_bins_shared,
-                   round(CAST(bc_d AS DOUBLE), 6) AS bc,
-                   round(sqrt(greatest(1.0e0 - CAST(bc_d AS DOUBLE), 0.0e0)), 6) AS hellinger
-            FROM agg
+            SELECT u.group_a, u.group_b,
+                   CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bins_shared,
+                   round(coalesce(CAST(bc_d AS DOUBLE), 0.0e0), 6) AS bc,
+                   round(sqrt(greatest(1.0e0 - coalesce(CAST(bc_d AS DOUBLE), 0.0e0), 0.0e0)), 6) AS hellinger
+            FROM univ u LEFT JOIN agg ON agg.group_a = u.group_a AND agg.group_b = u.group_b
         """,
         "hilbert_cells": f"""
             WITH RECURSIVE {SQL_PTS},
@@ -6371,6 +6378,8 @@ def oracle_sql() -> dict[str, str]:
               FROM grid g
               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+              WHERE g.ix + kx.v >= 0 AND g.ix + kx.v < 72
+                AND g.iy + ky.v >= 0 AND g.iy + ky.v < 34
             ),
             pv AS (
               SELECT ix, iy, cnt, CAST(count(*) AS BIGINT) AS m FROM sp GROUP BY 1, 2, 3
@@ -6422,6 +6431,8 @@ def oracle_sql() -> dict[str, str]:
               FROM grid g
               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+              WHERE g.ix + kx.v >= 0 AND g.ix + kx.v < 72
+                AND g.iy + ky.v >= 0 AND g.iy + ky.v < 34
             )
             SELECT ix, iy, CAST(min(cnt) AS BIGINT) AS f_min,
                    CAST(max(cnt) AS BIGINT) AS f_max,
@@ -6445,6 +6456,8 @@ def oracle_sql() -> dict[str, str]:
               FROM grid g
               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+              WHERE g.ix + kx.v >= 0 AND g.ix + kx.v < 72
+                AND g.iy + ky.v >= 0 AND g.iy + ky.v < 34
             ),
             agg AS (
               SELECT ix, iy,

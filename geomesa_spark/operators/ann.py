@@ -684,11 +684,15 @@ def recall_at_k(
     is one double division, round 6. Output: (query_col, n_exact,
     n_hit, recall).
     """
-    e = exact.select(F.col(query_col).alias("__q"), F.col(id_col).alias("__i"))
+    # distinct both sides: a duplicated (query, id) in either input
+    # (e.g. unioned multi-table candidates) would multiply join rows
+    # and corrupt n_exact and the recall ratio
+    e = exact.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__i")
+    ).distinct()
     a = approx.select(
-        F.col(query_col).alias("__q"), F.col(id_col).alias("__i"),
-        F.lit(1).alias("__hit"),
-    )
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__i")
+    ).distinct().withColumn("__hit", F.lit(1))
     per = (
         e.join(a, ["__q", "__i"], "left")
         .groupBy("__q")

@@ -362,9 +362,14 @@ def remove_frequent_lines(
     the same double division in engine and oracle. Output: (id_col,
     clean_text, n_removed).
     """
+    if "\\E" in sep:
+        raise ValueError(r"sep must not contain \E (regex-quote delimiter)")
     tok = docs.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "w"),
+        # \Q...\E literal-quotes the separator: F.split takes a Java
+        # REGEX while concat_ws re-joins with the literal — without the
+        # quote a metachar sep (".", "|") splits at every character
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias("pos", "w"),
     )
     nd = docs.agg(F.countDistinct(id_col).alias("__n"))
     dfq = tok.groupBy("w").agg(F.countDistinct("__id").alias("__dfq"))
@@ -385,7 +390,7 @@ def remove_frequent_lines(
     )
     base = docs.select(
         F.col(id_col).alias("__id"),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("__norig"),
+        F.size(F.split(F.col(text_col), "\\Q" + sep + "\\E")).cast("long").alias("__norig"),
     )
     return (
         base.join(reb, "__id", "left")

@@ -952,13 +952,21 @@ def hellinger_pairs(
     pairs = a.join(bb, "bin").where(F.col("group_a") < F.col("group_b"))
     term = F.round(F.sqrt(F.col("pa") * F.col("pb")), 6).cast("decimal(20,6)")
     agg = pairs.groupBy("group_a", "group_b").agg(
-        F.count("*").alias("n_bins_shared"), F.sum(term).alias("bc_d")
+        F.count("*").alias("__nb"), F.sum(term).alias("bc_d")
     )
-    bc = F.col("bc_d").cast("double")
-    return agg.select(
+    # the pair UNIVERSE comes from the group list, not from shared
+    # bins: a pair with disjoint histograms (the maximally drifted
+    # case, H = 1) has no shared-bin rows and would otherwise be
+    # silently absent from the output
+    ga = tot.select(F.col("g").alias("group_a"))
+    gb = tot.select(F.col("g").alias("group_b"))
+    univ = ga.crossJoin(gb).where(F.col("group_a") < F.col("group_b"))
+    full = univ.join(F.broadcast(agg), ["group_a", "group_b"], "left")
+    bc = F.coalesce(F.col("bc_d").cast("double"), F.lit(0.0))
+    return full.select(
         "group_a",
         "group_b",
-        "n_bins_shared",
+        F.coalesce(F.col("__nb"), F.lit(0).cast("long")).alias("n_bins_shared"),
         F.round(bc, 6).alias("bc"),
         F.round(F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))), 6).alias("hellinger"),
     )

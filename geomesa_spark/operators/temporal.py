@@ -845,8 +845,13 @@ def runs_test(
     )
     a = signed.select(F.col("bin").alias("b"), F.col("s").alias("s1"))
     b = signed.select((F.col("bin") - 1).alias("b"), F.col("s").alias("s2"))
+    # coalesce: a single-bin series has an empty pairing join, and
+    # sum() over zero rows is NULL — the run count of a 1-element
+    # series is 1, not NULL
     trans = a.join(b, "b").agg(
-        F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)).alias("chg")
+        F.coalesce(
+            F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)), F.lit(0)
+        ).alias("chg")
     )
     agg = signed.agg(
         F.count("*").alias("n"),

@@ -1348,8 +1348,13 @@ def focal_stats(
     neighbor, so the sparse support grows by the footprint only.
     Output: (ix, iy, f_min, f_max, f_sum, f_n).
     """
-    g = density_grid(points, bbox, width, height).select("ix", "iy", "cnt")
-    sp = _kernel_spread(g, ["cnt"], radius)
+    g = density_grid(points, bbox, width, height, lon=lon, lat=lat).select(
+        "ix", "iy", "cnt"
+    )
+    sp = _kernel_spread(g, ["cnt"], radius).where(
+        (F.col("tx") >= 0) & (F.col("tx") < width)
+        & (F.col("ty") >= 0) & (F.col("ty") < height)
+    )
     return sp.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
         F.min("cnt").alias("f_min"),
         F.max("cnt").alias("f_max"),
@@ -1380,8 +1385,13 @@ def slope_grid(
     Output: (ix, iy, gx8, gy8, slope) with gx8/gy8 the exact
     integer 8×gradients.
     """
-    g = density_grid(points, bbox, width, height).select("ix", "iy", "cnt")
-    sp = _kernel_spread(g, ["cnt"], 1)
+    g = density_grid(points, bbox, width, height, lon=lon, lat=lat).select(
+        "ix", "iy", "cnt"
+    )
+    sp = _kernel_spread(g, ["cnt"], 1).where(
+        (F.col("tx") >= 0) & (F.col("tx") < width)
+        & (F.col("ty") >= 0) & (F.col("ty") < height)
+    )
     wx = (-F.col("kx")) * (2 - F.abs(F.col("ky")))
     wy = (-F.col("ky")) * (2 - F.abs(F.col("kx")))
     agg = sp.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
@@ -1415,8 +1425,13 @@ def majority_filter(
     (never global). Exact integers. Output: (ix, iy, mode_cnt,
     mode_n) where mode_n is how many footprint cells carry the mode.
     """
-    g = density_grid(points, bbox, width, height).select("ix", "iy", "cnt")
-    sp = _kernel_spread(g, ["cnt"], radius)
+    g = density_grid(points, bbox, width, height, lon=lon, lat=lat).select(
+        "ix", "iy", "cnt"
+    )
+    sp = _kernel_spread(g, ["cnt"], radius).where(
+        (F.col("tx") >= 0) & (F.col("tx") < width)
+        & (F.col("ty") >= 0) & (F.col("ty") < height)
+    )
     per_val = sp.groupBy(
         F.col("tx").alias("ix"), F.col("ty").alias("iy"), F.col("cnt")
     ).agg(F.count("*").alias("m"))
@@ -1449,8 +1464,11 @@ def proximity_grid(
     aggregate on the target cell. Exact integers. Output: (ix, iy,
     dist).
     """
-    g = density_grid(points, bbox, width, height).select("ix", "iy")
-    sp = _kernel_spread(g, [], radius)
+    g = density_grid(points, bbox, width, height, lon=lon, lat=lat).select("ix", "iy")
+    sp = _kernel_spread(g, [], radius).where(
+        (F.col("tx") >= 0) & (F.col("tx") < width)
+        & (F.col("ty") >= 0) & (F.col("ty") < height)
+    )
     d = F.greatest(F.abs(F.col("kx")), F.abs(F.col("ky")))
     return sp.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
         F.min(d).cast("long").alias("dist")

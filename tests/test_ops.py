@@ -2057,6 +2057,63 @@ class TestRound5Operators:
         out = {r.key: r.latency_us for r in time_to_event(df, "view", "purchase").collect()}
         assert out == {1: 30_000_000, 2: None, 3: None}
 
+    def test_remove_frequent_lines_metachar_sep(self, spark):
+        """A regex-metachar separator is literal-quoted: '.' splits on
+        dots, not on every character."""
+        from geomesa_spark.operators.corpus import remove_frequent_lines
+
+        df = spark.createDataFrame(
+            [(1, "a.b.c"), (2, "a.d"), (3, "a.b")], "doc_id long, text string"
+        )
+        out = {r.doc_id: (r.clean_text, r.n_removed)
+               for r in remove_frequent_lines(df, sep=".").collect()}
+        assert out == {1: ("c", 2), 2: ("d", 1), 3: ("", 2)}
+
+    def test_hellinger_disjoint_pair_present(self, spark):
+        """Groups with NO shared bins still emit their pair row with
+        H = 1 (maximal drift), not a silent absence."""
+        from geomesa_spark.operators.stats import hellinger_pairs
+
+        rows = [("a", 1.0), ("a", 2.0), ("b", 15.0), ("b", 16.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {(r.group_a, r.group_b): r
+               for r in hellinger_pairs(df, "g", "v", 0.0, 20.0, 2).collect()}
+        r = out[("a", "b")]
+        assert (r.n_bins_shared, r.bc, r.hellinger) == (0, 0.0, 1.0)
+
+    def test_runs_test_single_bin(self, spark):
+        """A one-bin series has runs = 1 (not NULL) and a NULL z."""
+        from datetime import datetime
+
+        from geomesa_spark.operators.temporal import runs_test
+
+        df = spark.createDataFrame([(datetime(2024, 1, 1),)], "ts timestamp")
+        r = runs_test(df, 3600).collect()[0]
+        assert (r.n_bins, r.runs, r.z) == (1, 1, None)
+
+    def test_focal_stats_clips_to_grid(self, spark):
+        """An occupied corner cell spreads only to in-grid neighbors —
+        no ix=-1 / iy=-1 phantom cells."""
+        from geomesa_spark.operators.tiles import focal_stats
+
+        df = spark.createDataFrame([(0.5, 0.5)], "lon double, lat double")
+        out = focal_stats(df, (0.0, 0.0, 10.0, 10.0), 10, 10).collect()
+        assert {(r.ix, r.iy) for r in out} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+    def test_recall_at_k_dedups_approx(self, spark):
+        """A duplicated approx candidate neither inflates n_exact nor
+        double-counts the hit."""
+        from geomesa_spark.operators.ann import recall_at_k
+
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11)], "q_vec_id long, vec_id long"
+        )
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 10)], "q_vec_id long, vec_id long"
+        )
+        r = recall_at_k(approx, exact).collect()[0]
+        assert (r.n_exact, r.n_hit, r.recall) == (2, 1, 0.5)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
