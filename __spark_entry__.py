@@ -3134,6 +3134,14 @@ def q_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain Ruggedness Index per occupied cell of the 72×34 count
+    grid — exact integer neighbor-difference sum, sqrt-only tail."""
+    from geomesa_spark.operators.tiles import tri_grid
+
+    return tri_grid(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3520,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson": q_wilson,
         "semi_join": q_semi_join,
         "conversion": q_conversion,
+        "tri": q_tri,
     }
 
 
@@ -6152,6 +6161,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN ca > 0 AND cb > 0 AND nt IS NOT NULL
                                      THEN nt - t END), 0) AS BIGINT) AS overlap_us
             FROM seg GROUP BY k
+        """,
+        "tri": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            nbr AS (
+              SELECT CAST(g.ix + kx.v AS INT) AS ix, CAST(g.iy + ky.v AS INT) AS iy,
+                     g.cnt AS vn
+              FROM grid g
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+              WHERE NOT (kx.v = 0 AND ky.v = 0)
+                AND g.ix + kx.v >= 0 AND g.ix + kx.v < 72
+                AND g.iy + ky.v >= 0 AND g.iy + ky.v < 34
+            ),
+            agg AS (
+              SELECT c.ix, c.iy, c.cnt,
+                     CAST(coalesce(sum(abs(n.vn - c.cnt)), 0) AS BIGINT) AS occ_sum,
+                     CAST(count(n.vn) AS BIGINT) AS n_occ
+              FROM grid c LEFT JOIN nbr n ON n.ix = c.ix AND n.iy = c.iy
+              GROUP BY 1, 2, 3
+            )
+            SELECT ix, iy, cnt,
+                   occ_sum + ((least(ix + 1, 71) - greatest(ix - 1, 0) + 1)
+                              * (least(iy + 1, 33) - greatest(iy - 1, 0) + 1)
+                              - 1 - n_occ) * cnt AS tri_sum,
+                   round(sqrt(CAST(occ_sum
+                     + ((least(ix + 1, 71) - greatest(ix - 1, 0) + 1)
+                        * (least(iy + 1, 33) - greatest(iy - 1, 0) + 1)
+                        - 1 - n_occ) * cnt AS DOUBLE)), 6) AS tri
+            FROM agg
         """,
         "semi_join": f"""
             WITH {SQL_PTS}, {SQL_RECTS}

@@ -49,6 +49,7 @@ __all__ = [
     "slope_grid",
     "majority_filter",
     "proximity_grid",
+    "tri_grid",
 ]
 
 # marching-squares case table: (case index, segment slot, center rule,
@@ -1472,4 +1473,59 @@ def proximity_grid(
     d = F.greatest(F.abs(F.col("kx")), F.abs(F.col("ky")))
     return sp.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
         F.min(d).cast("long").alias("dist")
+    )
+
+
+def tri_grid(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Terrain Ruggedness Index on the count raster (Riley et al.
+    1999), completing the terrain triple beside slope_grid and
+    focal_stats' range: per OCCUPIED cell, Σ over its 8 in-grid Moore
+    neighbors of |v_n − v_c|, with empty neighbors contributing
+    |0 − v_c| — so the raw sum is exact integers; tri = sqrt(sum) is
+    the classic reported form (sqrt-only).
+
+    One self-excluded _kernel_spread joined back to the center grid
+    on the target cell + one hash aggregate; the off-grid neighbor
+    count folds in as arithmetic (edge cells have fewer than 8
+    in-grid neighbors — those positions are OUTSIDE the raster and
+    are excluded, matching the clipped spread). Output: (ix, iy, cnt,
+    tri_sum, tri).
+    """
+    g = density_grid(points, bbox, width, height, lon=lon, lat=lat).select(
+        "ix", "iy", "cnt"
+    )
+    sp = _kernel_spread(g, ["cnt"], 1, exclude_self=True).where(
+        (F.col("tx") >= 0) & (F.col("tx") < width)
+        & (F.col("ty") >= 0) & (F.col("ty") < height)
+    )
+    nb = sp.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
+        F.count("*").alias("__n_occ"), F.collect_list("cnt").alias("__vs")
+    )
+    # in-grid Moore footprint size for edge cells (3x3 clipped minus self)
+    span_x = F.least(F.col("ix") + 1, F.lit(width - 1)) - F.greatest(
+        F.col("ix") - 1, F.lit(0)
+    ) + 1
+    span_y = F.least(F.col("iy") + 1, F.lit(height - 1)) - F.greatest(
+        F.col("iy") - 1, F.lit(0)
+    ) + 1
+    n_ingrid = span_x * span_y - 1
+    j = g.join(nb, ["ix", "iy"], "left")
+    occ_sum = F.aggregate(
+        F.coalesce(F.col("__vs"), F.expr("array()")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.abs(x - F.col("cnt")),
+    )
+    empty_n = n_ingrid.cast("long") - F.coalesce(F.col("__n_occ"), F.lit(0))
+    tri_sum = occ_sum + empty_n * F.col("cnt")
+    return j.select(
+        "ix", "iy", "cnt",
+        tri_sum.alias("tri_sum"),
+        F.round(F.sqrt(tri_sum.cast("double")), 6).alias("tri"),
     )

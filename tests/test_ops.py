@@ -2114,6 +2114,21 @@ class TestRound5Operators:
         r = recall_at_k(approx, exact).collect()[0]
         assert (r.n_exact, r.n_hit, r.recall) == (2, 1, 0.5)
 
+    def test_tri_grid_interior_and_corner(self, spark):
+        """Interior lone spike of 4: 8 empty neighbors → tri_sum 32;
+        a corner cell has only 3 in-grid neighbors."""
+        from geomesa_spark.operators.tiles import tri_grid
+
+        df = spark.createDataFrame(
+            [(5.2, 5.2)] * 4 + [(0.5, 0.5)], "lon double, lat double"
+        )
+        out = {(r.ix, r.iy): r for r in tri_grid(df, (0.0, 0.0, 10.0, 10.0), 10, 10).collect()}
+        assert out[(5, 5)].tri_sum == 32  # 8 · |0 − 4|
+        assert out[(5, 5)].tri == round(32 ** 0.5, 6)
+        assert out[(0, 0)].tri_sum == 3  # corner: 3 in-grid empty neighbors · 1
+        # two occupied cells far apart: neighbor lists don't interact
+        assert len(out) == 2
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
