@@ -3142,6 +3142,29 @@ def q_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri_grid(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
 
 
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: token-weighted keep rates for 3 synthetic
+    domains against fixed targets; the untargeted domain reports
+    NULL."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.corpus import mixture_rates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr("CAST(doc_id % 3 AS STRING)").alias("domain"),
+        F.size(F.split(F.col("text"), " ")).alias("w"),
+    )
+    return mixture_rates(docs, "domain", "w", {"0": 5000, "1": 2000})
+
+
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L2 distance between the 10 label centroids of the
+    embedding table — decimal-exact means and term sums."""
+    from geomesa_spark.operators.ann import centroid_distances
+
+    return centroid_distances(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3529,6 +3552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "conversion": q_conversion,
         "tri": q_tri,
+        "mixture": q_mixture,
+        "centroids": q_centroids,
     }
 
 
@@ -6161,6 +6186,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN ca > 0 AND cb > 0 AND nt IS NOT NULL
                                      THEN nt - t END), 0) AS BIGINT) AS overlap_us
             FROM seg GROUP BY k
+        """,
+        "mixture": """
+            WITH avail AS (
+              SELECT CAST(doc_id % 3 AS VARCHAR) AS domain,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available
+              FROM documents GROUP BY 1
+            ),
+            t (domain, target) AS (
+              VALUES ('0', CAST(5000 AS BIGINT)), ('1', CAST(2000 AS BIGINT))
+            )
+            SELECT a.domain, a.available, t.target,
+                   round(CASE WHEN t.target IS NOT NULL THEN
+                     least(1.0e0, CAST(t.target AS DOUBLE) / CAST(a.available AS DOUBLE)) END, 6) AS rate,
+                   round(round(CASE WHEN t.target IS NOT NULL THEN
+                     least(1.0e0, CAST(t.target AS DOUBLE) / CAST(a.available AS DOUBLE)) END, 6)
+                         * CAST(a.available AS DOUBLE), 6) AS expected_kept
+            FROM avail a LEFT JOIN t USING (domain)
+        """,
+        "centroids": """
+            WITH a AS (
+              SELECT label AS lbl, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+              FROM embeddings
+              CROSS JOIN LATERAL unnest(generate_series(0, len(embedding) - 1)) AS i(i)
+            ),
+            cent AS (
+              SELECT lbl, i,
+                     CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+              FROM a GROUP BY 1, 2
+            ),
+            pr AS (
+              SELECT ca.lbl AS label_a, cb.lbl AS label_b,
+                     CAST(round((ca.m - cb.m) * (ca.m - cb.m), 6) AS DECIMAL(25,6)) AS term
+              FROM cent ca JOIN cent cb ON ca.i = cb.i AND ca.lbl < cb.lbl
+            ),
+            agg AS (SELECT label_a, label_b, sum(term) AS d2 FROM pr GROUP BY 1, 2)
+            SELECT label_a, label_b, round(CAST(d2 AS DOUBLE), 6) AS dist2,
+                   round(sqrt(CAST(d2 AS DOUBLE)), 6) AS dist
+            FROM agg
         """,
         "tri": f"""
             WITH {SQL_PTS},

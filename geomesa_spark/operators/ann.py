@@ -36,6 +36,7 @@ __all__ = [
     "cosine_dup_pairs",
     "embedding_covariance",
     "recall_at_k",
+    "centroid_distances",
 ]
 
 MIX = 2_654_435_761
@@ -706,4 +707,45 @@ def recall_at_k(
         "n_exact",
         "n_hit",
         F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6).alias("recall"),
+    )
+
+
+def centroid_distances(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise L2 distance between per-label embedding centroids —
+    the cluster-separation report (are the classes distinguishable in
+    embedding space? which pairs collide?).
+
+    Centroids: one posexplode + (label, dim) hash aggregate with
+    DECIMAL(30,12) sums (order-independent), mean = one double
+    division. Distances: a dim equi-join of the label pairs
+    (label_a < label_b) — |labels|²·d/2 rows, tiny — per-dim squared
+    differences rounded to 6 then DECIMAL-summed (the repo's
+    order-independent double-sum pattern), dist = sqrt of the exact
+    decimal total. Output: (label_a, label_b, dist2, dist) round 6.
+    """
+    a = emb.select(
+        F.col(label_col).alias("lbl"), F.posexplode(vec_col).alias("i", "x")
+    ).select("lbl", "i", F.col("x").cast("double").alias("x"))
+    cent = a.groupBy("lbl", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    ca = cent.select(F.col("lbl").alias("label_a"), "i", F.col("m").alias("ma"))
+    cb = cent.select(F.col("lbl").alias("label_b"), "i", F.col("m").alias("mb"))
+    pairs = ca.join(cb, "i").where(F.col("label_a") < F.col("label_b"))
+    d = F.col("ma") - F.col("mb")
+    term = F.round(d * d, 6).cast("decimal(25,6)")
+    agg = pairs.groupBy("label_a", "label_b").agg(F.sum(term).alias("d2"))
+    d2 = F.col("d2").cast("double")
+    return agg.select(
+        "label_a",
+        "label_b",
+        F.round(d2, 6).alias("dist2"),
+        F.round(F.sqrt(d2), 6).alias("dist"),
     )

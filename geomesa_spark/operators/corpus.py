@@ -34,6 +34,7 @@ __all__ = [
     "vocab_stats",
     "pack_sequences",
     "remove_frequent_lines",
+    "mixture_rates",
 ]
 
 
@@ -399,4 +400,51 @@ def remove_frequent_lines(
             F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"),
             (F.col("__norig") - F.coalesce(F.col("__nk"), F.lit(0))).alias("n_removed"),
         )
+    )
+
+
+def mixture_rates(
+    docs: DataFrame,
+    domain_col: str,
+    weight_col: str,
+    targets: dict,
+) -> DataFrame:
+    """Training-mixture planning: given per-domain token (or row)
+    totals and a target budget per domain, the keep rate each domain
+    needs — rate = min(1, target/available) — plus the expected kept
+    weight; the step between corpus profiling and stratified_sample's
+    execution of the rates.
+
+    One hash aggregate per domain joined BROADCAST against the
+    (tiny, caller-supplied) target table; domains without a target
+    get rate NULL (report-only rows), targets without a domain are
+    dropped. Exact integer sums; rate is one double division, round
+    6. Output: (domain, available, target, rate, expected_kept).
+    """
+    spark = docs.sparkSession
+    t = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(targets.items())],
+        f"{domain_col} string, target long",
+    )
+    avail = docs.groupBy(F.col(domain_col).cast("string").alias(domain_col)).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("available")
+    )
+    j = avail.join(F.broadcast(t), domain_col, "left")
+    # the isNotNull guard matters: least() IGNORES nulls in BOTH Spark
+    # and DuckDB, so an untargeted domain would silently read rate 1.0
+    # (keep everything) instead of NULL — the track_length class of
+    # cross-engine-invisible bug, caught by the golden test
+    rate = F.round(
+        F.when(
+            F.col("target").isNotNull(),
+            F.least(F.lit(1.0), F.col("target").cast("double") / F.col("available")),
+        ),
+        6,
+    )
+    return j.select(
+        domain_col,
+        "available",
+        "target",
+        rate.alias("rate"),
+        F.round(rate * F.col("available"), 6).alias("expected_kept"),
     )

@@ -2129,6 +2129,31 @@ class TestRound5Operators:
         # two occupied cells far apart: neighbor lists don't interact
         assert len(out) == 2
 
+    def test_mixture_rates(self, spark):
+        """Domain a: 100 tokens, target 50 → rate 0.5; b: 10, target
+        100 → clamped rate 1.0; c untargeted → NULL rate."""
+        from geomesa_spark.operators.corpus import mixture_rates
+
+        df = spark.createDataFrame(
+            [("a", 60), ("a", 40), ("b", 10), ("c", 5)], "domain string, w long"
+        )
+        out = {r.domain: r for r in
+               mixture_rates(df, "domain", "w", {"a": 50, "b": 100}).collect()}
+        assert (out["a"].available, out["a"].rate, out["a"].expected_kept) == (100, 0.5, 50.0)
+        assert (out["b"].rate, out["b"].expected_kept) == (1.0, 10.0)
+        assert (out["c"].target, out["c"].rate) == (None, None)
+
+    def test_centroid_distances_2d(self, spark):
+        """Centroids (0,0) and (3,4): dist 5."""
+        from geomesa_spark.operators.ann import centroid_distances
+
+        df = spark.createDataFrame(
+            [(0, [1.0, -1.0]), (0, [-1.0, 1.0]), (1, [3.0, 4.0])],
+            "label int, embedding array<float>",
+        )
+        r = centroid_distances(df).collect()[0]
+        assert (r.label_a, r.label_b, r.dist2, r.dist) == (0, 1, 25.0, 5.0)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
