@@ -3165,6 +3165,14 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_distances(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per embedding label — centroid-based,
+    decimal-exact distances, one conditional aggregate per point."""
+    from geomesa_spark.operators.ann import silhouette_simplified
+
+    return silhouette_simplified(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3554,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tri": q_tri,
         "mixture": q_mixture,
         "centroids": q_centroids,
+        "silhouette": q_silhouette,
     }
 
 
@@ -6203,6 +6212,43 @@ def oracle_sql() -> dict[str, str]:
                      least(1.0e0, CAST(t.target AS DOUBLE) / CAST(a.available AS DOUBLE)) END, 6)
                          * CAST(a.available AS DOUBLE), 6) AS expected_kept
             FROM avail a LEFT JOIN t USING (domain)
+        """,
+        "silhouette": """
+            WITH pt AS (
+              SELECT vec_id AS vid, label AS plbl, i.i AS i,
+                     CAST(embedding[i.i + 1] AS DOUBLE) AS x
+              FROM embeddings
+              CROSS JOIN LATERAL unnest(generate_series(0, len(embedding) - 1)) AS i(i)
+            ),
+            ad AS (
+              SELECT label AS lbl, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+              FROM embeddings
+              CROSS JOIN LATERAL unnest(generate_series(0, len(embedding) - 1)) AS i(i)
+            ),
+            cent AS (
+              SELECT lbl, i,
+                     CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+              FROM ad GROUP BY 1, 2
+            ),
+            d2 AS (
+              SELECT p.vid, p.plbl, c.lbl AS clbl,
+                     sum(CAST(round((p.x - c.m) * (p.x - c.m), 6) AS DECIMAL(25,6))) AS d2
+              FROM pt p JOIN cent c ON p.i = c.i
+              GROUP BY 1, 2, 3
+            ),
+            per_pt AS (
+              SELECT vid, plbl,
+                     min(CASE WHEN clbl = plbl THEN sqrt(CAST(d2 AS DOUBLE)) END) AS a,
+                     min(CASE WHEN clbl <> plbl THEN sqrt(CAST(d2 AS DOUBLE)) END) AS b
+              FROM d2 GROUP BY 1, 2
+            )
+            SELECT plbl AS label, CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(CAST(round(CASE WHEN greatest(a, b) > 0.0e0
+                             THEN (b - a) / greatest(a, b) ELSE 0.0e0 END, 6)
+                           AS DECIMAL(20,6))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS mean_s
+            FROM per_pt GROUP BY 1
         """,
         "centroids": """
             WITH a AS (

@@ -37,6 +37,7 @@ __all__ = [
     "embedding_covariance",
     "recall_at_k",
     "centroid_distances",
+    "silhouette_simplified",
 ]
 
 MIX = 2_654_435_761
@@ -748,4 +749,61 @@ def centroid_distances(
         "label_b",
         F.round(d2, 6).alias("dist2"),
         F.round(F.sqrt(d2), 6).alias("dist"),
+    )
+
+
+def silhouette_simplified(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified silhouette per label (the centroid-based variant:
+    a = distance to the OWN centroid, b = distance to the nearest
+    OTHER centroid, s = (b−a)/max(a,b)) — the clustering-quality
+    report beside centroid_distances' separation matrix, at
+    O(N·k·d) instead of the exact silhouette's O(N²·d).
+
+    Centroids: decimal-exact dim means (the centroid_distances pass).
+    Point-to-centroid distances: the point's exploded dims equi-join
+    the k·d centroid rows on the dim index — N·k·d rows collapsing
+    map-side into one (point, centroid) aggregate of round-6
+    DECIMAL-summed squared differences; a and b come from ONE
+    conditional aggregate per point (no second join). Per-label mean
+    silhouette is a round-6 decimal sum / n. s is defined 0 when
+    a = b = 0 (a point exactly on its lone centroid). Output:
+    (label, n, mean_s) round 6.
+    """
+    pt = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("plbl"),
+        F.posexplode(vec_col).alias("i", "x"),
+    ).select("vid", "plbl", "i", F.col("x").cast("double").alias("x"))
+    a_dims = emb.select(
+        F.col(label_col).alias("lbl"), F.posexplode(vec_col).alias("i", "x")
+    ).select("lbl", "i", F.col("x").cast("double").alias("x"))
+    cent = a_dims.groupBy("lbl", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    j = pt.join(cent.select(F.col("lbl").alias("clbl"), "i", "m"), "i")
+    d = F.col("x") - F.col("m")
+    term = F.round(d * d, 6).cast("decimal(25,6)")
+    d2 = j.groupBy("vid", "plbl", "clbl").agg(F.sum(term).alias("d2"))
+    dist = F.sqrt(F.col("d2").cast("double"))
+    per_pt = d2.groupBy("vid", "plbl").agg(
+        F.min(F.when(F.col("clbl") == F.col("plbl"), dist)).alias("a"),
+        F.min(F.when(F.col("clbl") != F.col("plbl"), dist)).alias("b"),
+    )
+    mx = F.greatest(F.col("a"), F.col("b"))
+    sil = F.when(mx > 0.0, (F.col("b") - F.col("a")) / mx).otherwise(F.lit(0.0))
+    return per_pt.groupBy(F.col("plbl").alias(label_col)).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.round(sil, 6).cast("decimal(20,6)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_s"),
     )

@@ -2154,6 +2154,28 @@ class TestRound5Operators:
         r = centroid_distances(df).collect()[0]
         assert (r.label_a, r.label_b, r.dist2, r.dist) == (0, 1, 25.0, 5.0)
 
+    def test_silhouette_simplified(self, spark):
+        """Tight cluster 0 near (0,0), singleton cluster 1 at (10,0):
+        cluster-0 points have a = 1, b = distance to (10,0); the
+        singleton sits exactly on its centroid (a = 0, s from b)."""
+        import math
+
+        from geomesa_spark.operators.ann import silhouette_simplified
+
+        df = spark.createDataFrame(
+            [(1, 0, [1.0, 0.0]), (2, 0, [-1.0, 0.0]), (3, 1, [10.0, 0.0])],
+            "vec_id long, label int, embedding array<float>",
+        )
+        out = {r.label: r for r in silhouette_simplified(df).collect()}
+        # cluster 0 centroid = (0,0); points at ±1: a = 1, b = 9 or 11
+        s1 = round((9.0 - 1.0) / 9.0, 6)
+        s2 = round((11.0 - 1.0) / 11.0, 6)
+        exp0 = round((s1 + s2) / 2.0, 6)
+        assert out[0].n == 2 and abs(out[0].mean_s - exp0) < 2e-6
+        # singleton: a = 0, b = 10 → s = 1
+        assert (out[1].n, out[1].mean_s) == (1, 1.0)
+        assert math.isclose(out[0].mean_s, exp0, abs_tol=2e-6)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
