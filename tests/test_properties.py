@@ -588,3 +588,116 @@ class TestMarchingSquaresCaseTable:
                 assert used == crossed, (va, vb, vc, vd, idx, used, crossed)
                 # each segment's two edges are distinct
                 assert all(r[3] != r[4] for r in rows)
+
+
+class TestSweepOperatorProperties:
+    """Randomized cross-checks of the composition operators against
+    brute-force Python references — small example counts (each example
+    runs a Spark job) but fully independent implementations."""
+
+    @given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 30)),
+                    min_size=1, max_size=10),
+           st.lists(st.tuples(st.integers(0, 40), st.integers(0, 30)),
+                    min_size=1, max_size=10))
+    @settings(max_examples=15, deadline=None)
+    def test_overlap_union_vs_bruteforce(self, spark_module_df, a_iv, b_iv):
+        """overlap_duration and union_duration equal a per-second
+        brute-force membership count over random second-granularity
+        intervals."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import overlap_duration, union_duration
+
+        spark = spark_module_df[0].sparkSession
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+
+        def mk(iv):
+            return [(1, t0 + timedelta(seconds=s), t0 + timedelta(seconds=s + d))
+                    for s, d in iv]
+
+        a = spark.createDataFrame(mk(a_iv), "k long, start timestamp, end timestamp")
+        b = spark.createDataFrame(mk(b_iv), "k long, start timestamp, end timestamp")
+        # brute force on a half-open [s, s+d) second lattice; the sweep
+        # measures closed-interval overlap length, which equals the
+        # half-open lattice count for integer endpoints
+        in_a = {t for s, d in a_iv for t in range(s, s + d)}
+        in_b = {t for s, d in b_iv for t in range(s, s + d)}
+        want_overlap = len(in_a & in_b) * 1_000_000
+        got = overlap_duration(a, b, "k").collect()[0].overlap_us
+        assert got == want_overlap
+        want_union = len(in_a) * 1_000_000
+        got_u = union_duration(a, "k").collect()[0].active_us
+        assert got_u == want_union
+
+    @given(st.lists(st.integers(0, 300), min_size=1, max_size=25),
+           st.integers(5, 60))
+    @settings(max_examples=15, deadline=None)
+    def test_debounce_vs_greedy_loop(self, spark_module_df, secs, cooldown):
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import debounce
+
+        spark = spark_module_df[0].sparkSession
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0 + timedelta(seconds=s)) for s in secs], "user_id long, ts timestamp"
+        )
+        base = int(t0.timestamp()) * 1_000_000
+        got = sorted((r.ts_us - base) // 1_000_000 for r in debounce(df, cooldown).collect())
+        want, last = [], None
+        for s in sorted(secs):
+            if last is None or s >= last + cooldown:
+                want.append(s)
+                last = s
+        assert got == want
+
+    @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30),
+                              st.integers(1, 8), st.integers(1, 8)),
+                    min_size=1, max_size=12))
+    @settings(max_examples=15, deadline=None)
+    def test_dissolve_vs_bruteforce_cc(self, spark_module_df, rects):
+        """dissolve_envelopes matches a brute-force union-find over the
+        all-pairs overlap graph (random envelopes, boundary-inclusive)."""
+        from geomesa_spark.operators.tiles import dissolve_envelopes
+
+        spark = spark_module_df[0].sparkSession
+        rows = [
+            (f"r{i:03d}", float(x), float(y), float(x + w), float(y + h))
+            for i, (x, y, w, h) in enumerate(rects)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "rect_id string, min_lon double, min_lat double, "
+            "max_lon double, max_lat double",
+        )
+        got = {r.cluster: (r.n_rects, r.min_lon, r.min_lat, r.max_lon, r.max_lat)
+               for r in dissolve_envelopes(df, cell_deg=5.0).collect()}
+        # brute force union-find
+        parent = list(range(len(rows)))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                _, ax0, ay0, ax1, ay1 = rows[i]
+                _, bx0, by0, bx1, by1 = rows[j]
+                if ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1:
+                    parent[find(i)] = find(j)
+        comps = {}
+        for i, row in enumerate(rows):
+            comps.setdefault(find(i), []).append(row)
+        want = {}
+        for members in comps.values():
+            label = min(m[0] for m in members)
+            want[label] = (
+                len(members),
+                min(m[1] for m in members), min(m[2] for m in members),
+                max(m[3] for m in members), max(m[4] for m in members),
+            )
+        assert got == want
