@@ -3173,6 +3173,31 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silhouette_simplified(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day de-seasonalized residuals of hourly counts (period
+    24) — phase means broadcast back over the dense axis."""
+    from geomesa_spark.operators.temporal import seasonal_residuals
+
+    _utc(spark)
+    return seasonal_residuals(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), 3600, 24
+    )
+
+
+def q_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h effect size for the even-vs-odd-user purchase rates
+    — the magnitude companion to the abtest z."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.stats import cohens_h
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 2 == 0).alias("grp"),
+        (F.col("event_type") == "purchase").alias("succ"),
+    )
+    return cohens_h(ev, "grp", "succ")
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3563,6 +3588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture": q_mixture,
         "centroids": q_centroids,
         "silhouette": q_silhouette,
+        "seasonal": q_seasonal,
+        "cohens_h": q_cohens_h,
     }
 
 
@@ -6212,6 +6239,47 @@ def oracle_sql() -> dict[str, str]:
                      least(1.0e0, CAST(t.target AS DOUBLE) / CAST(a.available AS DOUBLE)) END, 6)
                          * CAST(a.available AS DOUBLE), 6) AS expected_kept
             FROM avail a LEFT JOIN t USING (domain)
+        """,
+        "seasonal": """
+            WITH b AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS bin FROM events),
+            cnt AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+            bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM cnt),
+            dense AS (
+              SELECT t.b AS bin FROM bounds
+              CROSS JOIN LATERAL unnest(generate_series(lo, hi)) AS t(b)
+            ),
+            filled AS (
+              SELECT d.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+              FROM dense d LEFT JOIN cnt c ON d.bin = c.bin
+            ),
+            ph AS (SELECT bin, bin % 24 AS phase, c FROM filled),
+            means AS (
+              SELECT phase, CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+              FROM ph GROUP BY 1
+            )
+            SELECT p.bin, p.phase, p.c,
+                   round(m.m, 6) AS phase_mean,
+                   round(CAST(p.c AS DOUBLE) - m.m, 6) AS resid
+            FROM ph p JOIN means m ON p.phase = m.phase
+        """,
+        "cohens_h": """
+            WITH agg AS (
+              SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                     CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                     CAST(sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS s2
+              FROM events
+            )
+            SELECT n1, s1, n2, s2,
+                   round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+                   round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2,
+                   round(CASE WHEN n1 > 0 AND n2 > 0 THEN
+                     2.0e0 * asin(sqrt(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                     - 2.0e0 * asin(sqrt(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                   END, 6) AS h
+            FROM agg
         """,
         "silhouette": """
             WITH pt AS (

@@ -37,6 +37,7 @@ __all__ = [
     "top_share",
     "hellinger_pairs",
     "wilson_intervals",
+    "cohens_h",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -1010,4 +1011,35 @@ def wilson_intervals(
         F.round(p, 6).alias("rate"),
         F.round(center - hw, 6).alias("ci_low"),
         F.round(center + hw, 6).alias("ci_high"),
+    )
+
+
+def cohens_h(df: DataFrame, cond_col: str, success_col: str) -> DataFrame:
+    """Cohen's h effect size for two proportions — the magnitude
+    companion to two_proportion_z's significance (a huge-n A/B can be
+    "significant" at a meaningless effect): h = 2·asin(√p1) −
+    2·asin(√p2) (the arcsine variance-stabilizing transform).
+
+    Same single conditional aggregate as the z-test; the tail is
+    sqrt+asin only — both in the engine's allowed oracle-exact set
+    (the haversine precedent; ln/atan2 remain excluded). Output: one
+    row (n1, s1, n2, s2, p1, p2, h) round 6; h NULL when either group
+    is empty.
+    """
+    c = F.col(cond_col)
+    sc = F.col(success_col).cast("long")
+    agg = df.agg(
+        F.sum(F.when(c, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(c, sc).otherwise(0)).alias("s1"),
+        F.sum(F.when(~c, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~c, sc).otherwise(0)).alias("s2"),
+    )
+    p1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    h = 2.0 * F.asin(F.sqrt(p1)) - 2.0 * F.asin(F.sqrt(p2))
+    return agg.select(
+        "n1", "s1", "n2", "s2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(F.when((F.col("n1") > 0) & (F.col("n2") > 0), h), 6).alias("h"),
     )

@@ -43,6 +43,7 @@ __all__ = [
     "runs_test",
     "peak_bins",
     "time_to_event",
+    "seasonal_residuals",
 ]
 
 # Allen's 13 interval relations, classified from exact integer
@@ -953,4 +954,35 @@ def time_to_event(
         "first_from_us",
         "first_to_us",
         (F.col("first_to_us") - F.col("first_from_us")).alias("latency_us"),
+    )
+
+
+def seasonal_residuals(
+    events: DataFrame,
+    bin_seconds: int,
+    period_bins: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Seasonality-adjusted counts: each dense bin's deviation from
+    its PHASE mean (phase = bin mod period — hour-of-day for hourly
+    bins with period 24) — the de-seasonalized residual an anomaly
+    rule should threshold instead of the raw count.
+
+    The shared dense axis, one phase aggregate (period_bins rows,
+    broadcast back), residual = c − mean. Phase means are one double
+    division of exact integers; both mean and residual round 6.
+    Output: (bin, phase, c, phase_mean, resid).
+    """
+    filled = _dense_counts(events, bin_seconds, ts_col).select("bin", "c")
+    ph = filled.withColumn("phase", F.pmod(F.col("bin"), F.lit(period_bins)))
+    means = ph.groupBy("phase").agg(
+        (F.sum("c").cast("double") / F.count("*").cast("double")).alias("__m")
+    )
+    j = ph.join(F.broadcast(means), "phase")
+    return j.select(
+        "bin",
+        "phase",
+        "c",
+        F.round(F.col("__m"), 6).alias("phase_mean"),
+        F.round(F.col("c").cast("double") - F.col("__m"), 6).alias("resid"),
     )

@@ -2176,6 +2176,38 @@ class TestRound5Operators:
         assert (out[1].n, out[1].mean_s) == (1, 1.0)
         assert math.isclose(out[0].mean_s, exp0, abs_tol=2e-6)
 
+    def test_seasonal_residuals(self, spark):
+        """Two 'days' of 2-hour periods with counts [1,3] then [3,5]:
+        phase means are 2 and 4; residuals ±1."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import seasonal_residuals
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        for h, c in enumerate([1, 3, 3, 5]):
+            rows += [(t0 + timedelta(hours=h, minutes=m),) for m in range(c)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = sorted(
+            ((r.phase, r.c, r.phase_mean, r.resid)
+             for r in seasonal_residuals(df, 3600, 2).collect())
+        )
+        assert out == [(0, 1, 2.0, -1.0), (0, 3, 2.0, 1.0),
+                       (1, 3, 4.0, -1.0), (1, 5, 4.0, 1.0)]
+
+    def test_cohens_h(self, spark):
+        """p1=0.8 vs p2=0.2: h = 2·asin(√.8) − 2·asin(√.2)."""
+        import math
+
+        from geomesa_spark.operators.stats import cohens_h
+
+        rows = [(True, i < 8) for i in range(10)] + [(False, i < 2) for i in range(10)]
+        df = spark.createDataFrame(rows, "grp boolean, succ boolean")
+        r = cohens_h(df, "grp", "succ").collect()[0]
+        want = round(2 * math.asin(math.sqrt(0.8)) - 2 * math.asin(math.sqrt(0.2)), 6)
+        assert (r.p1, r.p2, r.h) == (0.8, 0.2, want)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
