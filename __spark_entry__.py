@@ -3198,6 +3198,15 @@ def q_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_h(ev, "grp", "succ")
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-count ACF at lags 1..48 in one pass — exposes the daily
+    cycle at lag 24; per-lag six-sum Pearson r."""
+    from geomesa_spark.operators.temporal import acf_profile
+
+    _utc(spark)
+    return acf_profile(spark.read.parquet(f"{sf_dir}/events.parquet"), 3600, 48)
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3590,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette": q_silhouette,
         "seasonal": q_seasonal,
         "cohens_h": q_cohens_h,
+        "acf": q_acf,
     }
 
 
@@ -6239,6 +6249,40 @@ def oracle_sql() -> dict[str, str]:
                      least(1.0e0, CAST(t.target AS DOUBLE) / CAST(a.available AS DOUBLE)) END, 6)
                          * CAST(a.available AS DOUBLE), 6) AS expected_kept
             FROM avail a LEFT JOIN t USING (domain)
+        """,
+        "acf": """
+            WITH b AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS bin FROM events),
+            cnt AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+            bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM cnt),
+            dense AS (
+              SELECT t.b AS bin FROM bounds
+              CROSS JOIN LATERAL unnest(generate_series(lo, hi)) AS t(b)
+            ),
+            filled AS (
+              SELECT d.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+              FROM dense d LEFT JOIN cnt c ON d.bin = c.bin
+            ),
+            x AS (
+              SELECT bin + l.l AS b2, CAST(l.l AS INT) AS lag, c AS x
+              FROM filled CROSS JOIN LATERAL unnest(generate_series(1, 48)) AS l(l)
+            ),
+            y AS (SELECT bin AS b2, c AS y FROM filled),
+            s AS (
+              SELECT lag, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM x JOIN y USING (b2) GROUP BY 1
+            )
+            SELECT lag, n AS n_pairs,
+                   round(CASE WHEN sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0.0
+                         THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                              / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                         END, 6) AS r
+            FROM s
         """,
         "seasonal": """
             WITH b AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS bin FROM events),

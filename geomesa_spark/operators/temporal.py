@@ -44,6 +44,7 @@ __all__ = [
     "peak_bins",
     "time_to_event",
     "seasonal_residuals",
+    "acf_profile",
 ]
 
 # Allen's 13 interval relations, classified from exact integer
@@ -985,4 +986,51 @@ def seasonal_residuals(
         "c",
         F.round(F.col("__m"), 6).alias("phase_mean"),
         F.round(F.col("c").cast("double") - F.col("__m"), 6).alias("resid"),
+    )
+
+
+def acf_profile(
+    events: DataFrame,
+    bin_seconds: int,
+    max_lag: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The full autocorrelation profile r(1..max_lag) of the dense
+    binned count series in ONE pass — lag_autocorr generalized: the
+    ACF row (is there a daily/weekly cycle? at which lag does memory
+    die off?) instead of a single coefficient.
+
+    The x side explodes the (tiny) lag list per bin — a max_lag×
+    expansion that map-side partials collapse into max_lag aggregate
+    rows — equi-joined against the series on the shifted bin; per-lag
+    Pearson r from the same six exact integer sums as lag_autocorr.
+    Output: (lag, n_pairs, r) round 6, one row per lag.
+    """
+    filled = _dense_counts(events, bin_seconds, ts_col).select("bin", "c")
+    x = filled.select(
+        "bin",
+        F.col("c").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag"),
+    ).select((F.col("bin") + F.col("lag")).alias("b2"), "lag", "x")
+    y = filled.select(F.col("bin").alias("b2"), F.col("c").alias("y"))
+    pairs = x.join(y, "b2")
+    s = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n.cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        n.cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        n.cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return s.select(
+        "lag",
+        n.alias("n_pairs"),
+        F.round(F.when(den > 0.0, num / den), 6).alias("r"),
     )

@@ -2208,6 +2208,24 @@ class TestRound5Operators:
         want = round(2 * math.asin(math.sqrt(0.8)) - 2 * math.asin(math.sqrt(0.2)), 6)
         assert (r.p1, r.p2, r.h) == (0.8, 0.2, want)
 
+    def test_acf_profile_matches_single_lag(self, spark):
+        """acf_profile's r at each lag equals lag_autocorr run at that
+        lag (same six-sum Pearson)."""
+        from datetime import datetime, timedelta
+
+        from geomesa_spark.operators.temporal import acf_profile, lag_autocorr
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        for h, c in enumerate([1, 4, 2, 5, 3, 6, 1, 4]):
+            rows += [(t0 + timedelta(hours=h, minutes=m),) for m in range(c)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        prof = {r.lag: (r.n_pairs, r.r) for r in acf_profile(df, 3600, 3).collect()}
+        for lag in (1, 2, 3):
+            single = lag_autocorr(df, 3600, lag=lag).collect()[0]
+            assert prof[lag] == (single.n_pairs, single.r)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
