@@ -6317,8 +6317,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT n1, s1, n2, s2,
-                   round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
-                   round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2,
+                   round(CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) END, 6) AS p1,
+                   round(CASE WHEN n2 > 0 THEN CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) END, 6) AS p2,
                    round(CASE WHEN n1 > 0 AND n2 > 0 THEN
                      2.0e0 * asin(sqrt(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
                      - 2.0e0 * asin(sqrt(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
@@ -6406,7 +6406,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             agg AS (
               SELECT c.ix, c.iy, c.cnt,
-                     CAST(coalesce(sum(abs(n.vn - c.cnt)), 0) AS BIGINT) AS occ_sum,
+                     CAST(coalesce(sum((n.vn - c.cnt) * (n.vn - c.cnt)), 0) AS BIGINT) AS occ_sum,
                      CAST(count(n.vn) AS BIGINT) AS n_occ
               FROM grid c LEFT JOIN nbr n ON n.ix = c.ix AND n.iy = c.iy
               GROUP BY 1, 2, 3
@@ -6414,11 +6414,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT ix, iy, cnt,
                    occ_sum + ((least(ix + 1, 71) - greatest(ix - 1, 0) + 1)
                               * (least(iy + 1, 33) - greatest(iy - 1, 0) + 1)
-                              - 1 - n_occ) * cnt AS tri_sum,
+                              - 1 - n_occ) * cnt * cnt AS tri_sum,
                    round(sqrt(CAST(occ_sum
                      + ((least(ix + 1, 71) - greatest(ix - 1, 0) + 1)
                         * (least(iy + 1, 33) - greatest(iy - 1, 0) + 1)
-                        - 1 - n_occ) * cnt AS DOUBLE)), 6) AS tri
+                        - 1 - n_occ) * cnt * cnt AS DOUBLE)), 6) AS tri
             FROM agg
         """,
         "semi_join": f"""

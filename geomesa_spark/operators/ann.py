@@ -711,6 +711,25 @@ def recall_at_k(
     )
 
 
+
+def _label_centroids(
+    emb: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Per-(label, dim) centroid means with DECIMAL(30,12)
+    order-independent sums — the load-bearing exact-mean block shared
+    by centroid_distances and silhouette_simplified so its precision
+    contract can never drift between them. Output: (lbl, i, m)."""
+    a = emb.select(
+        F.col(label_col).alias("lbl"), F.posexplode(vec_col).alias("i", "x")
+    ).select("lbl", "i", F.col("x").cast("double").alias("x"))
+    return a.groupBy("lbl", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+
+
 def centroid_distances(
     emb: DataFrame,
     label_col: str = "label",
@@ -728,15 +747,7 @@ def centroid_distances(
     order-independent double-sum pattern), dist = sqrt of the exact
     decimal total. Output: (label_a, label_b, dist2, dist) round 6.
     """
-    a = emb.select(
-        F.col(label_col).alias("lbl"), F.posexplode(vec_col).alias("i", "x")
-    ).select("lbl", "i", F.col("x").cast("double").alias("x"))
-    cent = a.groupBy("lbl", "i").agg(
-        (
-            F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
-            / F.count("*").cast("double")
-        ).alias("m")
-    )
+    cent = _label_centroids(emb, label_col, vec_col)
     ca = cent.select(F.col("lbl").alias("label_a"), "i", F.col("m").alias("ma"))
     cb = cent.select(F.col("lbl").alias("label_b"), "i", F.col("m").alias("mb"))
     pairs = ca.join(cb, "i").where(F.col("label_a") < F.col("label_b"))
@@ -779,15 +790,7 @@ def silhouette_simplified(
         F.col(label_col).alias("plbl"),
         F.posexplode(vec_col).alias("i", "x"),
     ).select("vid", "plbl", "i", F.col("x").cast("double").alias("x"))
-    a_dims = emb.select(
-        F.col(label_col).alias("lbl"), F.posexplode(vec_col).alias("i", "x")
-    ).select("lbl", "i", F.col("x").cast("double").alias("x"))
-    cent = a_dims.groupBy("lbl", "i").agg(
-        (
-            F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
-            / F.count("*").cast("double")
-        ).alias("m")
-    )
+    cent = _label_centroids(emb, label_col, vec_col)
     j = pt.join(cent.select(F.col("lbl").alias("clbl"), "i", "m"), "i")
     d = F.col("x") - F.col("m")
     term = F.round(d * d, 6).cast("decimal(25,6)")

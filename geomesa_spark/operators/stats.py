@@ -1037,9 +1037,11 @@ def cohens_h(df: DataFrame, cond_col: str, success_col: str) -> DataFrame:
     p1 = F.col("s1").cast("double") / F.col("n1").cast("double")
     p2 = F.col("s2").cast("double") / F.col("n2").cast("double")
     h = 2.0 * F.asin(F.sqrt(p1)) - 2.0 * F.asin(F.sqrt(p2))
+    # guard p1/p2 too: on an empty group Spark's 0/0 is NULL but
+    # DuckDB's is NaN — the NULL contract must hold in both engines
     return agg.select(
         "n1", "s1", "n2", "s2",
-        F.round(p1, 6).alias("p1"),
-        F.round(p2, 6).alias("p2"),
+        F.round(F.when(F.col("n1") > 0, p1), 6).alias("p1"),
+        F.round(F.when(F.col("n2") > 0, p2), 6).alias("p2"),
         F.round(F.when((F.col("n1") > 0) & (F.col("n2") > 0), h), 6).alias("h"),
     )

@@ -88,6 +88,25 @@ def _dense_counts(events: DataFrame, bin_seconds: int, ts_col: str) -> DataFrame
     )
 
 
+
+def _pearson_from_sums(s: DataFrame, keep_cols: list) -> DataFrame:
+    """Pearson r from the six-sum frame (n, sx, sy, sxy, sxx, syy) —
+    the bit-exactness-critical IEEE tail shared by lag_autocorr and
+    acf_profile so the op sequence can never drift between them."""
+    n = F.col("n")
+    num = n.cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        n.cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        n.cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return s.select(
+        *keep_cols,
+        n.alias("n_pairs"),
+        F.round(F.when(den > 0.0, num / den), 6).alias("r"),
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     bin_seconds: int,
@@ -164,15 +183,7 @@ def lag_autocorr(
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    n = F.col("n")
-    num = n.cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    den = F.sqrt(n.cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) * F.sqrt(
-        n.cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    )
-    return s.select(
-        n.alias("n_pairs"),
-        F.round(F.when(den > 0.0, num / den), 6).alias("r"),
-    )
+    return _pearson_from_sums(s, [])
 
 
 def cusum_changepoint(
@@ -1000,12 +1011,18 @@ def acf_profile(
     ACF row (is there a daily/weekly cycle? at which lag does memory
     die off?) instead of a single coefficient.
 
+    Raises ValueError for max_lag < 1 (Spark's sequence(1, 0) would
+    DESCEND and emit a bogus lag-0 row where the oracle's
+    generate_series is empty).
+
     The x side explodes the (tiny) lag list per bin — a max_lag×
     expansion that map-side partials collapse into max_lag aggregate
     rows — equi-joined against the series on the shifted bin; per-lag
     Pearson r from the same six exact integer sums as lag_autocorr.
     Output: (lag, n_pairs, r) round 6, one row per lag.
     """
+    if int(max_lag) < 1:
+        raise ValueError("max_lag must be >= 1")
     filled = _dense_counts(events, bin_seconds, ts_col).select("bin", "c")
     x = filled.select(
         "bin",
@@ -1022,15 +1039,4 @@ def acf_profile(
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    n = F.col("n")
-    num = n.cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    den = F.sqrt(
-        n.cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    ) * F.sqrt(
-        n.cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    )
-    return s.select(
-        "lag",
-        n.alias("n_pairs"),
-        F.round(F.when(den > 0.0, num / den), 6).alias("r"),
-    )
+    return _pearson_from_sums(s, ["lag"])

@@ -1485,18 +1485,18 @@ def tri_grid(
     lat: str = "lat",
 ) -> DataFrame:
     """Terrain Ruggedness Index on the count raster (Riley et al.
-    1999), completing the terrain triple beside slope_grid and
-    focal_stats' range: per OCCUPIED cell, Σ over its 8 in-grid Moore
-    neighbors of |v_n − v_c|, with empty neighbors contributing
-    |0 − v_c| — so the raw sum is exact integers; tri = sqrt(sum) is
-    the classic reported form (sqrt-only).
+    1999: tri = sqrt of the sum of SQUARED center-to-neighbor
+    differences), completing the terrain triple beside slope_grid and
+    focal_stats' range: per OCCUPIED cell, Σ (v_n − v_c)² over its
+    in-grid Moore neighbors, empty neighbors contributing v_c² — the
+    raw sum is exact integers, tri = sqrt(sum) the one IEEE op.
 
-    One self-excluded _kernel_spread joined back to the center grid
-    on the target cell + one hash aggregate; the off-grid neighbor
-    count folds in as arithmetic (edge cells have fewer than 8
-    in-grid neighbors — those positions are OUTSIDE the raster and
-    are excluded, matching the clipped spread). Output: (ix, iy, cnt,
-    tri_sum, tri).
+    Shape mirrors the oracle directly: the self-excluded clipped
+    _kernel_spread joins back to the center grid on the target cell,
+    ONE hash aggregate sums the squared differences and counts the
+    occupied neighbors, and the off-grid/empty-neighbor terms fold in
+    as closed-form span arithmetic. Output: (ix, iy, cnt, tri_sum,
+    tri).
     """
     g = density_grid(points, bbox, width, height, lon=lon, lat=lat).select(
         "ix", "iy", "cnt"
@@ -1504,27 +1504,24 @@ def tri_grid(
     sp = _kernel_spread(g, ["cnt"], 1, exclude_self=True).where(
         (F.col("tx") >= 0) & (F.col("tx") < width)
         & (F.col("ty") >= 0) & (F.col("ty") < height)
+    ).select("tx", "ty", F.col("cnt").alias("__vn"))
+    j = g.join(
+        sp, (g["ix"] == sp["tx"]) & (g["iy"] == sp["ty"]), "left"
     )
-    nb = sp.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
-        F.count("*").alias("__n_occ"), F.collect_list("cnt").alias("__vs")
+    d = F.col("__vn") - F.col("cnt")
+    agg = j.groupBy("ix", "iy", "cnt").agg(
+        F.coalesce(F.sum(d * d), F.lit(0)).alias("__occ_sum"),
+        F.count("__vn").alias("__n_occ"),
     )
-    # in-grid Moore footprint size for edge cells (3x3 clipped minus self)
     span_x = F.least(F.col("ix") + 1, F.lit(width - 1)) - F.greatest(
         F.col("ix") - 1, F.lit(0)
     ) + 1
     span_y = F.least(F.col("iy") + 1, F.lit(height - 1)) - F.greatest(
         F.col("iy") - 1, F.lit(0)
     ) + 1
-    n_ingrid = span_x * span_y - 1
-    j = g.join(nb, ["ix", "iy"], "left")
-    occ_sum = F.aggregate(
-        F.coalesce(F.col("__vs"), F.expr("array()")),
-        F.lit(0).cast("long"),
-        lambda a, x: a + F.abs(x - F.col("cnt")),
-    )
-    empty_n = n_ingrid.cast("long") - F.coalesce(F.col("__n_occ"), F.lit(0))
-    tri_sum = occ_sum + empty_n * F.col("cnt")
-    return j.select(
+    empty_n = (span_x * span_y - 1).cast("long") - F.col("__n_occ")
+    tri_sum = F.col("__occ_sum") + empty_n * F.col("cnt") * F.col("cnt")
+    return agg.select(
         "ix", "iy", "cnt",
         tri_sum.alias("tri_sum"),
         F.round(F.sqrt(tri_sum.cast("double")), 6).alias("tri"),

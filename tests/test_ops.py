@@ -2115,19 +2115,33 @@ class TestRound5Operators:
         assert (r.n_exact, r.n_hit, r.recall) == (2, 1, 0.5)
 
     def test_tri_grid_interior_and_corner(self, spark):
-        """Interior lone spike of 4: 8 empty neighbors → tri_sum 32;
-        a corner cell has only 3 in-grid neighbors."""
+        """Riley TRI (SQUARED differences): interior lone spike of 4
+        → 8 empty neighbors · (0−4)² = 128; a corner cell has only 3
+        in-grid neighbors."""
         from geomesa_spark.operators.tiles import tri_grid
 
         df = spark.createDataFrame(
             [(5.2, 5.2)] * 4 + [(0.5, 0.5)], "lon double, lat double"
         )
         out = {(r.ix, r.iy): r for r in tri_grid(df, (0.0, 0.0, 10.0, 10.0), 10, 10).collect()}
-        assert out[(5, 5)].tri_sum == 32  # 8 · |0 − 4|
-        assert out[(5, 5)].tri == round(32 ** 0.5, 6)
-        assert out[(0, 0)].tri_sum == 3  # corner: 3 in-grid empty neighbors · 1
+        assert out[(5, 5)].tri_sum == 128  # 8 · (0 − 4)²
+        assert out[(5, 5)].tri == round(128 ** 0.5, 6)
+        assert out[(0, 0)].tri_sum == 3  # corner: 3 in-grid empty neighbors · 1²
         # two occupied cells far apart: neighbor lists don't interact
         assert len(out) == 2
+
+    def test_tri_grid_adjacent_cells(self, spark):
+        """Two adjacent cells 4 and 1: each sees the other as a real
+        neighbor — (4−1)² = 9 replaces one empty-neighbor v² term."""
+        from geomesa_spark.operators.tiles import tri_grid
+
+        df = spark.createDataFrame(
+            [(5.2, 5.2)] * 4 + [(6.2, 5.2)], "lon double, lat double"
+        )
+        out = {(r.ix, r.iy): r.tri_sum
+               for r in tri_grid(df, (0.0, 0.0, 10.0, 10.0), 10, 10).collect()}
+        assert out[(5, 5)] == 7 * 16 + 9   # 7 empty · 4² + (1−4)²
+        assert out[(6, 5)] == 7 * 1 + 9    # 7 empty · 1² + (4−1)²
 
     def test_mixture_rates(self, spark):
         """Domain a: 100 tokens, target 50 → rate 0.5; b: 10, target
