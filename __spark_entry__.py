@@ -3207,6 +3207,14 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_profile(spark.read.parquet(f"{sf_dir}/events.parquet"), 3600, 48)
 
 
+def q_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect octants from the Horn gradients — pure integer
+    comparisons, no atan2; flat cells NULL."""
+    from geomesa_spark.operators.tiles import aspect_grid
+
+    return aspect_grid(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3600,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal": q_seasonal,
         "cohens_h": q_cohens_h,
         "acf": q_acf,
+        "aspect": q_aspect,
     }
 
 
@@ -6249,6 +6258,43 @@ def oracle_sql() -> dict[str, str]:
                      least(1.0e0, CAST(t.target AS DOUBLE) / CAST(a.available AS DOUBLE)) END, 6)
                          * CAST(a.available AS DOUBLE), 6) AS expected_kept
             FROM avail a LEFT JOIN t USING (domain)
+        """,
+        "aspect": f"""
+            WITH {SQL_PTS},
+            grid AS (
+              SELECT CAST(floor((lon - (-180.0)) / 5.0) AS INT) AS ix,
+                     CAST(floor((lat - (-85.0)) / 5.0) AS INT) AS iy,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM pts
+              WHERE lon >= -180.0 AND lon < 180.0 AND lat >= -85.0 AND lat < 85.0
+              GROUP BY 1, 2
+            ),
+            sp AS (
+              SELECT CAST(g.ix + kx.v AS INT) AS ix, CAST(g.iy + ky.v AS INT) AS iy,
+                     g.cnt, kx.v AS kx, ky.v AS ky
+              FROM grid g
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) kx
+              CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) ky
+              WHERE g.ix + kx.v >= 0 AND g.ix + kx.v < 72
+                AND g.iy + ky.v >= 0 AND g.iy + ky.v < 34
+            ),
+            agg AS (
+              SELECT ix, iy,
+                     CAST(sum(cnt * ((-kx) * (2 - abs(ky)))) AS BIGINT) AS gx8,
+                     CAST(sum(cnt * ((-ky) * (2 - abs(kx)))) AS BIGINT) AS gy8
+              FROM sp GROUP BY 1, 2
+            )
+            SELECT ix, iy, gx8, gy8,
+                   CASE WHEN gx8 = 0 AND gy8 = 0 THEN NULL
+                        WHEN gx8 > 0 AND gy8 >= 0 AND abs(gx8) > abs(gy8) THEN 0
+                        WHEN gx8 > 0 AND gy8 > 0 THEN 1
+                        WHEN gx8 <= 0 AND gy8 > 0 AND abs(gy8) > abs(gx8) THEN 2
+                        WHEN gx8 < 0 AND gy8 > 0 THEN 3
+                        WHEN gx8 < 0 AND gy8 <= 0 AND abs(gx8) > abs(gy8) THEN 4
+                        WHEN gx8 < 0 AND gy8 < 0 THEN 5
+                        WHEN gx8 >= 0 AND gy8 < 0 AND abs(gy8) > abs(gx8) THEN 6
+                        ELSE 7 END AS octant
+            FROM agg
         """,
         "acf": """
             WITH b AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS bin FROM events),

@@ -50,6 +50,7 @@ __all__ = [
     "majority_filter",
     "proximity_grid",
     "tri_grid",
+    "aspect_grid",
 ]
 
 # marching-squares case table: (case index, segment slot, center rule,
@@ -1386,19 +1387,7 @@ def slope_grid(
     Output: (ix, iy, gx8, gy8, slope) with gx8/gy8 the exact
     integer 8×gradients.
     """
-    g = density_grid(points, bbox, width, height, lon=lon, lat=lat).select(
-        "ix", "iy", "cnt"
-    )
-    sp = _kernel_spread(g, ["cnt"], 1).where(
-        (F.col("tx") >= 0) & (F.col("tx") < width)
-        & (F.col("ty") >= 0) & (F.col("ty") < height)
-    )
-    wx = (-F.col("kx")) * (2 - F.abs(F.col("ky")))
-    wy = (-F.col("ky")) * (2 - F.abs(F.col("kx")))
-    agg = sp.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
-        F.sum(F.col("cnt") * wx).alias("gx8"),
-        F.sum(F.col("cnt") * wy).alias("gy8"),
-    )
+    agg = _horn_gradients(points, bbox, width, height, lon, lat)
     gx = F.col("gx8").cast("double") / F.lit(8.0)
     gy = F.col("gy8").cast("double") / F.lit(8.0)
     return agg.select(
@@ -1526,3 +1515,59 @@ def tri_grid(
         tri_sum.alias("tri_sum"),
         F.round(F.sqrt(tri_sum.cast("double")), 6).alias("tri"),
     )
+
+
+def _horn_gradients(points, bbox, width, height, lon, lat) -> DataFrame:
+    """Shared Horn 3×3 gradient pass behind slope_grid / aspect_grid:
+    exact integer 8×gradients (gx8, gy8) per in-grid target cell."""
+    g = density_grid(points, bbox, width, height, lon=lon, lat=lat).select(
+        "ix", "iy", "cnt"
+    )
+    sp = _kernel_spread(g, ["cnt"], 1).where(
+        (F.col("tx") >= 0) & (F.col("tx") < width)
+        & (F.col("ty") >= 0) & (F.col("ty") < height)
+    )
+    wx = (-F.col("kx")) * (2 - F.abs(F.col("ky")))
+    wy = (-F.col("ky")) * (2 - F.abs(F.col("kx")))
+    return sp.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
+        F.sum(F.col("cnt") * wx).alias("gx8"),
+        F.sum(F.col("cnt") * wy).alias("gy8"),
+    )
+
+
+def aspect_grid(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Aspect CLASSES (downhill-direction octants) from the Horn
+    gradients — the categorical aspect product, computed WITHOUT the
+    atan2 the repo's oracled-trig rule excludes: the octant
+    0..7 = floor(angle/45°) of (gx, gy) falls out of pure integer
+    sign/magnitude comparisons (boundaries lie exactly on the axes
+    and diagonals, so no trig is ever needed; a boundary angle
+    belongs to the higher octant, exactly floor(angle/45°); flat
+    cells — zero gradient — are octant NULL).
+
+    Shares _horn_gradients with slope_grid. Output: (ix, iy, gx8,
+    gy8, octant) with octant 0 = East, counterclockwise (1 = NE, 2 =
+    N, … 7 = SE).
+    """
+    agg = _horn_gradients(points, bbox, width, height, lon, lat)
+    gx, gy = F.col("gx8"), F.col("gy8")
+    ax, ay = F.abs(gx), F.abs(gy)
+    octant = (
+        F.when((gx == 0) & (gy == 0), F.lit(None).cast("int"))
+        .when((gx > 0) & (gy >= 0) & (ax > ay), F.lit(0))    # [0°, 45°)
+        .when((gx > 0) & (gy > 0), F.lit(1))                 # [45°, 90°)
+        .when((gx <= 0) & (gy > 0) & (ay > ax), F.lit(2))    # [90°, 135°)
+        .when((gx < 0) & (gy > 0), F.lit(3))                 # [135°, 180°)
+        .when((gx < 0) & (gy <= 0) & (ax > ay), F.lit(4))    # [180°, 225°)
+        .when((gx < 0) & (gy < 0), F.lit(5))                 # [225°, 270°)
+        .when((gx >= 0) & (gy < 0) & (ay > ax), F.lit(6))    # [270°, 315°)
+        .otherwise(F.lit(7))                                 # [315°, 360°)
+    )
+    return agg.select("ix", "iy", "gx8", "gy8", octant.alias("octant"))

@@ -2240,6 +2240,21 @@ class TestRound5Operators:
             single = lag_autocorr(df, 3600, lag=lag).collect()[0]
             assert prof[lag] == (single.n_pairs, single.r)
 
+    def test_aspect_grid_octants(self, spark):
+        """A lone spike: the E neighbor's gradient points W (octant
+        4), the NE neighbor's points SW (octant 5); the spike cell
+        itself is flat (NULL)."""
+        from geomesa_spark.operators.tiles import aspect_grid
+
+        df = spark.createDataFrame([(5.2, 5.2)] * 8, "lon double, lat double")
+        out = {(r.ix, r.iy): r.octant
+               for r in aspect_grid(df, (0.0, 0.0, 10.0, 10.0), 10, 10).collect()}
+        assert out[(5, 5)] is None          # flat: symmetric neighborhood
+        assert out[(6, 5)] == 4             # gx<0, gy=0 → West
+        assert out[(6, 6)] == 5             # gx<0, gy<0 → SW
+        assert out[(4, 5)] == 0             # gx>0, gy=0 → East
+        assert out[(5, 4)] == 2             # gx=0, gy>0 → North
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
