@@ -3215,6 +3215,20 @@ def q_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aspect_grid(_points(spark, sf_dir), (-180.0, -85.0, 180.0, 85.0), 72, 34)
 
 
+def q_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio for the even-vs-odd-user purchase outcome — exact
+    integer cross products, one division."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.stats import odds_ratio
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 2 == 0).alias("grp"),
+        (F.col("event_type") == "purchase").alias("succ"),
+    )
+    return odds_ratio(ev, "grp", "succ")
+
+
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) over the 72×34 count grid — binary Moore
     weights excluding self; empty-cell z terms folded into window
@@ -3609,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_h": q_cohens_h,
         "acf": q_acf,
         "aspect": q_aspect,
+        "odds": q_odds,
     }
 
 
@@ -6258,6 +6273,26 @@ def oracle_sql() -> dict[str, str]:
                      least(1.0e0, CAST(t.target AS DOUBLE) / CAST(a.available AS DOUBLE)) END, 6)
                          * CAST(a.available AS DOUBLE), 6) AS expected_kept
             FROM avail a LEFT JOIN t USING (domain)
+        """,
+        "odds": """
+            WITH agg AS (
+              SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                     CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                     CAST(sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS s2
+              FROM events
+            )
+            SELECT n1, s1, n2, s2,
+                   round(CASE WHEN n1 - s1 > 0 THEN
+                     CAST(s1 AS DOUBLE) / CAST(n1 - s1 AS DOUBLE) END, 6) AS odds1,
+                   round(CASE WHEN n2 - s2 > 0 THEN
+                     CAST(s2 AS DOUBLE) / CAST(n2 - s2 AS DOUBLE) END, 6) AS odds2,
+                   round(CASE WHEN s2 > 0 AND n1 - s1 > 0 THEN
+                     CAST(s1 * (n2 - s2) AS DOUBLE) / CAST(s2 * (n1 - s1) AS DOUBLE)
+                   END, 6) AS odds_ratio
+            FROM agg
         """,
         "aspect": f"""
             WITH {SQL_PTS},

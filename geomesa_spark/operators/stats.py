@@ -38,6 +38,7 @@ __all__ = [
     "hellinger_pairs",
     "wilson_intervals",
     "cohens_h",
+    "odds_ratio",
     "winsorize",
     "zscore_outliers",
     "histogram",
@@ -1044,4 +1045,39 @@ def cohens_h(df: DataFrame, cond_col: str, success_col: str) -> DataFrame:
         F.round(F.when(F.col("n1") > 0, p1), 6).alias("p1"),
         F.round(F.when(F.col("n2") > 0, p2), 6).alias("p2"),
         F.round(F.when((F.col("n1") > 0) & (F.col("n2") > 0), h), 6).alias("h"),
+    )
+
+
+def odds_ratio(df: DataFrame, cond_col: str, success_col: str) -> DataFrame:
+    """Odds ratio for the 2×2 outcome table — the epidemiology-style
+    effect measure completing the A/B family (two_proportion_z's
+    significance, cohens_h's standardized magnitude, OR's
+    multiplicative odds): OR = (s1·f2)/(s2·f1) with f = failures.
+
+    Same single conditional aggregate; the cross products are EXACT
+    integers and OR is one double division, round 6 — NULL when any
+    margin that would divide by zero is empty (s2 = 0 or f1 = 0).
+    Output: one row (n1, s1, n2, s2, odds1, odds2, odds_ratio).
+    """
+    c = F.col(cond_col)
+    sc = F.col(success_col).cast("long")
+    agg = df.agg(
+        F.sum(F.when(c, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(c, sc).otherwise(0)).alias("s1"),
+        F.sum(F.when(~c, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~c, sc).otherwise(0)).alias("s2"),
+    )
+    f1 = F.col("n1") - F.col("s1")
+    f2 = F.col("n2") - F.col("s2")
+    odds1 = F.when(f1 > 0, F.col("s1").cast("double") / f1.cast("double"))
+    odds2 = F.when(f2 > 0, F.col("s2").cast("double") / f2.cast("double"))
+    orr = F.when(
+        (F.col("s2") > 0) & (f1 > 0),
+        (F.col("s1") * f2).cast("double") / (F.col("s2") * f1).cast("double"),
+    )
+    return agg.select(
+        "n1", "s1", "n2", "s2",
+        F.round(odds1, 6).alias("odds1"),
+        F.round(odds2, 6).alias("odds2"),
+        F.round(orr, 6).alias("odds_ratio"),
     )

@@ -2255,6 +2255,15 @@ class TestRound5Operators:
         assert out[(4, 5)] == 0             # gx>0, gy=0 → East
         assert out[(5, 4)] == 2             # gx=0, gy>0 → North
 
+    def test_odds_ratio(self, spark):
+        """8/10 vs 2/10: odds 4 and 0.25, OR = 16."""
+        from geomesa_spark.operators.stats import odds_ratio
+
+        rows = [(True, i < 8) for i in range(10)] + [(False, i < 2) for i in range(10)]
+        df = spark.createDataFrame(rows, "grp boolean, succ boolean")
+        r = odds_ratio(df, "grp", "succ").collect()[0]
+        assert (r.odds1, r.odds2, r.odds_ratio) == (4.0, 0.25, 16.0)
+
     def test_lag_autocorr_linear(self, spark):
         """Hourly counts 1, 2, 4 → lag-1 pairs (1,2), (2,4) lie on
         y = 2x exactly, so Pearson r = 1; empty-hour zero-fill is
